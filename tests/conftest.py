@@ -1,0 +1,20 @@
+"""Test harness configuration.
+
+Tests run on a virtual 8-device CPU mesh (no TPU required) with float64
+enabled so WCS/resampling parity against scipy can be checked at full
+precision.  Production code paths use explicit dtypes, so enabling x64 here
+does not mask dtype bugs on TPU.
+"""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# A sitecustomize hook may have pinned jax_platforms to a TPU plugin backend;
+# force tests onto the virtual 8-device CPU mesh regardless.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
