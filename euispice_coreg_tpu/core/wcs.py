@@ -86,19 +86,27 @@ def tan_world_to_pixel(params, lon_deg, lat_deg):
 
     Points on or behind the tangent-plane horizon (theta <= 0) map to NaN,
     like astropy's ``world_to_pixel`` for unprojectable sky positions.
+
+    Uses the direct gnomonic form (x = cos(d) sin(da) / sin(theta), etc.),
+    which is numerically stable near the tangent point where the
+    rotate-then-arcsin path loses ~sqrt(eps) of precision.
     """
-    phi, theta = _celestial_to_native(
-        lon_deg * RAD_PER_DEG,
-        lat_deg * RAD_PER_DEG,
-        params["crval1"] * RAD_PER_DEG,
-        params["crval2"] * RAD_PER_DEG,
-        jnp.pi,
-    )
-    sin_t = jnp.sin(theta)
-    cos_t = jnp.cos(theta)
-    r = jnp.where(sin_t > 0, DEG_PER_RAD * cos_t / jnp.where(sin_t > 0, sin_t, 1.0), jnp.nan)
-    x = r * jnp.sin(phi)
-    y = -r * jnp.cos(phi)
+    alpha_p = params["crval1"] * RAD_PER_DEG
+    delta_p = params["crval2"] * RAD_PER_DEG
+    delta = lat_deg * RAD_PER_DEG
+    dalpha = lon_deg * RAD_PER_DEG - alpha_p
+
+    sin_d, cos_d = jnp.sin(delta), jnp.cos(delta)
+    sin_dp, cos_dp = jnp.sin(delta_p), jnp.cos(delta_p)
+    sin_da, cos_da = jnp.sin(dalpha), jnp.cos(dalpha)
+
+    sin_t = sin_d * sin_dp + cos_d * cos_dp * cos_da  # cos of angular distance
+    valid = sin_t > 0
+    denom = jnp.where(valid, sin_t, 1.0)
+    x = DEG_PER_RAD * (cos_d * sin_da) / denom
+    y = DEG_PER_RAD * (sin_d * cos_dp - cos_d * sin_dp * cos_da) / denom
+    x = jnp.where(valid, x, jnp.nan)
+    y = jnp.where(valid, y, jnp.nan)
     return _intermediate_to_pixel(params, x, y)
 
 
