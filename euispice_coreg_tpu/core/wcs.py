@@ -18,47 +18,48 @@ so ``jax.vmap`` over a lag axis works out of the box.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
-RAD_PER_DEG = jnp.pi / 180.0
-DEG_PER_RAD = 180.0 / jnp.pi
+RAD_PER_DEG = float(np.pi / 180.0)
+DEG_PER_RAD = float(180.0 / np.pi)
 
 
-def _native_to_celestial(phi, theta, alpha_p, delta_p, phi_p):
+def _native_to_celestial(phi, theta, alpha_p, delta_p, phi_p, xp=jnp):
     """Rotate native spherical (phi, theta) to celestial (alpha, delta).
 
     C&G (2002) eq. (2). All angles in radians.
     """
-    sin_t, cos_t = jnp.sin(theta), jnp.cos(theta)
-    sin_dp, cos_dp = jnp.sin(delta_p), jnp.cos(delta_p)
+    sin_t, cos_t = xp.sin(theta), xp.cos(theta)
+    sin_dp, cos_dp = xp.sin(delta_p), xp.cos(delta_p)
     dphi = phi - phi_p
-    sin_dphi, cos_dphi = jnp.sin(dphi), jnp.cos(dphi)
+    sin_dphi, cos_dphi = xp.sin(dphi), xp.cos(dphi)
 
     sin_delta = sin_t * sin_dp + cos_t * cos_dp * cos_dphi
-    delta = jnp.arcsin(jnp.clip(sin_delta, -1.0, 1.0))
-    alpha = alpha_p + jnp.arctan2(
+    delta = xp.arcsin(xp.clip(sin_delta, -1.0, 1.0))
+    alpha = alpha_p + xp.arctan2(
         -cos_t * sin_dphi,
         sin_t * cos_dp - cos_t * sin_dp * cos_dphi,
     )
     return alpha, delta
 
 
-def _celestial_to_native(alpha, delta, alpha_p, delta_p, phi_p):
+def _celestial_to_native(alpha, delta, alpha_p, delta_p, phi_p, xp=jnp):
     """Inverse rotation, C&G (2002) eq. (5). All angles in radians."""
-    sin_d, cos_d = jnp.sin(delta), jnp.cos(delta)
-    sin_dp, cos_dp = jnp.sin(delta_p), jnp.cos(delta_p)
+    sin_d, cos_d = xp.sin(delta), xp.cos(delta)
+    sin_dp, cos_dp = xp.sin(delta_p), xp.cos(delta_p)
     dalpha = alpha - alpha_p
-    sin_da, cos_da = jnp.sin(dalpha), jnp.cos(dalpha)
+    sin_da, cos_da = xp.sin(dalpha), xp.cos(dalpha)
 
     sin_theta = sin_d * sin_dp + cos_d * cos_dp * cos_da
-    theta = jnp.arcsin(jnp.clip(sin_theta, -1.0, 1.0))
-    phi = phi_p + jnp.arctan2(
+    theta = xp.arcsin(xp.clip(sin_theta, -1.0, 1.0))
+    phi = phi_p + xp.arctan2(
         -cos_d * sin_da,
         sin_d * cos_dp - cos_d * sin_dp * cos_da,
     )
     return phi, theta
 
 
-def tan_pixel_to_world(params, px, py):
+def tan_pixel_to_world(params, px, py, xp=jnp):
     """0-based pixel coords -> world (lon, lat) in degrees, TAN projection."""
     q1 = px + 1.0 - params["crpix1"]
     q2 = py + 1.0 - params["crpix2"]
@@ -66,22 +67,23 @@ def tan_pixel_to_world(params, px, py):
     x = params["cdelt1"] * (params["pc11"] * q1 + params["pc12"] * q2)
     y = params["cdelt2"] * (params["pc21"] * q1 + params["pc22"] * q2)
 
-    r = jnp.hypot(x, y)  # deg
+    r = xp.hypot(x, y)  # deg
     # theta = atan(180 / (pi * R)); atan2 handles R == 0 -> pi/2
-    theta = jnp.arctan2(DEG_PER_RAD, r)
-    phi = jnp.arctan2(x, -y)
+    theta = xp.arctan2(DEG_PER_RAD, r)
+    phi = xp.arctan2(x, -y)
 
     alpha, delta = _native_to_celestial(
         phi,
         theta,
         params["crval1"] * RAD_PER_DEG,
         params["crval2"] * RAD_PER_DEG,
-        jnp.pi,  # LONPOLE = 180 deg for zenithal projections
+        xp.pi,  # LONPOLE = 180 deg for zenithal projections
+        xp=xp,
     )
     return alpha * DEG_PER_RAD, delta * DEG_PER_RAD
 
 
-def tan_world_to_pixel(params, lon_deg, lat_deg):
+def tan_world_to_pixel(params, lon_deg, lat_deg, xp=jnp):
     """World (lon, lat) in degrees -> 0-based pixel coords, TAN projection.
 
     Points on or behind the tangent-plane horizon (theta <= 0) map to NaN,
@@ -96,21 +98,21 @@ def tan_world_to_pixel(params, lon_deg, lat_deg):
     delta = lat_deg * RAD_PER_DEG
     dalpha = lon_deg * RAD_PER_DEG - alpha_p
 
-    sin_d, cos_d = jnp.sin(delta), jnp.cos(delta)
-    sin_dp, cos_dp = jnp.sin(delta_p), jnp.cos(delta_p)
-    sin_da, cos_da = jnp.sin(dalpha), jnp.cos(dalpha)
+    sin_d, cos_d = xp.sin(delta), xp.cos(delta)
+    sin_dp, cos_dp = xp.sin(delta_p), xp.cos(delta_p)
+    sin_da, cos_da = xp.sin(dalpha), xp.cos(dalpha)
 
     sin_t = sin_d * sin_dp + cos_d * cos_dp * cos_da  # cos of angular distance
     valid = sin_t > 0
-    denom = jnp.where(valid, sin_t, 1.0)
+    denom = xp.where(valid, sin_t, 1.0)
     x = DEG_PER_RAD * (cos_d * sin_da) / denom
     y = DEG_PER_RAD * (sin_d * cos_dp - cos_d * sin_dp * cos_da) / denom
-    x = jnp.where(valid, x, jnp.nan)
-    y = jnp.where(valid, y, jnp.nan)
-    return _intermediate_to_pixel(params, x, y)
+    x = xp.where(valid, x, xp.nan)
+    y = xp.where(valid, y, xp.nan)
+    return _intermediate_to_pixel(params, x, y, xp=xp)
 
 
-def _intermediate_to_pixel(params, x, y):
+def _intermediate_to_pixel(params, x, y, xp=jnp):
     """Invert CDELT/PC: intermediate world coords (deg) -> 0-based pixels."""
     u = x / params["cdelt1"]
     v = y / params["cdelt2"]
@@ -124,7 +126,7 @@ def _intermediate_to_pixel(params, x, y):
 # CAR (plate carree) - used for initial-Carrington alignment
 # ---------------------------------------------------------------------------
 
-def car_pixel_to_world(params, px, py):
+def car_pixel_to_world(params, px, py, xp=jnp):
     """Linear CAR projection (valid for CRVAL2 == 0, the solar convention)."""
     q1 = px + 1.0 - params["crpix1"]
     q2 = py + 1.0 - params["crpix2"]
@@ -133,28 +135,28 @@ def car_pixel_to_world(params, px, py):
     return params["crval1"] + x, params["crval2"] + y
 
 
-def car_world_to_pixel(params, lon_deg, lat_deg):
+def car_world_to_pixel(params, lon_deg, lat_deg, xp=jnp):
     x = lon_deg - params["crval1"]
     y = lat_deg - params["crval2"]
-    return _intermediate_to_pixel(params, x, y)
+    return _intermediate_to_pixel(params, x, y, xp=xp)
 
 
-def pixel_to_world(params, px, py, kind="tan"):
+def pixel_to_world(params, px, py, kind="tan", xp=jnp):
     if kind == "tan":
-        return tan_pixel_to_world(params, px, py)
+        return tan_pixel_to_world(params, px, py, xp=xp)
     elif kind == "car":
-        return car_pixel_to_world(params, px, py)
+        return car_pixel_to_world(params, px, py, xp=xp)
     raise ValueError(f"unknown projection kind: {kind}")
 
 
-def world_to_pixel(params, lon_deg, lat_deg, kind="tan"):
+def world_to_pixel(params, lon_deg, lat_deg, kind="tan", xp=jnp):
     if kind == "tan":
-        return tan_world_to_pixel(params, lon_deg, lat_deg)
+        return tan_world_to_pixel(params, lon_deg, lat_deg, xp=xp)
     elif kind == "car":
-        return car_world_to_pixel(params, lon_deg, lat_deg)
+        return car_world_to_pixel(params, lon_deg, lat_deg, xp=xp)
     raise ValueError(f"unknown projection kind: {kind}")
 
 
-def ang2pipi_deg(ang_deg):
+def ang2pipi_deg(ang_deg, xp=jnp):
     """Wrap degrees into ]-180, 180] (JAX version of Util.ang2pipi)."""
     return -((-ang_deg + 180.0) % 360.0 - 180.0)

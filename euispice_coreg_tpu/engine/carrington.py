@@ -1,0 +1,314 @@
+"""Carrington-frame reprojection engine (TPU-native "fa" path).
+
+Reimplements the math of the reference's transform framework
+(``/root/reference/euispice_coreg/utils/rectify.py``):
+
+* ``DifferentialRotationTransform`` (rectify.py:282-311): rotate Carrington
+  longitudes to a reference date with a wavelength-dependent rate,
+* ``SphericalTransform`` (rectify.py:314-374): (lon, lat) on a sphere of
+  radius ``radius_correction * R_sun`` -> observer-frame detector pixels,
+  including observer lon/lat, roll and z-clipping of the far side,
+* ``CarringtonTransform`` (rectify.py:377-423) composes the two from FITS
+  header scalars,
+* ``Rectifier`` (rectify.py:842-888): sample the image on a regular
+  lon/lat grid.
+
+TPU-first decomposition: the differential rotation and the observer-frame
+unit-sphere geometry are *lag-independent*, so they are computed once per
+alignment; the per-lag part (roll rotation + gnomonic arctan + CRPIX/CDELT
+affine) is a handful of fused elementwise ops, vmapped over the lag grid.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from ..core import resample, score, wcs
+from . import lag_search
+
+R_SUN_M = 6.957e8  # IAU 2015 nominal solar radius, meters (astropy R_sun)
+CARRINGTON_RATE = 14.18  # deg/day, rectify.py:292
+
+# Hortin (2003) differential-rotation coefficients, deg/day
+# (rectify.py:293-302)
+DIFF_ROT_COEFFS = {
+    "171": (14.56, -2.65, 0.96),
+    "195": (14.50, -2.14, 0.66),
+    "284": (14.60, -0.71, -1.18),
+    "304": (14.51, -3.12, 0.34),
+}
+
+# wavelength -> rate band map (alignment.py:107-108)
+RAT_WAVE = {"171": "171", "193": "195", "211": "195", "131": "171",
+            "304": "304", "335": "304", "94": "171", "174": "171"}
+
+
+def diff_rot_shift_deg(lat_deg, delta_t_days, rate_wave: str | None):
+    """Longitude shift (deg) accumulated over ``delta_t_days`` relative to
+    rigid Carrington rotation (rectify.py:304-311)."""
+    coeffs = DIFF_ROT_COEFFS.get(rate_wave, (CARRINGTON_RATE, 0.0, 0.0))
+    siny2 = np.sin(np.radians(lat_deg)) ** 2
+    return delta_t_days * (
+        coeffs[0] + siny2 * (coeffs[1] + coeffs[2] * siny2) - CARRINGTON_RATE
+    )
+
+
+def carrington_grid(lonlims, latlims, shape):
+    """Regular lon/lat grid, inclusive endpoints (Rectifier, rectify.py:875-878).
+
+    Returns (lon, lat) arrays of shape (shape[1], shape[0]) — x varies along
+    the last axis, matching meshgrid(indexing='xy')."""
+    lon1d = np.linspace(lonlims[0], lonlims[1], shape[0], dtype=np.float64)
+    lat1d = np.linspace(latlims[0], latlims[1], shape[1], dtype=np.float64)
+    return np.meshgrid(lon1d, lat1d)
+
+
+def observer_geometry(lon_rot_deg, lat_deg, obs_lon_deg, obs_lat_deg):
+    """Lag-independent part of SphericalTransform.forward (rectify.py:340-351).
+
+    Returns (x3, yy, zz): unit-sphere coordinates in the observer frame
+    before roll; ``zz`` is the line-of-sight depth used for z-clipping.
+    """
+    lon = np.radians(lon_rot_deg) - np.radians(obs_lon_deg)
+    lat = np.radians(lat_deg)
+    x3 = np.cos(lat) * np.sin(lon)
+    y3 = np.sin(lat)
+    z3 = np.cos(lat) * np.cos(lon)
+    obs_lat = np.radians(obs_lat_deg)
+    zz = z3 * np.cos(obs_lat) + y3 * np.sin(obs_lat)
+    yy = y3 * np.cos(obs_lat) - z3 * np.sin(obs_lat)
+    return x3, yy, zz
+
+
+def spherical_project(x3, yy, zz, dist, roll_deg, x0, y0, cdelt1_arcsec,
+                      cdelt2_arcsec, zclip=0.0, xp=jnp):
+    """Per-lag tail of SphericalTransform.forward (rectify.py:352-374).
+
+    ``dist`` is DSUN_OBS / (radius_correction * R_sun).  Far-side points
+    (zz < zclip) map to NaN, reproducing the reference's gd mask.
+    """
+    roll = roll_deg * wcs.RAD_PER_DEG
+    cos_r, sin_r = xp.cos(roll), xp.sin(roll)
+    y2 = yy * cos_r - x3 * sin_r
+    x2 = x3 * cos_r + yy * sin_r
+    z2 = dist - zz
+    nx = x0 + xp.arctan(x2 / z2) * wcs.DEG_PER_RAD * 3600.0 / cdelt1_arcsec
+    ny = y0 + xp.arctan(y2 / z2) * wcs.DEG_PER_RAD * 3600.0 / cdelt2_arcsec
+    good = zz >= zclip
+    return xp.where(good, nx, xp.nan), xp.where(good, ny, xp.nan)
+
+
+def header_spherical_scalars(hdr, d_solar_r=1.0):
+    """CarringtonTransform's header-derived scalars (rectify.py:387-415).
+
+    CRVAL/CDELT are converted to arcsec from CUNIT.  Returns a dict of plain
+    floats; the per-lag engine perturbs crval/cdelt/roll on device.
+    """
+    from ..core.header import get_crota
+    from ..utils import units
+
+    cunit1 = hdr.get("CUNIT1", "arcsec")
+    cunit2 = hdr.get("CUNIT2", "arcsec")
+    return {
+        "crval1_arcsec": units.convert(float(hdr["CRVAL1"]), cunit1, "arcsec"),
+        "crval2_arcsec": units.convert(float(hdr["CRVAL2"]), cunit2, "arcsec"),
+        "cdelt1_arcsec": units.convert(float(hdr["CDELT1"]), cunit1, "arcsec"),
+        "cdelt2_arcsec": units.convert(float(hdr["CDELT2"]), cunit2, "arcsec"),
+        "crpix1": float(hdr["CRPIX1"]),
+        "crpix2": float(hdr["CRPIX2"]),
+        "roll": get_crota(hdr),
+        "dist": float(hdr["DSUN_OBS"]) / (d_solar_r * R_SUN_M),
+        "obs_lon": float(hdr["CRLN_OBS"]),
+        "obs_lat": float(hdr["CRLT_OBS"]),
+    }
+
+
+def _pixel_origin(crval1, crval2, crpix1, crpix2, roll_deg, cdelt1, cdelt2, xp=jnp):
+    """x0/y0 of SphericalTransform: CRPIX shifted by the roll-rotated CRVAL
+    (rectify.py:396-404). All linear quantities in arcsec."""
+    roll = roll_deg * wcs.RAD_PER_DEG
+    cos_r, sin_r = xp.cos(roll), xp.sin(roll)
+    dx = cos_r * crval1 + sin_r * crval2
+    dy = -sin_r * crval1 + cos_r * crval2
+    return (crpix1 - 1.0) - dx / cdelt1, (crpix2 - 1.0) - dy / cdelt2
+
+
+def spherical_unproject(px, py, sc: dict):
+    """Inverse of the spherical projection: detector pixels -> Carrington
+    (lon, lat) in degrees on the near side of the sphere.
+
+    Not present in the reference (rectify.py's SphericalTransform implements
+    only the forward direction); used for synthetic-scene generation and
+    sanity checks.  ``sc`` comes from :func:`header_spherical_scalars`.
+    Pixels whose ray misses the sphere return NaN.
+    """
+    x0, y0 = _pixel_origin(sc["crval1_arcsec"], sc["crval2_arcsec"],
+                           sc["crpix1"], sc["crpix2"], sc["roll"],
+                           sc["cdelt1_arcsec"], sc["cdelt2_arcsec"], xp=np)
+    ax = np.radians((np.asarray(px, dtype=np.float64) - x0) * sc["cdelt1_arcsec"] / 3600.0)
+    ay = np.radians((np.asarray(py, dtype=np.float64) - y0) * sc["cdelt2_arcsec"] / 3600.0)
+    a = np.tan(ax)
+    b = np.tan(ay)
+    dist = sc["dist"]
+    # ray: (x2, y2, zz) = (a z2, b z2, dist - z2) on the unit sphere
+    A = a * a + b * b + 1.0
+    B = -2.0 * dist
+    C = dist * dist - 1.0
+    disc = B * B - 4 * A * C
+    ok = disc >= 0
+    z2 = np.where(ok, (-B - np.sqrt(np.where(ok, disc, 0.0))) / (2 * A), np.nan)
+    x2, y2, zz = a * z2, b * z2, dist - z2
+    roll = np.radians(sc["roll"])
+    cos_r, sin_r = np.cos(roll), np.sin(roll)
+    x3 = x2 * cos_r - y2 * sin_r
+    yy = x2 * sin_r + y2 * cos_r
+    obs_lat = np.radians(sc["obs_lat"])
+    y3 = yy * np.cos(obs_lat) + zz * np.sin(obs_lat)
+    z3 = zz * np.cos(obs_lat) - yy * np.sin(obs_lat)
+    lat = np.degrees(np.arcsin(np.clip(y3, -1.0, 1.0)))
+    lon = np.degrees(np.arctan2(x3, z3)) + sc["obs_lon"]
+    return lon, lat
+
+
+def reproject_to_carrington(data, hdr, lonlims, latlims, shape, *,
+                            d_solar_r=1.0, reference_date=None,
+                            rate_wave=None, order=2,
+                            compute_dtype=jnp.float32):
+    """One-shot Carrington reprojection of an image (the reference-image leg,
+    ``alignment.py:889-901``: CarringtonTransform + Rectifier, fill -> NaN)."""
+    from ..utils import timeutils
+
+    sc = header_spherical_scalars(hdr, d_solar_r)
+    lon, lat = carrington_grid(lonlims, latlims, shape)
+    delta_t = 0.0
+    if reference_date is not None:
+        delta_t = timeutils.time_diff_days(str(hdr["DATE-OBS"]), str(reference_date))
+    lon_rot = lon - diff_rot_shift_deg(lat, delta_t, rate_wave)
+    x3, yy, zz = observer_geometry(lon_rot, lat, sc["obs_lon"], sc["obs_lat"])
+    x0, y0 = _pixel_origin(sc["crval1_arcsec"], sc["crval2_arcsec"],
+                           sc["crpix1"], sc["crpix2"], sc["roll"],
+                           sc["cdelt1_arcsec"], sc["cdelt2_arcsec"], xp=np)
+    nx, ny = spherical_project(x3, yy, zz, sc["dist"], sc["roll"], x0, y0,
+                               sc["cdelt1_arcsec"], sc["cdelt2_arcsec"], xp=np)
+    out = _sample_jit(jnp.asarray(data, dtype=compute_dtype),
+                      jnp.asarray(nx, dtype=compute_dtype),
+                      jnp.asarray(ny, dtype=compute_dtype), order)
+    return np.asarray(out, dtype=np.float64)
+
+
+@partial(jax.jit, static_argnames=("order",))
+def _sample_jit(img, x, y, order):
+    return resample.sample_image(img, x, y, order=order, cval=jnp.nan)
+
+
+def _score_one_lag_carr(d, small_img, ref_img, geom, base, order, method):
+    """d: (5,) lag vector in DEGREES (same layout as lag_search)."""
+    crval1 = base["crval1_arcsec"] + d[lag_search.D_CRVAL1] * 3600.0
+    crval2 = base["crval2_arcsec"] + d[lag_search.D_CRVAL2] * 3600.0
+    cdelt1 = base["cdelt1_arcsec"] + d[lag_search.D_CDELT1] * 3600.0
+    cdelt2 = base["cdelt2_arcsec"] + d[lag_search.D_CDELT2] * 3600.0
+    roll = base["roll"] + d[lag_search.D_CROTA]
+    x0, y0 = _pixel_origin(crval1, crval2, base["crpix1"], base["crpix2"],
+                           roll, cdelt1, cdelt2)
+    nx, ny = spherical_project(geom["x3"], geom["yy"], geom["zz"],
+                               base["dist"], roll, x0, y0, cdelt1, cdelt2)
+    sampled = resample.sample_image(small_img, nx, ny, order=order, cval=jnp.nan)
+    return score.SCORE_FUNCTIONS[method](ref_img, sampled)
+
+
+@partial(jax.jit, static_argnames=("order", "method", "batch_size"))
+def _evaluate_flat_carr(lags, small_img, ref_img, geom, base, order, method, batch_size):
+    f = lambda d: _score_one_lag_carr(d, small_img, ref_img, geom, base, order, method)
+    return jax.lax.map(f, lags, batch_size=batch_size)
+
+
+def evaluate_lag_grid_carrington(
+    small_img,
+    ref_img,
+    hdr_small,
+    lonlims,
+    latlims,
+    shape,
+    lag_crval1_deg,
+    lag_crval2_deg,
+    lag_cdelt1_deg,
+    lag_cdelt2_deg,
+    lag_crota_deg,
+    *,
+    d_solar_r=1.004,
+    reference_date=None,
+    rate_wave=None,
+    order=2,
+    method="correlation",
+    compute_dtype=jnp.float32,
+    batch_size=8,
+    mesh=None,
+):
+    """Score the lag hypercube in the Carrington frame; returns
+    (n1, n2, n3, n4, n5) float64 numpy.
+
+    ``ref_img`` must already be on the Carrington grid (see
+    :func:`reproject_to_carrington`)."""
+    from ..utils import timeutils
+
+    sc = header_spherical_scalars(hdr_small, d_solar_r)
+    lon, lat = carrington_grid(lonlims, latlims, shape)
+    delta_t = 0.0
+    if reference_date is not None:
+        delta_t = timeutils.time_diff_days(str(hdr_small["DATE-OBS"]), str(reference_date))
+    lon_rot = lon - diff_rot_shift_deg(lat, delta_t, rate_wave)
+    x3, yy, zz = observer_geometry(lon_rot, lat, sc["obs_lon"], sc["obs_lat"])
+
+    l1 = np.asarray(lag_crval1_deg, dtype=np.float64)
+    l2 = np.asarray(lag_crval2_deg, dtype=np.float64)
+    l3 = np.asarray(lag_cdelt1_deg, dtype=np.float64)
+    l4 = np.asarray(lag_cdelt2_deg, dtype=np.float64)
+    l5 = np.asarray(lag_crota_deg, dtype=np.float64)
+    out_shape = (len(l1), len(l2), len(l3), len(l4), len(l5))
+    grids = np.meshgrid(l1, l2, l3, l4, l5, indexing="ij")
+    lags = np.stack([g.ravel() for g in grids], axis=-1)
+    n_lags = lags.shape[0]
+
+    geom = {
+        "x3": jnp.asarray(x3, dtype=compute_dtype),
+        "yy": jnp.asarray(yy, dtype=compute_dtype),
+        "zz": jnp.asarray(zz, dtype=compute_dtype),
+    }
+    base = {k: jnp.asarray(v, dtype=compute_dtype) for k, v in sc.items()
+            if k not in ("obs_lon", "obs_lat")}
+    small_d = jnp.asarray(small_img, dtype=compute_dtype)
+    ref_d = jnp.asarray(ref_img, dtype=compute_dtype)
+    lags_d = jnp.asarray(lags, dtype=compute_dtype)
+
+    if mesh is None:
+        out = _evaluate_flat_carr(lags_d, small_d, ref_d, geom, base,
+                                  order=order, method=method, batch_size=batch_size)
+        out = np.asarray(out)[:n_lags]
+    else:
+        from jax import shard_map
+
+        ndev = mesh.devices.size
+        n_pad = math.ceil(n_lags / ndev) * ndev
+        if n_pad != n_lags:
+            lags_d = jnp.concatenate(
+                [lags_d, jnp.zeros((n_pad - n_lags, 5), dtype=compute_dtype)], axis=0)
+
+        def local_eval(lags_, small_, ref_, geom_, base_):
+            f = lambda d: _score_one_lag_carr(d, small_, ref_, geom_, base_, order, method)
+            return jax.lax.map(f, lags_, batch_size=batch_size)
+
+        fn = jax.jit(shard_map(
+            local_eval, mesh=mesh,
+            in_specs=(P("lags"), P(), P(), P(), P()),
+            out_specs=P("lags"), check_rep=False,
+        ))
+        with mesh:
+            out = fn(lags_d, small_d, ref_d, geom, base)
+        out = np.asarray(out)[:n_lags]
+
+    return out.astype(np.float64).reshape(out_shape)

@@ -1,0 +1,188 @@
+"""On-device lag-grid search engine.
+
+This replaces the reference's L3 search driver + L1 multiprocessing runtime
+(``/root/reference/euispice_coreg/hdrshift/alignment.py:613-797``: 5-D
+meshgrid of header lags -> ``np.array_split`` -> one OS process per chunk with
+POSIX shared memory) with a single JAX computation:
+
+* the reference-grid world coordinates are computed ONCE on device,
+* each lag candidate is a closed-form perturbation of the small image's WCS
+  scalars (`_shift_header` semantics, ``alignment.py:401-468``),
+* per lag: shifted world->pixel map + spline gather + masked Pearson
+  reduction, all fused by XLA,
+* the flattened lag axis is `shard_map`-sharded across the device mesh
+  (ICI all-gather of the score vector is the only collective),
+* `lax.map(..., batch_size=...)` streams lag batches so 121x121 x 2048^2
+  intermediates never materialize.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core import resample, score, wcs
+
+# lag vector layout along the last axis of the (L, 5) lag matrix
+D_CRVAL1, D_CRVAL2, D_CDELT1, D_CDELT2, D_CROTA = range(5)
+
+
+def apply_lag_to_params(base: dict, d: jnp.ndarray) -> dict:
+    """Shift WCS scalars by one lag vector ``d`` (degrees).
+
+    Reproduces ``Alignment._shift_header`` (``alignment.py:401-468``) with the
+    CDELT bookkeeping fixed (the reference never writes the shifted CDELT1
+    back into the header and crashes on nonzero CDELT2 lags — documented
+    quirk, SURVEY.md 2.3): CRVAL/CDELT shift additively, CROTA shifts in
+    degrees, and the PC matrix is rebuilt from (CROTA, CDELT) whenever any of
+    CDELT1/CDELT2/CROTA lags is nonzero; otherwise the original PC matrix is
+    kept verbatim.
+    """
+    crval1 = base["crval1"] + d[D_CRVAL1]
+    crval2 = base["crval2"] + d[D_CRVAL2]
+    cdelt1 = base["cdelt1"] + d[D_CDELT1]
+    cdelt2 = base["cdelt2"] + d[D_CDELT2]
+    crota = base["crota"] + d[D_CROTA]
+
+    rebuild = (d[D_CDELT1] != 0) | (d[D_CDELT2] != 0) | (d[D_CROTA] != 0)
+    rho = crota * wcs.RAD_PER_DEG
+    lam = cdelt2 / cdelt1
+    cos_r, sin_r = jnp.cos(rho), jnp.sin(rho)
+    pc11 = jnp.where(rebuild, cos_r, base["pc11"])
+    pc12 = jnp.where(rebuild, -lam * sin_r, base["pc12"])
+    pc21 = jnp.where(rebuild, sin_r / lam, base["pc21"])
+    pc22 = jnp.where(rebuild, cos_r, base["pc22"])
+
+    return {
+        "crval1": crval1,
+        "crval2": crval2,
+        "crpix1": base["crpix1"],
+        "crpix2": base["crpix2"],
+        "cdelt1": cdelt1,
+        "cdelt2": cdelt2,
+        "pc11": pc11,
+        "pc12": pc12,
+        "pc21": pc21,
+        "pc22": pc22,
+    }
+
+
+def _score_one_lag(d, small_img, ref_img, lon, lat, base, order, method, kind):
+    params = apply_lag_to_params(base, d)
+    x, y = wcs.world_to_pixel(params, lon, lat, kind=kind)
+    sampled = resample.sample_image(small_img, x, y, order=order, cval=jnp.nan)
+    return score.SCORE_FUNCTIONS[method](ref_img, sampled)
+
+
+@partial(jax.jit, static_argnames=("order", "method", "kind", "batch_size"))
+def _evaluate_flat(lags, small_img, ref_img, lon, lat, base, order, method, kind, batch_size):
+    f = lambda d: _score_one_lag(d, small_img, ref_img, lon, lat, base, order, method, kind)
+    return jax.lax.map(f, lags, batch_size=batch_size)
+
+
+def _sharded_evaluator(mesh, order, method, kind, batch_size):
+    from jax import shard_map
+
+    def local_eval(lags, small_img, ref_img, lon, lat, base):
+        f = lambda d: _score_one_lag(d, small_img, ref_img, lon, lat, base, order, method, kind)
+        return jax.lax.map(f, lags, batch_size=batch_size)
+
+    sharded = shard_map(
+        local_eval,
+        mesh=mesh,
+        in_specs=(P("lags"), P(), P(), P(), P(), P()),
+        out_specs=P("lags"),
+        check_rep=False,
+    )
+    return jax.jit(sharded)
+
+
+def default_mesh(max_devices: int | None = None) -> Mesh | None:
+    """1-D ``lags`` mesh over the available devices (None if single device)."""
+    devs = jax.devices()
+    if max_devices is not None:
+        devs = devs[:max_devices]
+    if len(devs) <= 1:
+        return None
+    return Mesh(np.array(devs), axis_names=("lags",))
+
+
+def evaluate_lag_grid(
+    small_img,
+    ref_img,
+    lon,
+    lat,
+    base_params: dict,
+    lag_crval1,
+    lag_crval2,
+    lag_cdelt1,
+    lag_cdelt2,
+    lag_crota,
+    *,
+    order: int = 2,
+    method: str = "correlation",
+    kind: str = "tan",
+    compute_dtype=jnp.float32,
+    batch_size: int = 8,
+    mesh: Mesh | None = None,
+) -> np.ndarray:
+    """Score the full 5-D lag hypercube; returns shape
+    (n_crval1, n_crval2, n_cdelt1, n_cdelt2, n_crota) as float64 numpy.
+
+    All lag arrays and ``base_params`` are in DEGREES.
+    """
+    l1 = np.asarray(lag_crval1, dtype=np.float64)
+    l2 = np.asarray(lag_crval2, dtype=np.float64)
+    l3 = np.asarray(lag_cdelt1, dtype=np.float64)
+    l4 = np.asarray(lag_cdelt2, dtype=np.float64)
+    l5 = np.asarray(lag_crota, dtype=np.float64)
+    shape = (len(l1), len(l2), len(l3), len(l4), len(l5))
+
+    grids = np.meshgrid(l1, l2, l3, l4, l5, indexing="ij")
+    lags = np.stack([g.ravel() for g in grids], axis=-1)  # (L, 5)
+    n_lags = lags.shape[0]
+
+    small_d = jnp.asarray(small_img, dtype=compute_dtype)
+    ref_d = jnp.asarray(ref_img, dtype=compute_dtype)
+    lon_d = jnp.asarray(lon, dtype=compute_dtype)
+    lat_d = jnp.asarray(lat, dtype=compute_dtype)
+    base_d = {k: jnp.asarray(v, dtype=compute_dtype) for k, v in base_params.items()}
+    lags_d = jnp.asarray(lags, dtype=compute_dtype)
+
+    if mesh is None:
+        out = _evaluate_flat(
+            lags_d, small_d, ref_d, lon_d, lat_d, base_d,
+            order=order, method=method, kind=kind, batch_size=batch_size,
+        )
+        out = np.asarray(out)[:n_lags]
+    else:
+        ndev = mesh.devices.size
+        n_pad = math.ceil(n_lags / ndev) * ndev
+        if n_pad != n_lags:
+            lags_d = jnp.concatenate(
+                [lags_d, jnp.zeros((n_pad - n_lags, 5), dtype=compute_dtype)], axis=0
+            )
+        fn = _sharded_evaluator(mesh, order, method, kind, batch_size)
+        with mesh:
+            out = fn(lags_d, small_d, ref_d, lon_d, lat_d, base_d)
+        out = np.asarray(out)[:n_lags]
+
+    return out.astype(np.float64).reshape(shape)
+
+
+def resample_to_grid(image, x, y, order=2, compute_dtype=jnp.float32):
+    """One-shot device resample (used for the reference-image submap,
+    ``alignment.py:987-1016``)."""
+    img = jnp.asarray(image, dtype=compute_dtype)
+    out = _resample_jit(img, jnp.asarray(x, dtype=compute_dtype),
+                        jnp.asarray(y, dtype=compute_dtype), order)
+    return np.asarray(out, dtype=np.float64)
+
+
+@partial(jax.jit, static_argnames=("order",))
+def _resample_jit(img, x, y, order):
+    return resample.sample_image(img, x, y, order=order, cval=jnp.nan)

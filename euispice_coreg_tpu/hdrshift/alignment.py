@@ -1,0 +1,393 @@
+"""Public coalignment API: the ``Alignment`` class.
+
+API-compatible rebuild of the reference's flagship class
+(``/root/reference/euispice_coreg/hdrshift/alignment.py:45-1131``) on the
+TPU-native engine:
+
+* FITS I/O and header math stay on host (float64 numpy),
+* the reference image is resampled onto the comparison grid ONCE on device
+  (the reference's ``_create_submap_of_large_data``, alignment.py:987-1016),
+* the whole 5-D lag hypercube is evaluated as a single vmapped/sharded JAX
+  computation instead of a multiprocessing pool
+  (``_find_best_header_parameters``, alignment.py:613-797).
+
+Known reference quirks handled deliberately (SURVEY.md 2.3):
+
+* CDELT lags are implemented *correctly* here (the reference never writes the
+  shifted CDELT1 back and crashes on nonzero CDELT2 lags);
+* min/max thresholds apply to the absolute pixel value, as in the reference
+  (alignment.py:876-887);
+* the serial-mode "submap never built" bug (alignment.py:765) is not
+  reproduced — this engine always builds the submap, matching the reference's
+  parallel mode (the mode its golden tests exercise);
+* more than one ``lag_solar_r`` value works here (the reference crashes,
+  alignment.py:660-665).
+
+``parallelism``/``counts_cpu_max``/``display_progress_bar`` are accepted for
+API compatibility; parallelism is always on-device (lag axis sharded over the
+TPU mesh).
+"""
+from __future__ import annotations
+
+import warnings
+
+import numpy as np
+
+from ..core.header import Header, ensure_pcij, get_crota, wcs_params_from_header
+from ..engine import carrington as carr_engine
+from ..engine import lag_search
+from ..utils import coords, units
+from .results import AlignmentResults
+
+
+class Alignment:
+    def __init__(
+        self,
+        large_fov_known_pointing: str,
+        small_fov_to_correct: str,
+        lag_crval1=None,
+        lag_crval2=None,
+        lag_cdelt1=None,
+        lag_cdelt2=None,
+        lag_crota=None,
+        lag_solar_r=None,
+        small_fov_value_min=None,
+        parallelism=False,
+        display_progress_bar: bool = False,
+        small_fov_value_max=None,
+        counts_cpu_max: int = 40,
+        large_fov_window=-1,
+        small_fov_window=-1,
+        path_save_figure: str | None = None,
+        reprojection_order: int = 2,
+        force_crota_0: bool = False,
+        unit_lag: str = "arcsec",
+        # TPU-native extensions
+        compute_dtype="float32",
+        batch_size_lags: int = 8,
+        use_device_mesh: bool = True,
+    ):
+        self.large_fov_known_pointing = large_fov_known_pointing
+        self.small_fov_to_correct = small_fov_to_correct
+
+        def _lag(v):
+            if v is None:
+                return np.array([0.0])
+            return np.atleast_1d(np.asarray(v, dtype=np.float64))
+
+        self.lag_crval1 = _lag(lag_crval1)
+        self.lag_crval2 = _lag(lag_crval2)
+        self.lag_cdelt1 = _lag(lag_cdelt1)
+        self.lag_cdelt2 = _lag(lag_cdelt2)
+        self.lag_crota = _lag(lag_crota)
+        self.lag_solar_r = (
+            np.atleast_1d(np.asarray(lag_solar_r, dtype=np.float64))
+            if lag_solar_r is not None
+            else np.array([1.004])  # alignment.py:841-842
+        )
+        self.unit_lag = unit_lag
+
+        self.small_fov_value_min = small_fov_value_min
+        self.small_fov_value_max = small_fov_value_max
+        self.large_fov_window = large_fov_window
+        self.small_fov_window = small_fov_window
+        self.path_save_figure = path_save_figure
+        self.order = reprojection_order
+        self.force_crota_0 = force_crota_0
+        self.parallelism = parallelism
+        self.counts = counts_cpu_max
+        self.display_progress_bar = display_progress_bar
+
+        import jax.numpy as jnp
+
+        self.compute_dtype = jnp.dtype(compute_dtype)
+        self.batch_size_lags = batch_size_lags
+        self.mesh = lag_search.default_mesh() if use_device_mesh else None
+
+        self.data_large = None
+        self.data_small = None
+        self.hdr_large = None
+        self.hdr_small = None
+        self.method = None
+        self.coordinate_frame = None
+        self.lonlims = None
+        self.latlims = None
+        self.shape = None
+        self.reference_date = None
+        self.rat_wave = dict(carr_engine.RAT_WAVE)
+
+    # ------------------------------------------------------------------
+    # data loading / preprocessing (host)
+    # ------------------------------------------------------------------
+    def _load_pair(self, dtype=np.float64):
+        from ..io import fits
+
+        f_large = fits.open(self.large_fov_known_pointing)
+        f_small = fits.open(self.small_fov_to_correct)
+        hdu_l = f_large[self.large_fov_window]
+        hdu_s = f_small[self.small_fov_window]
+        self.data_large = np.asarray(hdu_l.data, dtype=dtype)
+        self.hdr_large = hdu_l.header.copy()
+        self.data_small = np.asarray(hdu_s.data, dtype=dtype)
+        self.hdr_small = hdu_s.header.copy()
+        ensure_pcij(self.hdr_small, self.force_crota_0)
+        ensure_pcij(self.hdr_large, self.force_crota_0)
+
+    def _apply_thresholds(self):
+        """Min/max thresholds on |value| -> NaN (alignment.py:876-887)."""
+        if self.small_fov_value_min is not None:
+            self.data_small[np.abs(self.data_small) < self.small_fov_value_min] = np.nan
+        if self.small_fov_value_max is not None:
+            self.data_small[np.abs(self.data_small) > self.small_fov_value_max] = np.nan
+
+    def _apply_remove_fov(self, remove_fov_limits, unit="arcsec"):
+        """NaN out a world-coordinate box (alignment.py:863-874)."""
+        lon, lat = coords.header_world_grid(self.hdr_small)
+        lonlims = units.to_deg(np.asarray(remove_fov_limits[0], dtype=np.float64), unit)
+        latlims = units.to_deg(np.asarray(remove_fov_limits[1], dtype=np.float64), unit)
+        inside = (
+            (lon >= lonlims[0]) & (lon <= lonlims[1])
+            & (lat >= latlims[0]) & (lat <= latlims[1])
+        )
+        self.data_small[inside] = np.nan
+
+    def _apply_fov_limits(self, fov_limits, unit="arcsec"):
+        """Crop the small image to a world-coordinate box by resampling it
+        onto a fresh regular grid and replacing its header
+        (alignment.py:1082-1127; axis bookkeeping fixed, see SURVEY.md 2.3).
+        """
+        lon, lat = coords.header_world_grid(self.hdr_small)
+        lonlims = units.to_deg(np.asarray(fov_limits[0], dtype=np.float64), unit)
+        latlims = units.to_deg(np.asarray(fov_limits[1], dtype=np.float64), unit)
+        long, latg, dlon, dlat = coords.build_regular_grid(
+            lon, lat, lonlims_deg=lonlims, latlims_deg=latlims
+        )
+        mid_r, mid_c = long.shape[0] // 2, long.shape[1] // 2
+        cunit1 = self.hdr_small.get("CUNIT1", "deg")
+        cunit2 = self.hdr_small.get("CUNIT2", "deg")
+        hdrg = self.hdr_small.copy()
+        hdrg["CRVAL1"] = units.from_deg(long[mid_r, mid_c], cunit1)
+        hdrg["CRVAL2"] = units.from_deg(latg[mid_r, mid_c], cunit2)
+        hdrg["CRPIX1"] = mid_c + 1
+        hdrg["CRPIX2"] = mid_r + 1
+        hdrg["CDELT1"] = units.from_deg(dlon, cunit1)
+        hdrg["CDELT2"] = units.from_deg(dlat, cunit2)
+        hdrg["PC1_1"], hdrg["PC1_2"] = 1.0, 0.0
+        hdrg["PC2_1"], hdrg["PC2_2"] = 0.0, 1.0
+        hdrg["CROTA"] = 0.0
+        hdrg["CROTA2"] = 0.0
+        hdrg["NAXIS1"] = long.shape[1]
+        hdrg["NAXIS2"] = long.shape[0]
+
+        xg, yg = coords.world_to_pixel_of_header(self.hdr_small, long, latg)
+        self.data_small = lag_search.resample_to_grid(
+            self.data_small, xg, yg, order=self.order, compute_dtype=self.compute_dtype
+        )
+        self.hdr_small = hdrg
+
+    def _lags_deg(self, wrap=True):
+        """Lag arrays in degrees (reference converts lags to CUNIT units with
+        an ang2pipi wrap; alignment.py:819-837)."""
+        conv = (lambda v: units.ang2pipi(units.to_deg(v, self.unit_lag), "deg")) if wrap \
+            else (lambda v: units.to_deg(v, self.unit_lag))
+        return (
+            conv(self.lag_crval1),
+            conv(self.lag_crval2),
+            conv(self.lag_cdelt1),
+            conv(self.lag_cdelt2),
+            self.lag_crota,  # always degrees
+        )
+
+    def _make_results(self, corr):
+        return AlignmentResults(
+            corr=corr,
+            lag_crval1=self.lag_crval1,
+            lag_crval2=self.lag_crval2,
+            lag_cdelt1=self.lag_cdelt1,
+            lag_cdelt2=self.lag_cdelt2,
+            lag_crota=self.lag_crota,
+            unit_lag=self.unit_lag,
+            image_to_align_path=self.small_fov_to_correct,
+            image_to_align_window=self.small_fov_window,
+            reference_image_path=self.large_fov_known_pointing,
+            reference_image_window=self.large_fov_window,
+        )
+
+    # ------------------------------------------------------------------
+    # alignment entry points
+    # ------------------------------------------------------------------
+    def align_using_helioprojective(
+        self,
+        method: str = "correlation",
+        return_type: str = "AlignmentResults",
+        fov_limits=None,
+        remove_fov_limits=None,
+    ):
+        """Lag search in the helioprojective frame (flagship path;
+        reference call stack SURVEY.md 3.1)."""
+        self.method = method
+        self.coordinate_frame = "final_helioprojective"
+        if self.data_small is None:
+            self._load_pair()
+        self._apply_thresholds()
+        if remove_fov_limits is not None:
+            self._apply_remove_fov(remove_fov_limits)
+        if fov_limits is not None:
+            self._apply_fov_limits(fov_limits)
+        if np.all(np.isnan(self.data_small)):
+            raise ValueError("minimum or maximum value have set all small FOV to nan")
+
+        corr = self._run_projected_search(wrap=True)
+        if return_type == "corr":
+            return corr
+        return self._make_results(corr)
+
+    def align_using_initial_carrington(
+        self, method: str = "correlation", return_type: str = "AlignmentResults"
+    ):
+        """Lag search for inputs already in Carrington (CAR) coordinates
+        (alignment.py:344-399)."""
+        self.method = method
+        self.coordinate_frame = "initial_carrington"
+        if self.data_small is None:
+            self._load_pair(dtype=np.float64)
+        self._apply_thresholds()
+        if np.all(np.isnan(self.data_small)):
+            raise ValueError("minimum or maximum value have set all small FOV to nan")
+        corr = self._run_projected_search(wrap=False)
+        if return_type == "corr":
+            return corr
+        return self._make_results(corr)
+
+    def _run_projected_search(self, wrap: bool):
+        """Shared helioprojective / initial-carrington search body."""
+        small_params = wcs_params_from_header(self.hdr_small)
+        large_params = wcs_params_from_header(self.hdr_large)
+        kind = small_params.kind
+
+        # world coordinates of the comparison grid = the small image's own
+        # grid (submap step, alignment.py:987-1016)
+        lon, lat = coords.header_world_grid(self.hdr_small, wrap=wrap and kind == "tan")
+
+        # ONE-TIME: reference image resampled onto that grid
+        xg, yg = coords.world_to_pixel_of_header(self.hdr_large, lon, lat)
+        ref_img = lag_search.resample_to_grid(
+            self.data_large, xg, yg, order=self.order, compute_dtype=self.compute_dtype
+        )
+
+        l1, l2, l3, l4, l5 = self._lags_deg(wrap=wrap)
+        base = {**small_params.as_dict(), "crota": get_crota(self.hdr_small)}
+        corr5 = lag_search.evaluate_lag_grid(
+            self.data_small,
+            ref_img,
+            lon,
+            lat,
+            base,
+            l1, l2, l3, l4, l5,
+            order=self.order,
+            method=self.method,
+            kind=kind,
+            compute_dtype=self.compute_dtype,
+            batch_size=self.batch_size_lags,
+            mesh=self.mesh,
+        )
+        # helioprojective ignores lag_solar_r: replicate across the 6th axis
+        return np.repeat(corr5[..., np.newaxis], len(self.lag_solar_r), axis=-1)
+
+    def align_using_carrington(
+        self,
+        lonlims=None,
+        latlims=None,
+        size_deg_carrington=None,
+        shape=None,
+        reference_date=None,
+        method: str = "correlation",
+        method_carrington_reprojection: str = "fa",
+        return_type: str = "AlignmentResults",
+    ):
+        """Lag search on a user Carrington lon/lat grid (alignment.py:144-261).
+
+        Only the "fa" reprojection is supported (the "sunpy" variant requires
+        sunpy, which is not a dependency of this framework).
+        """
+        if method_carrington_reprojection != "fa":
+            raise NotImplementedError(
+                "method_carrington_reprojection='sunpy' requires sunpy; "
+                "this framework implements the 'fa' path natively"
+            )
+        self.method = method
+        self.coordinate_frame = "final_carrington"
+        if self.data_small is None:
+            self._load_pair()
+        self._apply_thresholds()
+        if np.all(np.isnan(self.data_small)):
+            raise ValueError("minimum or maximum value have set all small FOV to nan")
+
+        if reference_date is None:
+            if "DATE-AVG" not in self.hdr_large:
+                raise ValueError(
+                    "Either provide a reference date manually or the reference "
+                    "file header must have a DATE-AVG keyword."
+                )
+            self.reference_date = self.hdr_large["DATE-AVG"]
+        else:
+            self.reference_date = reference_date
+
+        if (lonlims is None) and (latlims is None) and (size_deg_carrington is not None):
+            crln = self.hdr_small["CRLN_OBS"]
+            crlt = self.hdr_small["CRLT_OBS"]
+            self.lonlims = [crln - 0.5 * size_deg_carrington[0], crln + 0.5 * size_deg_carrington[0]]
+            self.latlims = [crlt - 0.5 * size_deg_carrington[1], crlt + 0.5 * size_deg_carrington[1]]
+            self.shape = [int(self.hdr_small["NAXIS1"]), int(self.hdr_small["NAXIS2"])]
+        elif (lonlims is not None) and (latlims is not None) and (shape is not None):
+            self.lonlims = list(lonlims)
+            self.latlims = list(latlims)
+            self.shape = list(shape)
+        else:
+            raise ValueError("either set lonlims as None, or not. no in between.")
+        if self.shape[0] * self.shape[1] > 25_000_000:
+            warnings.warn(
+                f"shape parameter is {self.shape}, which is very large. "
+                "Computational time might significantly increase"
+            )
+
+        wave = self.hdr_large.get("WAVELNTH")
+        rate_wave = self.rat_wave.get(str(int(wave))) if wave is not None else None
+
+        l1, l2, l3, l4, l5 = self._lags_deg(wrap=True)
+        corr_parts = []
+        for d_solar_r in self.lag_solar_r:
+            ref_img = carr_engine.reproject_to_carrington(
+                self.data_large,
+                self.hdr_large,
+                self.lonlims,
+                self.latlims,
+                self.shape,
+                d_solar_r=float(d_solar_r),
+                reference_date=self.reference_date,
+                rate_wave=rate_wave,
+                order=self.order,
+                compute_dtype=self.compute_dtype,
+            )
+            corr5 = carr_engine.evaluate_lag_grid_carrington(
+                self.data_small,
+                ref_img,
+                self.hdr_small,
+                self.lonlims,
+                self.latlims,
+                self.shape,
+                l1, l2, l3, l4, l5,
+                d_solar_r=float(d_solar_r),
+                reference_date=self.reference_date,
+                rate_wave=rate_wave,
+                order=self.order,
+                method=self.method,
+                compute_dtype=self.compute_dtype,
+                batch_size=self.batch_size_lags,
+                mesh=self.mesh,
+            )
+            corr_parts.append(corr5)
+        corr = np.stack(corr_parts, axis=-1)
+        if return_type == "corr":
+            return corr
+        return self._make_results(corr)
