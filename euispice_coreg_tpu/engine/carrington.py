@@ -305,7 +305,7 @@ def evaluate_lag_grid_carrington(
         fn = jax.jit(shard_map(
             local_eval, mesh=mesh,
             in_specs=(P("lags"), P(), P(), P(), P()),
-            out_specs=P("lags"), check_rep=False,
+            out_specs=P("lags"),
         ))
         with mesh:
             out = fn(lags_d, small_d, ref_d, geom, base)

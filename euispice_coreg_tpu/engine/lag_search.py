@@ -96,7 +96,7 @@ def _sharded_evaluator(mesh, order, method, kind, batch_size):
         mesh=mesh,
         in_specs=(P("lags"), P(), P(), P(), P(), P()),
         out_specs=P("lags"),
-        check_rep=False,
+
     )
     return jax.jit(sharded)
 
