@@ -1,0 +1,152 @@
+"""Benchmark: 121x121 CRVAL lag-grid alignment of a 2048^2 pair (BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The baseline is the reference algorithm's per-lag CPU cost measured here with
+the same numerics the reference uses (scipy map_coordinates order-2 resample +
+full-frame Pearson on one core), scaled to the reference's documented 20-core
+fan-out (README example, counts_cpu_max=20).  The reference publishes no
+numbers of its own (BASELINE.md), so this measured-equivalent is the honest
+comparison point.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+N_SMALL = 2048
+N_REF = 2048
+GRID = 121
+CPU_BASELINE_PROCS = 20
+CPU_PROBE_LAGS = 3
+
+
+def synthesize_pair():
+    """Deterministic smooth 'sun' pair with a known 8 arcsec shift."""
+    from euispice_coreg_tpu.core.header import pc_from_crota
+    from euispice_coreg_tpu.core import wcs as _wcs
+    from euispice_coreg_tpu.utils import coords
+
+    def scene(lon, lat):
+        out = np.full(lon.shape, 100.0)
+        rng = np.random.default_rng(7)
+        for _ in range(40):
+            cx, cy = rng.uniform(-0.1, 0.1, size=2)
+            w = rng.uniform(0.004, 0.02)
+            a = rng.uniform(0.5, 3.0)
+            out += a * np.exp(-(((lon - cx) ** 2) + ((lat - cy) ** 2)) / (2 * w * w))
+        return out
+
+    cdelt = 0.492 / 3600.0  # HRI pixel, deg
+    pc = pc_from_crota(0.75, cdelt, cdelt)
+    base = {
+        "crval1": 120.0 / 3600.0, "crval2": 80.0 / 3600.0,
+        "crpix1": (N_SMALL + 1) / 2, "crpix2": (N_SMALL + 1) / 2,
+        "cdelt1": cdelt, "cdelt2": cdelt,
+        "pc11": pc[0], "pc12": pc[1], "pc21": pc[2], "pc22": pc[3],
+        "crota": 0.75,
+    }
+    x, y = coords.pixel_grid(N_REF, N_REF)
+    lon, lat = _wcs.tan_pixel_to_world(base, x, y, xp=np)
+    ref_img = scene(lon, lat)
+
+    # render the small image through its TRUE pointing, then hand the engine
+    # a header mispointed by -8 arcsec: the search must find +8
+    true_shift = 8.0 / 3600.0
+    small_img = scene(lon, lat)
+    small_base = dict(base)
+    small_base["crval1"] = base["crval1"] - true_shift
+    return small_img, ref_img, lon, lat, small_base
+
+
+def run_tpu(small_img, ref_img, lon, lat, base):
+    import jax.numpy as jnp
+
+    from euispice_coreg_tpu.engine import lag_search
+    from euispice_coreg_tpu.utils import jaxcfg
+
+    jaxcfg.enable_persistent_compile_cache()
+
+    step = 0.5 / 3600.0
+    lag1 = (np.arange(GRID) - GRID // 2) * step
+    lag2 = (np.arange(GRID) - GRID // 2) * step
+
+    # device-resident image pair (loaded once, like any production pipeline)
+    small_d = jnp.asarray(small_img)
+    ref_d = jnp.asarray(ref_img)
+
+    def run():
+        return lag_search.evaluate_lag_grid(
+            small_d, ref_d, lon, lat, base,
+            lag1, lag2, [0.0], [0.0], [0.0],
+            order=2, method="correlation", kind="tan",
+            compute_dtype="float32", batch_size=16,
+            mesh=None,
+        )
+
+    corr = run()  # compile + warm
+    t0 = time.perf_counter()
+    corr = run()
+    t1 = time.perf_counter()
+    mi = np.unravel_index(np.nanargmax(corr), corr.shape)
+    assert abs(lag1[mi[0]] * 3600.0 - 8.0) < 1.0, f"argmax off: {lag1[mi[0]]*3600}"
+    return t1 - t0, corr
+
+
+def cpu_reference_per_lag(small_img, ref_img, lon, lat, base):
+    """One lag step the reference way: astropy-equivalent WCS (numpy),
+    scipy map_coordinates order=2, numba-equivalent Pearson (numpy)."""
+    from scipy.ndimage import map_coordinates
+
+    from euispice_coreg_tpu.core import wcs as _wcs
+
+    times = []
+    for k in range(CPU_PROBE_LAGS):
+        p = dict(base)
+        t0 = time.perf_counter()
+        p["crval1"] = base["crval1"] + k * 0.5 / 3600.0
+        x, y = _wcs.tan_world_to_pixel(p, lon, lat, xp=np)
+        out = np.empty(x.shape)
+        coords_arr = np.stack((y.ravel(), x.ravel()), axis=0)
+        map_coordinates(small_img, coords_arr, order=2, mode="constant",
+                        cval=np.nan, output=out.ravel(), prefilter=False)
+        mask = np.isfinite(ref_img.ravel()) & np.isfinite(out.ravel())
+        a = ref_img.ravel()[mask]
+        b = out.ravel()[mask]
+        ca, cb = a - a.mean(), b - b.mean()
+        _ = np.sum(ca * cb) / np.sqrt(np.sum(ca * ca) * np.sum(cb * cb))
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
+def main():
+    small_img, ref_img, lon, lat, base = synthesize_pair()
+    small32 = small_img.astype(np.float32)
+    ref32 = ref_img.astype(np.float32)
+    lon32 = lon.astype(np.float32)
+    lat32 = lat.astype(np.float32)
+
+    t_tpu, _ = run_tpu(small32, ref32, lon32, lat32, base)
+    n_lags = GRID * GRID
+    evals_per_sec = n_lags / t_tpu
+
+    t_cpu_lag = cpu_reference_per_lag(small_img, ref_img, lon, lat, base)
+    t_cpu_total = t_cpu_lag * n_lags / CPU_BASELINE_PROCS
+    speedup = t_cpu_total / t_tpu
+
+    print(json.dumps({
+        "metric": "lag-grid correlation evals/sec (2048^2 pair, 121x121 crval grid)",
+        "value": round(evals_per_sec, 2),
+        "unit": "evals/s",
+        "vs_baseline": round(speedup, 2),
+        "wall_clock_s": round(t_tpu, 4),
+        "cpu_baseline_s_20core_est": round(t_cpu_total, 2),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,273 @@
+"""FFT correlation-surface fast path for CRVAL-only lag grids.
+
+The key observation (not present in the reference, which brute-forces one
+reprojection per lag; ``alignment.py:509-549``): when only CRVAL1/CRVAL2 are
+lagged, the per-lag resampling map is the *identity plus a per-lag constant
+pixel displacement* ``c_l`` — the comparison grid IS the small image's own
+grid (the submap step sets hdr_large := hdr_small), and shifting the TAN/CAR
+reference point moves every sample coordinate by the same vector up to a
+curvature term that is orders of magnitude below a millipixel over solar
+fields of view (checked numerically at runtime; the engine falls back to the
+general gather path if the bound is exceeded).
+
+With ``c_l = dint + dfrac``, B-spline sampling of the small image becomes a
+fixed tap stencil with per-lag constant weights:
+
+    s_l(p) = sum_t w_t(dfrac) small[p + dint + t]
+
+and every sum in the masked Pearson r factorizes over cross-correlation
+surfaces evaluated at integer offsets ``dint``:
+
+    n(d)   = XC(M, A)            Sb(d)  = sum_t   w_t      XC(M,  A.small_t)
+    Sa(d)  = XC(M.a, A)          Sab(d) = sum_t   w_t      XC(M.a, A.small_t)
+    Saa(d) = XC(M.a^2, A)        Sbb(d) = sum_t,u w_t w_u  XC(M,  A.small_t.small_u)
+
+where ``M`` is the finite mask of the reference image, ``A`` the tap-validity
+mask of the small image (erosion of its finite mask by the stencil footprint)
+and ``small_t`` the small image shifted by tap ``t``.  All surfaces are
+computed with zero-padded real FFTs on the MXU — O(taps^2) FFTs total instead
+of O(n_lags) serial gathers; the TPU hardware gather unit (~7 cycles/element)
+never touches the hot path.
+
+Numerics: both images are globally mean-centered before building the fields
+(masked Pearson is exactly invariant under constant shifts), which removes
+the catastrophic cancellation of ``Sab - Sa.Sb/n`` in float32.
+
+Boundary semantics: tap validity requires all taps inside the image (no
+mirror extension).  This differs from the general engine only on the 1-2 px
+source border (scipy's mirror rule, see core/resample.py), a <=0.2% change in
+the pixel count that perturbs correlations at the 1e-5 level; tests assert
+argmax parity with the general engine.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import wcs
+from . import lag_search
+
+MAX_DISPLACEMENT_SPREAD_PX = 0.05  # fall back if curvature exceeds this
+
+
+def _fft_size(n: int) -> int:
+    """Next 256-multiple (rich in small factors for the TPU FFT)."""
+    return ((n + 255) // 256) * 256
+
+
+def displacement_per_lag(base: dict, lags_deg: np.ndarray, lon, lat, kind: str):
+    """Per-lag pixel displacement c_l at probe points.
+
+    Returns (c, spread): c (L, 2) displacement at the grid center, spread =
+    max over probe points and lags of |c(probe) - c(center)|.
+    """
+    h, w = lon.shape
+    probes = [(h // 2, w // 2), (0, 0), (0, w - 1), (h - 1, 0), (h - 1, w - 1)]
+    pl = np.array([lon[i, j] for i, j in probes], dtype=np.float64)
+    pb = np.array([lat[i, j] for i, j in probes], dtype=np.float64)
+    px0 = np.array([j for _, j in probes], dtype=np.float64)
+    py0 = np.array([i for i, _ in probes], dtype=np.float64)
+
+    # batch all lags at once: WCS params broadcast as (L, 1) against (probes,)
+    p = {k: np.float64(v) for k, v in base.items()}
+    p["crval1"] = (base["crval1"] + lags_deg[:, 0])[:, None]
+    p["crval2"] = (base["crval2"] + lags_deg[:, 1])[:, None]
+    bx, by = wcs.world_to_pixel(p, pl[None, :], pb[None, :], kind=kind, xp=np)
+    cs = np.stack([bx - px0[None, :], by - py0[None, :]], axis=-1)  # (L, 5, 2)
+    center = cs[:, 0, :]
+    spread = np.max(np.abs(cs - center[:, None, :])) if cs.size else 0.0
+    return center, float(spread)
+
+
+def fast_path_applicable(l3, l4, l5, order: int) -> bool:
+    """Static preconditions: crval-only grid, even spline order."""
+    return (
+        len(l3) == 1 and len(l4) == 1 and len(l5) == 1
+        and float(l3[0]) == 0.0 and float(l4[0]) == 0.0 and float(l5[0]) == 0.0
+        and order in (0, 2)
+    )
+
+
+def _tap_offsets(order: int):
+    if order == 0:
+        return [0]
+    return [-1, 0, 1]  # order 2
+
+
+@partial(jax.jit, static_argnames=("order", "m"))
+def _build_surfaces(small, ref, order, m):
+    """All cross-correlation surfaces, shape (n_pairs, m, m).
+
+    Returned layout (order 2, taps T = 3 offsets/axis, nt = 9, npair = 45):
+      [0]                 XC(M,   A)
+      [1]                 XC(M a, A)
+      [2]                 XC(M a2,A)
+      [3 : 3+nt]          XC(M,   A small_t)
+      [3+nt : 3+2nt]      XC(M a, A small_t)
+      [3+2nt : 3+2nt+np]  XC(M,   A small_t small_u), (t<=u upper triangle)
+    """
+    taps = _tap_offsets(order)
+    nt = len(taps) ** 2
+
+    mask_ref = jnp.isfinite(ref)
+    a = jnp.where(mask_ref, ref, 0.0)
+    # global centering for conditioning (exact: Pearson shift-invariance)
+    amean = jnp.sum(a) / jnp.maximum(jnp.sum(mask_ref), 1)
+    a = jnp.where(mask_ref, ref - amean, 0.0)
+    mf = mask_ref.astype(ref.dtype)
+
+    sfin = jnp.isfinite(small)
+    s0 = jnp.where(sfin, small, 0.0)
+    smean = jnp.sum(s0) / jnp.maximum(jnp.sum(sfin), 1)
+    s = jnp.where(sfin, small - smean, 0.0)
+
+    # tap-validity mask A: all stencil taps finite and inside the image
+    valid = sfin
+    h, w = small.shape
+    A = jnp.ones_like(valid)
+    for ty in taps:
+        for tx in taps:
+            A = A & _shift2(valid, ty, tx, fill=False)
+    Af = A.astype(ref.dtype)
+
+    # shifted small fields
+    s_t = []
+    for ty in taps:
+        for tx in taps:
+            s_t.append(_shift2(s, ty, tx, fill=0.0))
+
+    g_fields = jnp.stack([mf, mf * a, mf * a * a])  # (3, h, w)
+    r_fields = [Af]
+    for st in s_t:
+        r_fields.append(Af * st)
+    for i in range(nt):
+        for j in range(i, nt):
+            r_fields.append(Af * s_t[i] * s_t[j])
+    r_fields = jnp.stack(r_fields)  # (1 + nt + nt(nt+1)/2, h, w)
+
+    G = jnp.fft.rfft2(g_fields, s=(m, m))
+    R = jnp.fft.rfft2(r_fields, s=(m, m))
+
+    npairs = nt * (nt + 1) // 2
+    prods = jnp.concatenate([
+        jnp.conj(G[0:1]) * R[0:1],            # n
+        jnp.conj(G[1:2]) * R[0:1],            # Sa
+        jnp.conj(G[2:3]) * R[0:1],            # Saa
+        jnp.conj(G[0:1]) * R[1 : 1 + nt],     # Sb terms
+        jnp.conj(G[1:2]) * R[1 : 1 + nt],     # Sab terms
+        jnp.conj(G[0:1]) * R[1 + nt : 1 + nt + npairs],  # Sbb terms
+    ])
+    return jnp.fft.irfft2(prods, s=(m, m))
+
+
+@partial(jax.jit, static_argnames=("order", "m"))
+def _surfaces_at(small, ref, iy, ix, order, m):
+    """Surface values at the per-lag integer offsets: (n_surf, L) — only this
+    small array ever leaves the device."""
+    surfaces = _build_surfaces(small, ref, order, m)
+    return surfaces[:, iy, ix]
+
+
+def _shift2(x, ty, tx, fill):
+    """x shifted so that out[q] = x[q + (ty, tx)], constant fill."""
+    out = jnp.roll(x, (-ty, -tx), axis=(0, 1))
+    h, w = x.shape
+    if ty > 0:
+        out = out.at[h - ty :, :].set(fill)
+    elif ty < 0:
+        out = out.at[: -ty, :].set(fill)
+    if tx > 0:
+        out = out.at[:, w - tx :].set(fill)
+    elif tx < 0:
+        out = out.at[:, : -tx].set(fill)
+    return out
+
+
+def evaluate_crval_grid_fast(
+    small_img,
+    ref_img,
+    lon,
+    lat,
+    base_params: dict,
+    lag_crval1_deg,
+    lag_crval2_deg,
+    *,
+    order: int = 2,
+    kind: str = "tan",
+    compute_dtype=jnp.float32,
+):
+    """Masked-Pearson scores for a crval1 x crval2 lag grid.
+
+    Returns (n1, n2) float64 array, or None if the constant-displacement
+    bound is violated (caller falls back to the general engine).
+    """
+    l1 = np.asarray(lag_crval1_deg, dtype=np.float64)
+    l2 = np.asarray(lag_crval2_deg, dtype=np.float64)
+    g1, g2 = np.meshgrid(l1, l2, indexing="ij")
+    lags = np.stack([g1.ravel(), g2.ravel()], axis=-1)
+
+    c, spread = displacement_per_lag(base_params, lags, lon, lat, kind)
+    if spread > MAX_DISPLACEMENT_SPREAD_PX:
+        return None
+
+    # stencil base convention must match the resampler: k = floor(c + 0.5)
+    dint = np.floor(c + 0.5).astype(np.int64)
+    dfrac = c - dint  # in [-0.5, 0.5)
+
+    h, w = np.shape(small_img)
+    if np.max(np.abs(dint)) + 2 >= min(h, w) // 4:
+        return None  # shifts too large relative to the frame
+
+    m = _fft_size(max(h, w) + int(np.max(np.abs(dint))) + 4)
+
+    iy = jnp.asarray(np.mod(dint[:, 1], m))
+    ix = jnp.asarray(np.mod(dint[:, 0], m))
+    small_d = jnp.asarray(small_img, dtype=compute_dtype)
+    ref_d = jnp.asarray(ref_img, dtype=compute_dtype)
+    S = np.asarray(_surfaces_at(small_d, ref_d, iy, ix, order, m),
+                   dtype=np.float64)
+
+    taps = _tap_offsets(order)
+    ntap = len(taps)
+    nt = ntap * ntap
+    npairs = nt * (nt + 1) // 2
+
+    # per-lag separable tap weights from the fractional displacement
+    # (host numpy: frac in [-0.5, 0.5), stencil base floor(q + frac + 0.5) == q,
+    # same B-spline weights as core/resample._taps_and_weights)
+    def weights_1d(frac):
+        t = np.asarray(frac, dtype=np.float64)
+        if order == 0:
+            return np.ones((len(t), 1))
+        return np.stack([
+            0.5 * (0.5 - t) ** 2,
+            0.75 - t * t,
+            0.5 * (0.5 + t) ** 2,
+        ], axis=-1)
+
+    wx = weights_1d(dfrac[:, 0])  # (L, ntap)
+    wy = weights_1d(dfrac[:, 1])  # (L, ntap)
+    w2 = (wy[:, :, None] * wx[:, None, :]).reshape(len(lags), nt)  # (L, nt)
+
+    n = S[0]
+    Sa = S[1]
+    Saa = S[2]
+    Sb = np.einsum("lt,tl->l", w2, S[3 : 3 + nt])
+    Sab = np.einsum("lt,tl->l", w2, S[3 + nt : 3 + 2 * nt])
+
+    pair_w = np.zeros((len(lags), npairs))
+    k = 0
+    for i in range(nt):
+        for j in range(i, nt):
+            pair_w[:, k] = w2[:, i] * w2[:, j] * (1.0 if i == j else 2.0)
+            k += 1
+    Sbb = np.einsum("lp,pl->l", pair_w, S[3 + 2 * nt : 3 + 2 * nt + npairs])
+
+    with np.errstate(invalid="ignore", divide="ignore"):
+        num = Sab - Sa * Sb / n
+        den = np.sqrt((Saa - Sa * Sa / n) * (Sbb - Sb * Sb / n))
+        r = num / den
+    return r.reshape(len(l1), len(l2))

@@ -129,11 +129,18 @@ def evaluate_lag_grid(
     compute_dtype=jnp.float32,
     batch_size: int = 8,
     mesh: Mesh | None = None,
+    allow_fast: bool = True,
 ) -> np.ndarray:
     """Score the full 5-D lag hypercube; returns shape
     (n_crval1, n_crval2, n_cdelt1, n_cdelt2, n_crota) as float64 numpy.
 
     All lag arrays and ``base_params`` are in DEGREES.
+
+    When the grid lags only CRVAL1/CRVAL2 (the dominant use and the headline
+    benchmark), the FFT correlation-surface fast path scores every lag from a
+    fixed set of cross-correlation surfaces instead of one resample per lag
+    (see engine/fast_corr.py); it falls back to the general gather engine
+    whenever its exactness preconditions fail.
     """
     l1 = np.asarray(lag_crval1, dtype=np.float64)
     l2 = np.asarray(lag_crval2, dtype=np.float64)
@@ -141,6 +148,17 @@ def evaluate_lag_grid(
     l4 = np.asarray(lag_cdelt2, dtype=np.float64)
     l5 = np.asarray(lag_crota, dtype=np.float64)
     shape = (len(l1), len(l2), len(l3), len(l4), len(l5))
+
+    if allow_fast and method == "correlation":
+        from . import fast_corr
+
+        if fast_corr.fast_path_applicable(l3, l4, l5, order):
+            fast = fast_corr.evaluate_crval_grid_fast(
+                small_img, ref_img, lon, lat, base_params, l1, l2,
+                order=order, kind=kind, compute_dtype=compute_dtype,
+            )
+            if fast is not None:
+                return fast.reshape(shape)
 
     grids = np.meshgrid(l1, l2, l3, l4, l5, indexing="ij")
     lags = np.stack([g.ravel() for g in grids], axis=-1)  # (L, 5)

@@ -1,0 +1,102 @@
+"""FFT fast-path vs general gather engine parity."""
+import numpy as np
+import pytest
+
+import fixtures as fx
+from euispice_coreg_tpu.core.header import get_crota, wcs_params_from_header
+from euispice_coreg_tpu.engine import fast_corr, lag_search
+from euispice_coreg_tpu.utils import coords
+
+
+def build_inputs(nan_border=True, crota=0.75, seed=0):
+    """Self-aligned pair on the small grid (identity base map) plus a ref
+    image resampled from a larger frame — the engine's actual geometry."""
+    dl, hl, ds, hs = fx.make_helioprojective_pair(
+        true_shift_arcsec=(8.0, -4.0), small_crota=crota, seed=seed
+    )
+    if nan_border:
+        # NaN out the source border so both engines share identical boundary
+        # semantics (fast path has no mirror extension; see fast_corr.py)
+        ds[:2, :] = np.nan
+        ds[-2:, :] = np.nan
+        ds[:, :2] = np.nan
+        ds[:, -2:] = np.nan
+    lon, lat = coords.header_world_grid(hs)
+    xg, yg = coords.world_to_pixel_of_header(hl, lon, lat)
+    ref_img = lag_search.resample_to_grid(dl, xg, yg, order=2,
+                                          compute_dtype="float64")
+    base = {**wcs_params_from_header(hs).as_dict(), "crota": get_crota(hs)}
+    return ds, ref_img, lon, lat, base
+
+
+@pytest.mark.parametrize("order", [0, 2])
+def test_fast_matches_general_exactly_with_nan_border(order):
+    ds, ref_img, lon, lat, base = build_inputs(nan_border=True)
+    l1 = np.arange(-2, 19, 2.0) / 3600.0
+    l2 = np.arange(-14, 7, 2.0) / 3600.0
+
+    general = lag_search.evaluate_lag_grid(
+        ds, ref_img, lon, lat, base, l1, l2, [0.0], [0.0], [0.0],
+        order=order, compute_dtype="float64", allow_fast=False,
+    )[:, :, 0, 0, 0]
+    fast = fast_corr.evaluate_crval_grid_fast(
+        ds, ref_img, lon, lat, base, l1, l2, order=order,
+        compute_dtype="float64",
+    )
+    assert fast is not None
+    np.testing.assert_allclose(fast, general, rtol=1e-8, atol=1e-10)
+
+
+def test_fast_matches_general_without_nan_border():
+    """Without the NaN border the engines differ only in the 2-px boundary
+    treatment: values agree to ~1e-4, argmax exactly."""
+    ds, ref_img, lon, lat, base = build_inputs(nan_border=False)
+    l1 = np.arange(-2, 19, 2.0) / 3600.0
+    l2 = np.arange(-14, 7, 2.0) / 3600.0
+    general = lag_search.evaluate_lag_grid(
+        ds, ref_img, lon, lat, base, l1, l2, [0.0], [0.0], [0.0],
+        order=2, compute_dtype="float64", allow_fast=False,
+    )[:, :, 0, 0, 0]
+    fast = fast_corr.evaluate_crval_grid_fast(
+        ds, ref_img, lon, lat, base, l1, l2, order=2, compute_dtype="float64",
+    )
+    np.testing.assert_allclose(fast, general, atol=2e-3)
+    assert np.unravel_index(np.nanargmax(fast), fast.shape) == \
+        np.unravel_index(np.nanargmax(general), general.shape)
+
+
+def test_fast_path_gating():
+    assert fast_corr.fast_path_applicable([0.0], [0.0], [0.0], 2)
+    assert not fast_corr.fast_path_applicable([0.0, 1e-5], [0.0], [0.0], 2)
+    assert not fast_corr.fast_path_applicable([0.0], [0.0], [0.5], 2)
+    assert not fast_corr.fast_path_applicable([0.0], [0.0], [0.0], 1)
+
+
+def test_engine_auto_uses_fast_and_matches(tmp_path):
+    """evaluate_lag_grid with allow_fast=True must agree with the explicit
+    general path on argmax for a plain crval grid."""
+    ds, ref_img, lon, lat, base = build_inputs(nan_border=True)
+    l1 = np.arange(-2, 19, 2.0) / 3600.0
+    l2 = np.arange(-14, 7, 2.0) / 3600.0
+    auto = lag_search.evaluate_lag_grid(
+        ds, ref_img, lon, lat, base, l1, l2, [0.0], [0.0], [0.0],
+        order=2, compute_dtype="float64", allow_fast=True,
+    )
+    general = lag_search.evaluate_lag_grid(
+        ds, ref_img, lon, lat, base, l1, l2, [0.0], [0.0], [0.0],
+        order=2, compute_dtype="float64", allow_fast=False,
+    )
+    np.testing.assert_allclose(auto, general, rtol=1e-8, atol=1e-10)
+
+
+def test_fast_path_float32_argmax():
+    ds, ref_img, lon, lat, base = build_inputs(nan_border=True)
+    l1 = np.arange(-2, 19, 2.0) / 3600.0
+    l2 = np.arange(-14, 7, 2.0) / 3600.0
+    f64 = fast_corr.evaluate_crval_grid_fast(
+        ds, ref_img, lon, lat, base, l1, l2, order=2, compute_dtype="float64")
+    f32 = fast_corr.evaluate_crval_grid_fast(
+        ds, ref_img, lon, lat, base, l1, l2, order=2, compute_dtype="float32")
+    assert np.unravel_index(np.nanargmax(f32), f32.shape) == \
+        np.unravel_index(np.nanargmax(f64), f64.shape)
+    np.testing.assert_allclose(f32, f64, atol=5e-3)
