@@ -1,0 +1,339 @@
+"""SPICE spectrometer alignment: L2/L3 cube preparation + lag search.
+
+Behavioural port of ``AlignmentSpice``
+(``/root/reference/euispice_coreg/hdrshift/alignment_spice.py:13-355``):
+
+* L2 (t, lambda, y, x) cubes are flattened to a 2-D intensity map by summing
+  over a wavelength window, with the dumbbell rows NaN'd from the detector
+  geometry (``AlignSpiceUtil.vertical_edges_limits``, Util.py:450-455),
+* the 4-D WCS is reduced to the spatial pair with the time->x coupling
+  zeroed (alignment_spice.py:255-261),
+* optionally the raster-scan solar rotation is folded into CDELT1
+  (``_correct_solar_rotation``, alignment_spice.py:223-248),
+* then the standard TPU lag-search runs (helioprojective or Carrington).
+
+The L2/L3 level is inferred from the file path like the reference
+(alignment_spice.py:95-98) with a shape-based fallback when neither substring
+is present.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..core.header import Header, ensure_pcij
+from ..core.ndwcs import NDWCS
+from ..utils import units
+from .alignment import Alignment
+
+
+class SpiceUtil:
+    """Detector-geometry helpers (ports of AlignSpiceUtil, Util.py:428-455)."""
+
+    @staticmethod
+    def slit_pxl(header: Header):
+        """First and last detector row of the slit."""
+        ybin = header["NBIN2"]
+        h_detector = 1024 / ybin
+        det = header["DETECTOR"]
+        if det == "SW":
+            h_slit = 600 / ybin
+        elif det == "LW":
+            h_slit = 626 / ybin
+        else:
+            raise ValueError(f"unknown detector: {det}")
+        slit_beg = (h_detector - h_slit) / 2
+        slit_end = h_detector - slit_beg
+        slit_beg = slit_beg - header["PXBEG2"] / ybin + 1
+        slit_end = slit_end - header["PXBEG2"] / ybin + 1
+        return int(np.ceil(slit_beg)), int(np.floor(slit_end))
+
+    @staticmethod
+    def vertical_edges_limits(header: Header):
+        iymin, iymax = SpiceUtil.slit_pxl(header)
+        iymin += int(20 / header["NBIN2"])
+        iymax -= int(20 / header["NBIN2"])
+        return iymin, iymax
+
+
+def spatial_header_from_spice_l2(hdr4: Header, naxis1: int, naxis2: int) -> Header:
+    """2-D spatial header from a SPICE L2 4-D header: drop the spectral and
+    time axes after zeroing the time->x PC coupling
+    (alignment_spice.py:255-261)."""
+    w = NDWCS.from_header(hdr4)
+    w_xyt = w.dropaxis(2)       # drop spectral (FITS axis 3)
+    w_xyt.set_pc(2, 0, 0.0)     # decouple time from x
+    w_xy = w_xyt.dropaxis(2)    # drop time
+    hdr2 = w_xy.to_header()
+    hdr2["NAXIS1"] = naxis1
+    hdr2["NAXIS2"] = naxis2
+    return hdr2
+
+
+class AlignmentSpice(Alignment):
+    def __init__(
+        self,
+        large_fov_known_pointing: str,
+        small_fov_to_correct: str,
+        lag_crval1=None,
+        lag_crval2=None,
+        lag_cdelt1=None,
+        lag_cdelt2=None,
+        lag_crota=None,
+        lag_solar_r=None,
+        large_fov_window=-1,
+        small_fov_window=-1,
+        parallelism: bool = False,
+        counts_cpu_max: int = 40,
+        display_progress_bar: bool = False,
+        path_save_figure: str | None = None,
+        wavelength_interval_to_sum="all",
+        sub_fov_window="all",
+        small_fov_value_min=None,
+        small_fov_value_max=None,
+        unit_lag: str = "arcsec",
+        **kwargs,
+    ):
+        """``wavelength_interval_to_sum``: "all" or [min, max] in Angstrom
+        (the reference takes astropy Quantities; plain floats here).
+        ``sub_fov_window``: "all" or [lon_min, lon_max, lat_min, lat_max] in
+        arcsec."""
+        super().__init__(
+            large_fov_known_pointing=large_fov_known_pointing,
+            small_fov_to_correct=small_fov_to_correct,
+            lag_crval1=lag_crval1,
+            lag_crval2=lag_crval2,
+            lag_cdelt1=lag_cdelt1,
+            lag_cdelt2=lag_cdelt2,
+            lag_crota=lag_crota,
+            lag_solar_r=lag_solar_r,
+            parallelism=parallelism,
+            counts_cpu_max=counts_cpu_max,
+            display_progress_bar=display_progress_bar,
+            large_fov_window=large_fov_window,
+            small_fov_window=small_fov_window,
+            path_save_figure=path_save_figure,
+            small_fov_value_min=small_fov_value_min,
+            small_fov_value_max=small_fov_value_max,
+            unit_lag=unit_lag,
+            **kwargs,
+        )
+        self.wavelength_interval_to_sum = wavelength_interval_to_sum
+        self.sub_fov_window = sub_fov_window
+        self.extend_pixel_size = False
+        self.cut_from_center = None
+
+    # ------------------------------------------------------------------
+    def _infer_level(self) -> int:
+        path = str(self.small_fov_to_correct)
+        if "L2" in path:
+            return 2
+        if "L3" in path:
+            return 3
+        return 2
+
+    def _extract_imager_data_header(self):
+        from ..io import fits
+
+        hdul = fits.open(self.large_fov_known_pointing)
+        hdu = hdul[self.large_fov_window]
+        self.data_large = np.asarray(hdu.data, dtype=np.float64)
+        self.hdr_large = hdu.header.copy()
+        ensure_pcij(self.hdr_large, self.force_crota_0)
+
+    def _extract_spice_data_header(self, level: int, coeff: int | None = None):
+        from ..io import fits
+
+        hdul = fits.open(self.small_fov_to_correct)
+        hdu = hdul[self.small_fov_window]
+        hdr_orig = hdu.header
+        dt = hdr_orig.get("PC4_1", 0.0)
+
+        if level == 2:
+            self._prepare_spice_from_l2(hdu)
+        elif level == 3:
+            self._prepare_spice_from_l3(hdu, coeff)
+        else:
+            raise ValueError("level must be 2 or 3")
+
+        for key in ("SOLAR_B0", "RSUN_REF", "DSUN_OBS", "CROTA"):
+            if key in hdr_orig:
+                self.hdr_small[key] = hdr_orig[key]
+        for key in ("CRLN_OBS", "CRLT_OBS", "DATE-OBS", "DATE-AVG", "DATE-BEG"):
+            if key in hdr_orig and key not in self.hdr_small:
+                self.hdr_small[key] = hdr_orig[key]
+        ensure_pcij(self.hdr_small, force_crota_0=True)
+
+        if self.extend_pixel_size:
+            self._correct_solar_rotation(dt)
+
+    def _prepare_spice_from_l2(self, hdu):
+        """L2 (t, lambda, y, x) -> 2-D intensity map
+        (alignment_spice.py:250-323)."""
+        data = np.asarray(hdu.data, dtype=np.float64)
+        hdr = hdu.header
+        ymin, ymax = SpiceUtil.vertical_edges_limits(hdr)
+
+        data = data.copy()
+        data[:, :, :ymin, :] = np.nan
+        data[:, :, ymax:, :] = np.nan
+
+        interval = self.wavelength_interval_to_sum
+        if isinstance(interval, str) and interval == "all":
+            self.data_small = np.nansum(data[0], axis=0)
+        elif isinstance(interval, (list, tuple)):
+            # wavelength world values of the spectral axis (FITS axis 3)
+            w = NDWCS.from_header(hdr)
+            k = np.arange(data.shape[1], dtype=np.float64)
+            ispec = 2  # FITS axis 3, 0-based
+            wave = (w.crval[ispec]
+                    + w.cdelt[ispec] * w.pc[ispec, ispec] * (k + 1 - w.crpix[ispec]))
+            # interval given in Angstrom; spectral CUNIT usually nm
+            cunit = w.cunit[ispec].strip().lower()
+            to_angstrom = {"nm": 10.0, "angstrom": 1.0, "m": 1e10}.get(cunit, 10.0)
+            wave_ang = wave * to_angstrom
+            sel = (wave_ang >= interval[0]) & (wave_ang <= interval[1])
+            self.data_small = np.nansum(data[0, sel], axis=0)
+        else:
+            raise ValueError(
+                "wavelength_interval_to_sum must be [wave_min, wave_max] "
+                "(Angstrom) or 'all'"
+            )
+        self.data_small[:ymin, :] = np.nan
+        self.data_small[ymax:, :] = np.nan
+
+        if self.cut_from_center is not None:
+            xlen = self.cut_from_center
+            xmid = self.data_small.shape[1] // 2
+            self.data_small[:, : (xmid - xlen // 2 - 1)] = np.nan
+            self.data_small[:, (xmid + xlen // 2):] = np.nan
+
+        self.hdr_small = spatial_header_from_spice_l2(
+            hdr, self.data_small.shape[1], self.data_small.shape[0]
+        )
+
+        if not (isinstance(self.sub_fov_window, str) and self.sub_fov_window == "all"):
+            from ..utils import coords
+
+            lon, lat = coords.header_world_grid(self.hdr_small)
+            win = [units.to_deg(v, "arcsec") for v in self.sub_fov_window]
+            keep = ((lon >= win[0]) & (lon <= win[1])
+                    & (lat >= win[2]) & (lat <= win[3]))
+            self.data_small[~keep] = np.nan
+
+    def _prepare_spice_from_l3(self, hdu, coeff: int | None):
+        """L3 fitted-coefficient cube -> 2-D map (alignment_spice.py:340-355).
+
+        The coefficient axis is selected on the leading numpy axis like the
+        reference; the WCS is reduced to the spatial pair.
+        """
+        data = np.asarray(hdu.data, dtype=np.float64)
+        hdr = hdu.header
+        if coeff is None:
+            coeff = 0
+        self.data_small = data[coeff].copy() if data.ndim == 3 else data[coeff, 0].copy()
+        ymin, ymax = SpiceUtil.vertical_edges_limits(hdr)
+        self.data_small[:ymin, :] = np.nan
+        self.data_small[ymax:, :] = np.nan
+
+        w = NDWCS.from_header(hdr)
+        # drop every axis that is not the celestial pair, zeroing couplings
+        pair = w.celestial_pair()
+        drop = [i for i in range(w.n) if i not in pair]
+        for d in sorted(drop, reverse=True):
+            for j in range(w.n):
+                if j != d:
+                    w.set_pc(d, j, 0.0)
+                    w.set_pc(j, d, 0.0)
+            w = w.dropaxis(d)
+        self.hdr_small = w.to_header()
+        self.hdr_small["NAXIS1"] = self.data_small.shape[1]
+        self.hdr_small["NAXIS2"] = self.data_small.shape[0]
+
+    # ------------------------------------------------------------------
+    def _correct_solar_rotation(self, dt):
+        """Stretch CDELT1 for raster-scan solar rotation
+        (alignment_spice.py:223-248): each raster column is exposed dt
+        seconds after the previous, during which the scene rotates."""
+        from ..engine import carrington as carr
+
+        b0 = np.deg2rad(self.hdr_small["SOLAR_B0"])
+        band = self.hdr_large["WAVELNTH"]
+        if band == 174:
+            band = 171
+        omega_car = np.deg2rad(360 / 25.38 / 86400)  # rad/s
+        coeffs = carr.DIFF_ROT_COEFFS.get(str(band), carr.DIFF_ROT_COEFFS["195"])
+        a_car = 360 / 25.38
+        corr_deg_day = (coeffs[0] - a_car + coeffs[1] * np.sin(b0) ** 2
+                        + coeffs[2] * np.sin(b0) ** 4)
+        omega = omega_car + np.deg2rad(corr_deg_day / 86400)  # rad/s
+
+        rsun = self.hdr_small["RSUN_REF"]
+        dsun = self.hdr_small["DSUN_OBS"]
+        phi_rot = 1.004 * omega * rsun / (dsun - 1.004 * rsun)  # rad/s
+        phi_rot = np.rad2deg(phi_rot) * 3600  # arcsec/s
+
+        alpha = units.to_deg(self.hdr_small["CRVAL1"],
+                             self.hdr_small.get("CUNIT1", "deg")) * np.pi / 180.0
+        phi = np.arcsin(((dsun - 1.004 * rsun) / (1.004 * rsun)) * np.sin(alpha))
+
+        cunit1 = self.hdr_small.get("CUNIT1", "deg")
+        dtx_old = units.convert(self.hdr_small["CDELT1"], cunit1, "arcsec")
+        dtx_new = dtx_old - dt * phi_rot * np.cos(phi)
+        self.hdr_small["CDELT1"] = units.convert(dtx_new, "arcsec", cunit1)
+
+    # ------------------------------------------------------------------
+    def align_using_helioprojective(
+        self,
+        method: str = "correlation",
+        extend_pixel_size: bool = False,
+        cut_from_center=None,
+        return_type: str = "AlignmentResults",
+        coefficient_l3: int | None = None,
+        fov_limits=None,
+        remove_fov_limits=None,
+    ):
+        self.extend_pixel_size = extend_pixel_size
+        self.cut_from_center = cut_from_center
+        self._extract_imager_data_header()
+        self._extract_spice_data_header(level=self._infer_level(), coeff=coefficient_l3)
+        return super().align_using_helioprojective(
+            method=method,
+            return_type=return_type,
+            fov_limits=fov_limits,
+            remove_fov_limits=remove_fov_limits,
+        )
+
+    def align_using_carrington(
+        self,
+        lonlims=None,
+        latlims=None,
+        size_deg_carrington=None,
+        shape=None,
+        reference_date=None,
+        method: str = "correlation",
+        return_type: str = "AlignmentResults",
+        coefficient_l3: int | None = None,
+        method_carrington_reprojection: str = "fa",
+    ):
+        self.extend_pixel_size = False
+        self._extract_imager_data_header()
+        self._extract_spice_data_header(level=self._infer_level(), coeff=coefficient_l3)
+        # the reference normalizes the SPICE header to arcsec before the
+        # Carrington search (alignment_spice.py:159-168)
+        for ax in (1, 2):
+            cunit = self.hdr_small.get(f"CUNIT{ax}", "deg")
+            self.hdr_small[f"CRVAL{ax}"] = units.ang2pipi(
+                units.convert(self.hdr_small[f"CRVAL{ax}"], cunit, "arcsec"), "arcsec")
+            self.hdr_small[f"CDELT{ax}"] = units.convert(
+                self.hdr_small[f"CDELT{ax}"], cunit, "arcsec")
+            self.hdr_small[f"CUNIT{ax}"] = "arcsec"
+        return super().align_using_carrington(
+            lonlims=lonlims,
+            latlims=latlims,
+            size_deg_carrington=size_deg_carrington,
+            shape=shape,
+            reference_date=reference_date,
+            method=method,
+            method_carrington_reprojection=method_carrington_reprojection,
+            return_type=return_type,
+        )

@@ -63,6 +63,7 @@ def make_header(
         "DATE-OBS": "2022-03-17T09:50:45.281",
         "DATE-AVG": "2022-03-17T09:50:50.281",
         "WAVELNTH": 174,
+        "DETECTOR": "FSI",
         "BUNIT": "DN/s",
     })
     if extra:
@@ -110,6 +111,84 @@ def write_pair_fits(tmp_path, data_large, hdr_large, data_small, hdr_small):
     fits.write(p_large, [fits.PrimaryHDU(data=data_large.astype(np.float32), header=hdr_large)])
     fits.write(p_small, [fits.PrimaryHDU(data=data_small.astype(np.float32), header=hdr_small)])
     return p_large, p_small
+
+
+# ---------------------------------------------------------------------------
+# SPICE fixtures
+# ---------------------------------------------------------------------------
+
+def make_spice_l2_header(
+    nx=48, ny=64, nlam=4,
+    cdelt_arcsec=(4.0, 1.0),
+    crval_arcsec=(120.0, 80.0),
+    crota_deg=0.0,
+    dt_per_step=5.0,
+    date_beg="2022-03-17T09:45:00.000",
+):
+    """4-D SPICE L2 header: (x=HPLN-TAN, y=HPLT-TAN, WAVE, UTC) with the
+    time<->x raster coupling in PC4_1."""
+    pc11, pc12, pc21, pc22 = pc_from_crota(crota_deg, cdelt_arcsec[0], cdelt_arcsec[1])
+    hdr = Header({
+        "NAXIS": 4,
+        "NAXIS1": nx, "NAXIS2": ny, "NAXIS3": nlam, "NAXIS4": 1,
+        "CTYPE1": "HPLN-TAN", "CTYPE2": "HPLT-TAN",
+        "CTYPE3": "WAVE", "CTYPE4": "UTC",
+        "CUNIT1": "deg", "CUNIT2": "deg", "CUNIT3": "nm", "CUNIT4": "s",
+        "CRVAL1": crval_arcsec[0] / 3600.0, "CRVAL2": crval_arcsec[1] / 3600.0,
+        "CRVAL3": 77.0, "CRVAL4": dt_per_step * (nx / 2),
+        "CRPIX1": (nx + 1) / 2, "CRPIX2": (ny + 1) / 2,
+        "CRPIX3": (nlam + 1) / 2, "CRPIX4": 1.0,
+        "CDELT1": cdelt_arcsec[0] / 3600.0, "CDELT2": cdelt_arcsec[1] / 3600.0,
+        "CDELT3": 0.05, "CDELT4": 1.0,
+        "PC1_1": pc11, "PC1_2": pc12, "PC2_1": pc21, "PC2_2": pc22,
+        "PC3_3": 1.0, "PC4_4": 1.0,
+        "PC4_1": dt_per_step,  # seconds per raster step
+        "CROTA": crota_deg,
+        "NBIN2": 1, "DETECTOR": "SW", "PXBEG2": 230,
+        "SOLAR_B0": 3.0, "RSUN_REF": 6.957e8, "DSUN_OBS": 0.5 * 1.496e11,
+        "DATEREF": date_beg, "DATE-BEG": date_beg,
+        "DATE-OBS": date_beg, "DATE-AVG": "2022-03-17T09:47:00.000",
+        "LEVEL": "L2",
+    })
+    return hdr
+
+
+def render_spice_l2_cube(hdr, seed=0, line_profile=(0.1, 0.4, 0.4, 0.1)):
+    """Render the analytic helioprojective scene into a SPICE L2 cube whose
+    spectral sum reproduces the scene."""
+    from euispice_coreg_tpu.hdrshift.alignment_spice import (
+        spatial_header_from_spice_l2,
+    )
+
+    nx, ny = int(hdr["NAXIS1"]), int(hdr["NAXIS2"])
+    nlam = int(hdr["NAXIS3"])
+    hdr2 = spatial_header_from_spice_l2(hdr, nx, ny)
+    lon, lat = coords.header_world_grid(hdr2)
+    scene = scene_helioprojective(lon, lat)
+    prof = np.asarray(line_profile[:nlam], dtype=np.float64)
+    prof = prof / prof.sum()
+    cube = scene[None, None, :, :] * prof[None, :, None, None]
+    return np.asarray(cube, dtype=np.float64)
+
+
+def make_spice_pair(tmp_path, true_shift_arcsec=(8.0, -4.0), seed=0):
+    """Imager + SPICE L2 cube pair with known injected mispointing."""
+    hdr_imager = make_header((196, 196), (12.0, 12.0), (0.0, 0.0), 0.0)
+    data_imager = render_helioprojective(hdr_imager, seed=seed)
+
+    hdr_true = make_spice_l2_header(crval_arcsec=(120.0, 80.0))
+    cube = render_spice_l2_cube(hdr_true, seed=seed)
+    hdr_given = make_spice_l2_header(
+        crval_arcsec=(120.0 - true_shift_arcsec[0], 80.0 - true_shift_arcsec[1])
+    )
+
+    p_imager = str(tmp_path / "imager.fits")
+    p_spice = str(tmp_path / "solo_L2_spice.fits")
+    fits.write(p_imager, [fits.PrimaryHDU(data=data_imager.astype(np.float32),
+                                          header=hdr_imager)])
+    fits.write(p_spice, [fits.PrimaryHDU(data=cube.astype(np.float32),
+                                         header=hdr_given)])
+    return p_imager, p_spice
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,209 @@
+"""AlignmentSpice (L2 cube prep + search) and synras map builder tests."""
+import numpy as np
+import pytest
+
+import fixtures as fx
+from euispice_coreg_tpu.core.header import Header
+from euispice_coreg_tpu.hdrshift.alignment_spice import (
+    AlignmentSpice,
+    SpiceUtil,
+    spatial_header_from_spice_l2,
+)
+from euispice_coreg_tpu.io import fits
+from euispice_coreg_tpu.synras.map_builder import SPICEComposedMapBuilder
+from euispice_coreg_tpu.utils import coords, timeutils
+
+
+def test_slit_pxl_geometry():
+    hdr = Header({"NBIN2": 1, "DETECTOR": "SW", "PXBEG2": 230})
+    beg, end = SpiceUtil.slit_pxl(hdr)
+    # h_det=1024, h_slit=600: slit [212, 812] - PXBEG2 + 1
+    assert beg == -17
+    assert end == 583
+    ymin, ymax = SpiceUtil.vertical_edges_limits(hdr)
+    assert (ymin, ymax) == (3, 563)
+    hdr["NBIN2"] = 2
+    hdr["DETECTOR"] = "LW"
+    beg2, end2 = SpiceUtil.slit_pxl(hdr)
+    # h_det=512, h_slit=313: slit_beg=99.5 - 115 + 1 = -14.5 -> ceil -14
+    assert beg2 == -14
+    assert end2 == int(np.floor(512 - 99.5 - 115 + 1))
+
+
+def test_spatial_header_from_l2():
+    hdr4 = fx.make_spice_l2_header()
+    hdr2 = spatial_header_from_spice_l2(hdr4, 48, 64)
+    assert hdr2["CTYPE1"] == "HPLN-TAN"
+    assert hdr2["CTYPE2"] == "HPLT-TAN"
+    assert hdr2["CRVAL1"] == pytest.approx(120.0 / 3600.0)
+    assert hdr2["NAXIS1"] == 48 and hdr2["NAXIS2"] == 64
+    # spectral/time keys gone
+    assert "CRVAL3" not in hdr2 or hdr2.get("WCSAXES") == 2
+
+
+def test_spice_l2_alignment_recovers_shift(tmp_path):
+    p_imager, p_spice = fx.make_spice_pair(tmp_path, true_shift_arcsec=(8.0, -4.0))
+    A = AlignmentSpice(
+        large_fov_known_pointing=p_imager,
+        small_fov_to_correct=p_spice,
+        lag_crval1=np.arange(-2.0, 19.0, 2.0),
+        lag_crval2=np.arange(-14.0, 7.0, 2.0),
+        large_fov_window=0,
+        small_fov_window=0,
+    )
+    corr = A.align_using_helioprojective(return_type="corr")
+    mi = np.unravel_index(np.nanargmax(corr), corr.shape)
+    assert A.lag_crval1[mi[0]] == pytest.approx(8.0)
+    assert A.lag_crval2[mi[1]] == pytest.approx(-4.0)
+    # dumbbell rows must have been NaN'd
+    assert np.isnan(A.data_small[:3, :]).all()
+
+
+def test_spice_wavelength_interval(tmp_path):
+    p_imager, p_spice = fx.make_spice_pair(tmp_path)
+    A = AlignmentSpice(
+        large_fov_known_pointing=p_imager,
+        small_fov_to_correct=p_spice,
+        lag_crval1=np.array([8.0]),
+        lag_crval2=np.array([-4.0]),
+        large_fov_window=0,
+        small_fov_window=0,
+        # CRVAL3=77nm=770A, CDELT3=0.05nm: select the central two planes
+        wavelength_interval_to_sum=[769.5, 770.5],
+    )
+    res = A.align_using_helioprojective()
+    assert np.isfinite(res.corr).any()
+    # middle two wavelengths carry 0.8 of the line: summed image is 0.8*scene
+    hdr4 = fx.make_spice_l2_header()
+    cube = fx.render_spice_l2_cube(hdr4)
+    expected = np.nansum(cube[0, 1:3], axis=0)
+    row = slice(5, 60)
+    np.testing.assert_allclose(A.data_small[row, :], expected[row, :], rtol=1e-5)
+
+
+def test_spice_sub_fov_and_cut(tmp_path):
+    p_imager, p_spice = fx.make_spice_pair(tmp_path)
+    A = AlignmentSpice(
+        large_fov_known_pointing=p_imager,
+        small_fov_to_correct=p_spice,
+        lag_crval1=np.array([8.0]), lag_crval2=np.array([-4.0]),
+        large_fov_window=0, small_fov_window=0,
+        sub_fov_window=[60.0, 180.0, 30.0, 130.0],
+    )
+    A.align_using_helioprojective(cut_from_center=30)
+    assert np.isnan(A.data_small[:, 0]).all()  # cut_from_center trims edges
+
+
+def test_correct_solar_rotation_changes_cdelt1(tmp_path):
+    p_imager, p_spice = fx.make_spice_pair(tmp_path)
+    A = AlignmentSpice(
+        large_fov_known_pointing=p_imager,
+        small_fov_to_correct=p_spice,
+        lag_crval1=np.array([8.0]), lag_crval2=np.array([-4.0]),
+        large_fov_window=0, small_fov_window=0,
+    )
+    A._extract_imager_data_header()
+    A.extend_pixel_size = True
+    A._extract_spice_data_header(level=2)
+    # raster steps westward while the Sun rotates: CDELT1 shrinks
+    assert A.hdr_small["CDELT1"] < 4.0 / 3600.0
+    assert A.hdr_small["CDELT1"] > 3.0 / 3600.0
+
+
+# ---------------------------------------------------------------------------
+# synras
+# ---------------------------------------------------------------------------
+
+def make_imager_series(tmp_path, n_frames=3, seed=0):
+    """Imager frames at distinct times spanning the SPICE raster duration."""
+    paths = []
+    t0 = timeutils.parse_fits_time("2022-03-17T09:45:00")
+    for k in range(n_frames):
+        hdr = fx.make_header((196, 196), (12.0, 12.0), (0.0, 0.0), 0.0)
+        t = t0 + k * 120.0
+        hdr["DATE-AVG"] = timeutils.format_fits_time(t)
+        hdr["DATE-OBS"] = timeutils.format_fits_time(t - 5.0)
+        data = fx.render_helioprojective(hdr, seed=seed)
+        p = str(tmp_path / f"imager_{k}.fits")
+        fits.write(p, [fits.PrimaryHDU(data=data.astype(np.float32), header=hdr)])
+        paths.append(p)
+    return paths
+
+
+def test_synras_builds_composed_map(tmp_path):
+    paths = make_imager_series(tmp_path)
+    hdr_spice = fx.make_spice_l2_header(nx=48, ny=64, dt_per_step=5.0)
+    cube = fx.render_spice_l2_cube(hdr_spice)
+    p_spice = str(tmp_path / "solo_L2_spice.fits")
+    fits.write(p_spice, [fits.PrimaryHDU(data=cube.astype(np.float32),
+                                         header=hdr_spice)])
+
+    builder = SPICEComposedMapBuilder(
+        path_to_spectro=p_spice,
+        list_imager_paths=paths,
+        threshold_time=600.0,
+        window_imager=0,
+        window_spectro=0,
+    )
+    out = builder.process(folder_path_output=str(tmp_path), level=2,
+                          print_filename=False, return_synras_name=True)
+    assert out is not None and out.endswith(".fits")
+
+    hdul = fits.open(out)
+    composed = hdul[0].data
+    hdr_comp = hdul[0].header
+    assert composed.shape == (64, 48)
+    # composed header carries the SPICE spatial WCS + imager metadata
+    assert hdr_comp["CRVAL1"] == pytest.approx(120.0 / 3600.0)
+    assert hdr_comp["WAVELNTH"] == 174
+    assert hdr_comp["SPECPATH"] == "solo_L2_spice.fits"
+
+    # the composed map must reproduce the scene at the SPICE grid
+    from euispice_coreg_tpu.hdrshift.alignment_spice import (
+        spatial_header_from_spice_l2,
+    )
+    hdr2 = spatial_header_from_spice_l2(hdr_spice, 48, 64)
+    lon, lat = coords.header_world_grid(hdr2)
+    expected = fx.scene_helioprojective(lon, lat)
+    inner = (slice(4, 60), slice(4, 44))
+    np.testing.assert_allclose(composed[inner], expected[inner], rtol=0.02)
+
+
+def test_synras_time_matching(tmp_path):
+    """Columns must select the imager frame closest to their exposure time."""
+    paths = make_imager_series(tmp_path, n_frames=3)
+    # raster: 48 columns x 5 s = 240 s spanning the 0/120/240 s frame times
+    hdr_spice = fx.make_spice_l2_header(nx=48, ny=64, dt_per_step=5.0)
+    hdr_spice["CRVAL4"] = 0.0
+    hdr_spice["CRPIX4"] = 1.0
+    hdr_spice["CRPIX1"] = 1.0  # time zero at first column
+    cube = fx.render_spice_l2_cube(hdr_spice)
+    p_spice = str(tmp_path / "solo_L2_spice2.fits")
+    fits.write(p_spice, [fits.PrimaryHDU(data=cube.astype(np.float32),
+                                         header=hdr_spice)])
+    builder = SPICEComposedMapBuilder(
+        path_to_spectro=p_spice, list_imager_paths=paths,
+        threshold_time=600.0, window_imager=0, window_spectro=0,
+    )
+    builder.process(folder_path_output=str(tmp_path), level=2,
+                    print_filename=False)
+    t0 = timeutils.parse_fits_time("2022-03-17T09:45:00")
+    # column 0 at t0 -> frame 0; column 47 at t0+235s -> frame 2 (240s)
+    assert builder.dates_selected[0] == pytest.approx(t0)
+    assert builder.dates_selected[-1] == pytest.approx(t0 + 240.0)
+
+
+def test_synras_threshold_error(tmp_path):
+    paths = make_imager_series(tmp_path, n_frames=1)
+    hdr_spice = fx.make_spice_l2_header(nx=48, ny=64, dt_per_step=60.0)
+    cube = fx.render_spice_l2_cube(hdr_spice)
+    p_spice = str(tmp_path / "solo_L2_spice3.fits")
+    fits.write(p_spice, [fits.PrimaryHDU(data=cube.astype(np.float32),
+                                         header=hdr_spice)])
+    builder = SPICEComposedMapBuilder(
+        path_to_spectro=p_spice, list_imager_paths=paths,
+        threshold_time=10.0, window_imager=0, window_spectro=0,
+    )
+    with pytest.raises(ValueError, match="sufficiently close in time"):
+        builder.process(folder_path_output=str(tmp_path), level=2,
+                        print_filename=False)
