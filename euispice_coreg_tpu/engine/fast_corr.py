@@ -186,6 +186,41 @@ def _shift2(x, ty, tx, fill):
     return out
 
 
+def pearson_integer_shifts(fixed_img, moving_img, dxs, dys, *,
+                           compute_dtype=jnp.float32):
+    """Masked Pearson r between ``fixed`` and ``moving`` shifted by every
+    integer offset (dx, dy): r[i, j] = pearson(fixed(p), moving(p + (dx_i, dy_j))).
+
+    Exact counterpart of the pxlshift sliding-window correlation
+    (``/root/reference/euispice_coreg/pxlshift/alignment_pixels.py:38-55``),
+    computed for the whole offset grid from FFT correlation surfaces.
+    Both images must share a shape; NaNs define the masks.
+    """
+    dxs = np.asarray(dxs, dtype=np.int64)
+    dys = np.asarray(dys, dtype=np.int64)
+    h, w = np.shape(fixed_img)
+    m = _fft_size(max(h, w) + int(max(np.max(np.abs(dxs)), np.max(np.abs(dys)))) + 2)
+
+    gx, gy = np.meshgrid(dxs, dys, indexing="ij")
+    iy = jnp.asarray(np.mod(gy.ravel(), m))
+    ix = jnp.asarray(np.mod(gx.ravel(), m))
+    S = np.asarray(
+        _surfaces_at(
+            jnp.asarray(moving_img, dtype=compute_dtype),
+            jnp.asarray(fixed_img, dtype=compute_dtype),
+            iy, ix, 0, m,
+        ),
+        dtype=np.float64,
+    )
+    # order-0 layout: [n, Sa, Saa, Sb, Sab, Sbb]
+    n, Sa, Saa, Sb, Sab, Sbb = S
+    with np.errstate(invalid="ignore", divide="ignore"):
+        num = Sab - Sa * Sb / n
+        den = np.sqrt((Saa - Sa * Sa / n) * (Sbb - Sb * Sb / n))
+        r = num / den
+    return r.reshape(len(dxs), len(dys))
+
+
 def evaluate_crval_grid_fast(
     small_img,
     ref_img,

@@ -337,3 +337,121 @@ class AlignmentSpice(Alignment):
             method_carrington_reprojection=method_carrington_reprojection,
             return_type=return_type,
         )
+
+
+class AlignementSpiceIterativeContextRaster(AlignmentSpice):
+    """SPICE alignment where the synthetic raster is rebuilt for every lag
+    candidate from the *shifted* SPICE pointing.
+
+    Port of the reference class of the same (misspelled) name
+    (``alignment_spice.py:357-469``): each lag shifts the unflattened SPICE
+    header, rebuilds the composed imager raster against it, and correlates.
+    This path cannot use the vmapped engine (the reference image changes per
+    lag); it loops lags on host with the imager frames cached in memory and
+    all resampling on device.
+    """
+
+    def __init__(self, large_fov_list_paths, small_fov_to_correct: str,
+                 threshold_time: float, lag_crval1=None, lag_crval2=None,
+                 lag_cdelt1=None, lag_cdelt2=None, lag_crota=None,
+                 small_fov_value_min=None, small_fov_value_max=None,
+                 parallelism=False, counts_cpu_max=40, large_fov_window=-1,
+                 small_fov_window=-1, path_save_figure=None, **kwargs):
+        super().__init__(
+            large_fov_known_pointing="No_specific_path",
+            small_fov_to_correct=small_fov_to_correct,
+            lag_crval1=lag_crval1, lag_crval2=lag_crval2,
+            lag_cdelt1=lag_cdelt1, lag_cdelt2=lag_cdelt2, lag_crota=lag_crota,
+            small_fov_value_min=small_fov_value_min,
+            small_fov_value_max=small_fov_value_max,
+            parallelism=parallelism, counts_cpu_max=counts_cpu_max,
+            large_fov_window=large_fov_window,
+            small_fov_window=small_fov_window,
+            path_save_figure=path_save_figure, **kwargs)
+        self.large_fov_list_paths = [str(p) for p in large_fov_list_paths]
+        self.threshold_time = float(threshold_time)
+        self.header_spice_unflattened = None
+        self._builder = None
+
+    def _get_builder(self):
+        from ..synras.map_builder import SPICEComposedMapBuilder
+
+        if self._builder is None:
+            self._builder = SPICEComposedMapBuilder(
+                path_to_spectro=self.small_fov_to_correct,
+                list_imager_paths=self.large_fov_list_paths,
+                threshold_time=self.threshold_time,
+                window_imager=self.large_fov_window,
+                window_spectro=self.small_fov_window,
+            )
+        return self._builder
+
+    def align_using_helioprojective(self, method="correlation",
+                                    extend_pixel_size=False,
+                                    cut_from_center=None,
+                                    return_type="AlignmentResults",
+                                    coefficient_l3=None):
+        from ..core.header import get_crota, wcs_params_from_header
+        from ..engine import lag_search as ls
+        from ..io import fits as fitsio
+        from ..utils import coords
+
+        self.method = method
+        self.extend_pixel_size = extend_pixel_size
+        self.cut_from_center = cut_from_center
+
+        hdul = fitsio.open(self.small_fov_to_correct)
+        self.header_spice_unflattened = hdul[self.small_fov_window].header.copy()
+        self._extract_spice_data_header(level=self._infer_level(),
+                                        coeff=coefficient_l3)
+        self._apply_thresholds()
+
+        crval1_ref = self.hdr_small["CRVAL1"]
+        crval2_ref = self.hdr_small["CRVAL2"]
+        u1 = self.hdr_small.get("CUNIT1", "deg")
+        u2 = self.hdr_small.get("CUNIT2", "deg")
+        uf1 = self.header_spice_unflattened["CRVAL1"]
+        uf2 = self.header_spice_unflattened["CRVAL2"]
+
+        builder = self._get_builder()
+        l1d, l2d, l3d, l4d, l5d = self._lags_deg(wrap=True)
+        shape = (len(l1d), len(l2d), len(l3d), len(l4d), len(l5d))
+        corr = np.zeros(shape)
+        for i1, d1 in enumerate(l1d):
+            for i2, d2 in enumerate(l2d):
+                for i5, d5 in enumerate(self.lag_crota):
+                    # shift both the flattened and the unflattened headers
+                    hdr_s = self.hdr_small.copy()
+                    hdr_s["CRVAL1"] = crval1_ref + units.from_deg(d1, u1)
+                    hdr_s["CRVAL2"] = crval2_ref + units.from_deg(d2, u2)
+                    hdr_u = self.header_spice_unflattened.copy()
+                    hdr_u["CRVAL1"] = uf1 + units.from_deg(
+                        d1, hdr_u.get("CUNIT1", "deg"))
+                    hdr_u["CRVAL2"] = uf2 + units.from_deg(
+                        d2, hdr_u.get("CUNIT2", "deg"))
+
+                    builder.process_from_header(hdr_spice=hdr_u,
+                                                print_filename=False)
+                    data_large = builder.data_composed
+                    hdr_large = builder.hdr_composed
+
+                    # reproject the SPICE map onto the composed-raster grid
+                    lon, lat = coords.header_world_grid(hdr_large)
+                    p = wcs_params_from_header(hdr_s)
+                    from ..core import wcs as wcs2d
+
+                    x, y = wcs2d.world_to_pixel(p.as_dict(), lon, lat,
+                                                kind=p.kind, xp=np)
+                    small_i = ls.resample_to_grid(self.data_small, x, y,
+                                                  order=self.order)
+                    from ..core import score as score_mod
+                    import jax.numpy as jnp
+
+                    val = score_mod.SCORE_FUNCTIONS[
+                        "correlation" if method == "correlation" else method
+                    ](jnp.asarray(data_large), jnp.asarray(small_i))
+                    corr[i1, i2, 0, 0, i5] = float(val)
+        corr6 = corr[..., np.newaxis]
+        if return_type == "corr":
+            return corr6
+        return self._make_results(corr6)

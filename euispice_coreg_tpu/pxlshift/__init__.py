@@ -1,0 +1,2 @@
+from .alignment_pixels import AlignmentPixels  # noqa: F401
+from .alignment_spice_pixel import AlignmentSpicePixel  # noqa: F401

@@ -1,0 +1,1 @@
+from .map_builder import ComposedMapBuilder, MapBuilder, SPICEComposedMapBuilder  # noqa: F401

@@ -50,6 +50,7 @@ class ComposedMapBuilder(MapBuilder):
         self.path_output = None
         self.data_composed = None
         self.hdr_composed = None
+        self._imager_cache: dict[str, tuple] = {}
         self._extract_imager_metadata()
 
     def _extract_imager_metadata(self):
@@ -126,13 +127,18 @@ class ComposedMapBuilder(MapBuilder):
         # batched sampling: one device resample per distinct imager frame
         for idx in np.unique(selection):
             cols = np.nonzero(selection == idx)[0]
-            hdul_im = fits.open(self.list_imager_paths[idx])
-            hdu_im = hdul_im[self.window_imager]
+            path = self.list_imager_paths[idx]
+            if path in self._imager_cache:
+                data_imager, hdr_imager = self._imager_cache[path]
+            else:
+                hdul_im = fits.open(path)
+                hdu_im = hdul_im[self.window_imager]
+                hdr_imager = hdu_im.header.copy()
+                ensure_pcij(hdr_imager, force_crota_0=True)
+                data_imager = np.asarray(hdu_im.data, dtype=np.float64)
+                self._imager_cache[path] = (data_imager, hdr_imager)
             if print_filename:
-                print(f"\nUse imager {os.path.basename(self.list_imager_paths[idx])}")
-            hdr_imager = hdu_im.header.copy()
-            ensure_pcij(hdr_imager, force_crota_0=True)
-            data_imager = np.asarray(hdu_im.data, dtype=np.float64)
+                print(f"\nUse imager {os.path.basename(path)}")
             p = wcs_params_from_header(hdr_imager)
             x_im, y_im = wcs2d.world_to_pixel(
                 p.as_dict(), lon_spice[:, cols], lat_spice[:, cols],

@@ -1,0 +1,242 @@
+"""pxlshift, jitter correction, selector, and selector-driven SPICE tests."""
+import os
+
+import numpy as np
+import pytest
+
+import fixtures as fx
+from euispice_coreg_tpu.io import fits
+from euispice_coreg_tpu.pxlshift import AlignmentPixels
+from euispice_coreg_tpu.selector import Selector, SelectorEui, SelectorSpice
+from euispice_coreg_tpu.utils import timeutils
+
+
+# ---------------------------------------------------------------------------
+# pxlshift
+# ---------------------------------------------------------------------------
+
+def make_pxl_pair(tmp_path, dx_px=3, dy_px=-2):
+    """Large/small pair with a known integer-pixel offset at equal plate
+    scale (ratio 1) for exact recovery."""
+    hdr_large = fx.make_header((160, 160), (10.0, 10.0), (0.0, 0.0), 0.0)
+    data_large = fx.render_helioprojective(hdr_large)
+
+    # small = central crop of large, shifted by (dy, dx)
+    h, w = 64, 64
+    l0 = int((160 - h - 1) / 2)
+    l1 = int((160 - w - 1) / 2)
+    small = data_large[l0 + dy_px : l0 + dy_px + h, l1 + dx_px : l1 + dx_px + w]
+    hdr_small = fx.make_header((w, h), (10.0, 10.0), (0.0, 0.0), 0.0)
+
+    p_large = str(tmp_path / "pxl_large.fits")
+    p_small = str(tmp_path / "pxl_small.fits")
+    fits.write(p_large, [fits.PrimaryHDU(data=data_large.astype(np.float64),
+                                         header=hdr_large)])
+    fits.write(p_small, [fits.PrimaryHDU(data=small.astype(np.float64),
+                                         header=hdr_small)])
+    return p_large, p_small
+
+
+def test_pxlshift_recovers_integer_shift(tmp_path):
+    p_large, p_small = make_pxl_pair(tmp_path, dx_px=3, dy_px=-2)
+    A = AlignmentPixels(p_large, 0, p_small, 0)
+    lag_dx = np.arange(-6, 7)
+    lag_dy = np.arange(-6, 7)
+    corr = A.find_best_parameters(lag_dx, lag_dy, lag_drot=[0.0])
+    assert corr.shape == (13, 13, 1)
+    mi = np.unravel_index(np.nanargmax(corr), corr.shape)
+    assert lag_dx[mi[0]] == 3
+    assert lag_dy[mi[1]] == -2
+    # exact match at the true offset: r == 1
+    assert corr[mi] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_pxlshift_rotation_axis(tmp_path):
+    p_large, p_small = make_pxl_pair(tmp_path, dx_px=0, dy_px=0)
+    A = AlignmentPixels(p_large, 0, p_small, 0)
+    corr = A.find_best_parameters(np.arange(-2, 3), np.arange(-2, 3),
+                                  lag_drot=[-2.0, 0.0, 2.0])
+    mi = np.unravel_index(np.nanargmax(corr), corr.shape)
+    assert mi[2] == 1  # zero rotation wins
+
+
+def test_pxlshift_out_of_bounds_raises(tmp_path):
+    p_large, p_small = make_pxl_pair(tmp_path)
+    A = AlignmentPixels(p_large, 0, p_small, 0)
+    with pytest.raises(ValueError, match="outside FSI"):
+        A.find_best_parameters(np.array([1000]), np.array([0]), [0.0])
+
+
+def test_pxlshift_matches_reference_formula(tmp_path):
+    """Spot-check one offset against the direct sliding-window Pearson."""
+    p_large, p_small = make_pxl_pair(tmp_path, dx_px=3, dy_px=-2)
+    A = AlignmentPixels(p_large, 0, p_small, 0)
+    corr = A.find_best_parameters(np.array([1]), np.array([2]), [0.0])
+    slc = A.slc_small_ref
+    window = A.data_large[slc[0].start + 2 : slc[0].stop + 2,
+                          slc[1].start + 1 : slc[1].stop + 1]
+    small = A.data_small
+    mask = np.isfinite(window) & np.isfinite(small)
+    a, b = window[mask], small[mask]
+    ca, cb = a - a.mean(), b - b.mean()
+    expected = np.sum(ca * cb) / np.sqrt(np.sum(ca**2) * np.sum(cb**2))
+    assert corr[0, 0, 0] == pytest.approx(expected, rel=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# jitter correction
+# ---------------------------------------------------------------------------
+
+def test_jitter_correction_helioprojective(tmp_path):
+    from euispice_coreg_tpu.jitter_correction import jitter_correction_imagers
+
+    # movie of 4 frames, frames 1..3 jittered by known offsets
+    offsets = [(0.0, 0.0), (4.0, -2.0), (-2.0, 4.0), (2.0, 2.0)]
+    paths = []
+    t0 = timeutils.parse_fits_time("2022-03-17T09:00:00")
+    for k, (ox, oy) in enumerate(offsets):
+        hdr_true = fx.make_header((128, 128), (8.0, 8.0), (0.0, 0.0), 0.0)
+        hdr_true["DATE-AVG"] = timeutils.format_fits_time(t0 + 60 * k)
+        data = fx.render_helioprojective(hdr_true)
+        hdr_wrong = hdr_true.copy()
+        hdr_wrong["CRVAL1"] = hdr_true["CRVAL1"] - ox
+        hdr_wrong["CRVAL2"] = hdr_true["CRVAL2"] - oy
+        p = str(tmp_path / f"movie_{k}.fits")
+        fits.write(p, [fits.PrimaryHDU(data=data.astype(np.float32),
+                                       header=hdr_wrong)])
+        paths.append(p)
+
+    outdir = tmp_path / "corrected"
+    os.makedirs(outdir)
+    results = jitter_correction_imagers(
+        list_files_input=paths,
+        path_files_output=str(outdir),
+        lag_crval1=np.arange(-6.0, 7.0, 1.0),
+        lag_crval2=np.arange(-6.0, 7.0, 1.0),
+        lag_cdelt1=None, lag_cdelt2=None, lag_crota=None,
+        sublist_length=10, overlap=1,
+        window_files_input=0,
+        alignement_method="helioprojective",
+    )
+    # anchor copied verbatim, others corrected
+    assert os.path.isfile(outdir / "movie_0.fits")
+    for k, (ox, oy) in enumerate(offsets[1:], start=1):
+        hdul = fits.open(str(outdir / f"movie_{k}.fits"))
+        orig = fits.open(paths[k])
+        d1 = hdul[0].header["CRVAL1"] - orig[0].header["CRVAL1"]
+        d2 = hdul[0].header["CRVAL2"] - orig[0].header["CRVAL2"]
+        assert d1 == pytest.approx(ox, abs=0.5)
+        assert d2 == pytest.approx(oy, abs=0.5)
+
+
+# ---------------------------------------------------------------------------
+# selector
+# ---------------------------------------------------------------------------
+
+class StubSelector(Selector):
+    """Selector over canned per-day index pages (no network)."""
+
+    def __init__(self, pages):
+        super().__init__(release_url_basis="https://example.org/release/L2")
+        self.pages = pages
+
+    def _fetch_index(self, url):
+        return self.pages.get(url, "<html></html>")
+
+
+DAY1 = "https://example.org/release/L2/2022/03/17"
+DAY2 = "https://example.org/release/L2/2022/03/18"
+
+PAGES = {
+    DAY1: """
+    <html><body>
+    <a href="solo_L2_eui-fsi174-image_20220317T095045281_V01.fits">f1</a>
+    <a href="solo_L2_eui-fsi174-image_20220317T105045281_V01.fits">f2</a>
+    <a href="solo_L2_eui-hrieuv174-image_20220317T095045277_V01.fits">h1</a>
+    <a href="readme.txt">x</a>
+    </body></html>""",
+    DAY2: """
+    <html><body>
+    <a href="solo_L2_eui-fsi174-image_20220318T095045281_V01.fits">f3</a>
+    </body></html>""",
+}
+
+
+def test_selector_time_interval():
+    sel = StubSelector(PAGES)
+    urls, times = sel.get_url_from_time_interval(
+        "2022-03-17T09:00:00", "2022-03-18T12:00:00")
+    assert len(urls) == 4
+    assert all(u.startswith("https://example.org/release/L2/2022/03/1") for u in urls)
+    # strictly inside the interval
+    t1 = timeutils.parse_fits_time("2022-03-17T09:00:00")
+    assert np.all(times >= t1)
+
+
+def test_selector_filename_filter():
+    sel = StubSelector(PAGES)
+    urls, _ = sel.get_url_from_time_interval(
+        "2022-03-17T09:00:00", "2022-03-18T12:00:00", file_name_str="fsi174")
+    assert len(urls) == 3
+    urls, _ = sel.get_url_from_time_interval(
+        "2022-03-17T09:00:00", "2022-03-17T10:00:00", file_name_str="fsi174")
+    assert len(urls) == 1
+
+
+def test_selector_eui_url_construction():
+    sel = SelectorEui(release=5.0, level=2)
+    assert sel.release_url_basis == (
+        "https://www.sidc.be/EUI/data/releases/202204_release_5.0/L2")
+    sel2 = SelectorSpice(release=4.0, level=2)
+    assert "release-4.0/level2" in sel2.release_url_basis
+
+
+def test_selector_time_parsing():
+    t = Selector._find_time_from_file(
+        "solo_L2_eui-fsi174-image_20220317T095045281_V01.fits")
+    assert t == timeutils.parse_fits_time("2022-03-17T09:50:45")
+
+
+# ---------------------------------------------------------------------------
+# selector-driven SPICE alignment (offline, stub selector over local files)
+# ---------------------------------------------------------------------------
+
+def test_alignment_spice_selector(tmp_path):
+    from euispice_coreg_tpu.hdrshift.alignment_spice_selector import (
+        AlignmentSpiceSelector,
+    )
+
+    # local imager series acting as the "archive"
+    paths = []
+    t0 = timeutils.parse_fits_time("2022-03-17T09:45:00")
+    for k in range(3):
+        hdr = fx.make_header((196, 196), (12.0, 12.0), (0.0, 0.0), 0.0)
+        hdr["DATE-AVG"] = timeutils.format_fits_time(t0 + 120.0 * k)
+        data = fx.render_helioprojective(hdr)
+        p = str(tmp_path / f"solo_L2_eui-fsi304-image_20220317T0{945 + 2 * k}00000_V01.fits")
+        fits.write(p, [fits.PrimaryHDU(data=data.astype(np.float32), header=hdr)])
+        paths.append(p)
+
+    class LocalSelector:
+        def get_url_from_time_interval(self, t1, t2, file_name_str=None):
+            return np.asarray(paths), np.asarray([t0, t0 + 120, t0 + 240])
+
+    hdr_spice = fx.make_spice_l2_header(crval_arcsec=(112.0, 84.0))
+    cube = fx.render_spice_l2_cube(fx.make_spice_l2_header(crval_arcsec=(120.0, 80.0)))
+    p_spice = str(tmp_path / "solo_L2_spice.fits")
+    fits.write(p_spice, [fits.PrimaryHDU(data=cube.astype(np.float32),
+                                         header=hdr_spice)])
+
+    A = AlignmentSpiceSelector(
+        small_fov_to_correct=p_spice,
+        lag_crval1=np.arange(0.0, 17.0, 2.0),
+        lag_crval2=np.arange(-12.0, 5.0, 2.0),
+        small_fov_window=0,
+        threshold_time=600.0,
+        folder_path_synras=str(tmp_path),
+        selector=LocalSelector(),
+    )
+    corr = A.align_using_helioprojective(return_type="corr")
+    mi = np.unravel_index(np.nanargmax(corr), corr.shape)
+    assert A.lag_crval1[mi[0]] == pytest.approx(8.0)
+    assert A.lag_crval2[mi[1]] == pytest.approx(-4.0)
