@@ -58,11 +58,19 @@ def _fft_size(n: int) -> int:
     return ((n + 255) // 256) * 256
 
 
-def displacement_per_lag(base: dict, lags_deg: np.ndarray, lon, lat, kind: str):
+def displacement_per_lag(base: dict, lags_deg: np.ndarray, lon, lat, kind: str,
+                         grid: dict | None = None):
     """Per-lag pixel displacement c_l at probe points.
 
-    Returns (c, spread): c (L, 2) displacement at the grid center, spread =
-    max over probe points and lags of |c(probe) - c(center)|.
+    ``base`` is the WCS the crval lags perturb.  When ``grid`` is given (the
+    comparison grid's own WCS), displacements are conjugated into grid-pixel
+    space — the sampling offsets into an image already pre-warped through
+    ``base`` (block fast path): c = W2P_grid(P2W_base(W2P_{base+d}(w))) - p.
+    With ``grid=None`` (pure crval path, base == grid WCS) this reduces to
+    c = W2P_{base+d}(w) - p.
+
+    Returns (c, spread): c (L, 2) at the grid center; spread = max over probe
+    points and lags of |c(probe) - c(center)| (constancy check).
     """
     h, w = lon.shape
     probes = [(h // 2, w // 2), (0, 0), (0, w - 1), (h - 1, 0), (h - 1, w - 1)]
@@ -76,6 +84,11 @@ def displacement_per_lag(base: dict, lags_deg: np.ndarray, lon, lat, kind: str):
     p["crval1"] = (base["crval1"] + lags_deg[:, 0])[:, None]
     p["crval2"] = (base["crval2"] + lags_deg[:, 1])[:, None]
     bx, by = wcs.world_to_pixel(p, pl[None, :], pb[None, :], kind=kind, xp=np)
+    if grid is not None:
+        base64 = {k: np.float64(v) for k, v in base.items()}
+        grid64 = {k: np.float64(v) for k, v in grid.items()}
+        lon2, lat2 = wcs.pixel_to_world(base64, bx, by, kind=kind, xp=np)
+        bx, by = wcs.world_to_pixel(grid64, lon2, lat2, kind=kind, xp=np)
     cs = np.stack([bx - px0[None, :], by - py0[None, :]], axis=-1)  # (L, 5, 2)
     center = cs[:, 0, :]
     spread = np.max(np.abs(cs - center[:, None, :])) if cs.size else 0.0
@@ -233,18 +246,21 @@ def evaluate_crval_grid_fast(
     order: int = 2,
     kind: str = "tan",
     compute_dtype=jnp.float32,
+    grid_params: dict | None = None,
 ):
     """Masked-Pearson scores for a crval1 x crval2 lag grid.
 
     Returns (n1, n2) float64 array, or None if the constant-displacement
     bound is violated (caller falls back to the general engine).
+    ``grid_params``: see :func:`displacement_per_lag` (block fast path).
     """
     l1 = np.asarray(lag_crval1_deg, dtype=np.float64)
     l2 = np.asarray(lag_crval2_deg, dtype=np.float64)
     g1, g2 = np.meshgrid(l1, l2, indexing="ij")
     lags = np.stack([g1.ravel(), g2.ravel()], axis=-1)
 
-    c, spread = displacement_per_lag(base_params, lags, lon, lat, kind)
+    c, spread = displacement_per_lag(base_params, lags, lon, lat, kind,
+                                     grid=grid_params)
     if spread > MAX_DISPLACEMENT_SPREAD_PX:
         return None
 

@@ -159,6 +159,14 @@ def evaluate_lag_grid(
             )
             if fast is not None:
                 return fast.reshape(shape)
+        elif allow_fast == "block" and order in (0, 2):
+            fast = _evaluate_block_fast(
+                small_img, ref_img, lon, lat, base_params,
+                l1, l2, l3, l4, l5,
+                order=order, kind=kind, compute_dtype=compute_dtype,
+            )
+            if fast is not None:
+                return fast
 
     grids = np.meshgrid(l1, l2, l3, l4, l5, indexing="ij")
     lags = np.stack([g.ravel() for g in grids], axis=-1)  # (L, 5)
@@ -190,6 +198,63 @@ def evaluate_lag_grid(
         out = np.asarray(out)[:n_lags]
 
     return out.astype(np.float64).reshape(shape)
+
+
+def _apply_lag_to_params_np(base: dict, d5: np.ndarray) -> dict:
+    """Host float64 twin of :func:`apply_lag_to_params`."""
+    crval1 = base["crval1"] + d5[0]
+    crval2 = base["crval2"] + d5[1]
+    cdelt1 = base["cdelt1"] + d5[2]
+    cdelt2 = base["cdelt2"] + d5[3]
+    crota = base["crota"] + d5[4]
+    out = dict(base, crval1=crval1, crval2=crval2,
+               cdelt1=cdelt1, cdelt2=cdelt2, crota=crota)
+    if d5[2] != 0 or d5[3] != 0 or d5[4] != 0:
+        rho = np.deg2rad(crota)
+        lam = cdelt2 / cdelt1
+        out["pc11"] = np.cos(rho)
+        out["pc12"] = -lam * np.sin(rho)
+        out["pc21"] = np.sin(rho) / lam
+        out["pc22"] = np.cos(rho)
+    return out
+
+
+def _evaluate_block_fast(small_img, ref_img, lon, lat, base_params,
+                         l1, l2, l3, l4, l5, *, order, kind, compute_dtype):
+    """Block fast path for mixed lag grids.
+
+    For each (cdelt1, cdelt2, crota) combination, the small image is warped
+    ONCE onto the comparison grid with the combo's WCS (one general gather),
+    after which the crval1/crval2 sub-grid factorizes over FFT correlation
+    surfaces exactly as in :mod:`fast_corr`.
+
+    Numerics note: this applies the spline interpolation twice (pre-warp +
+    per-lag tap stencil) where the exact per-lag engine interpolates once —
+    a sub-percent smoothing difference on the correlation values.  Alignment
+    argmaxes are insensitive to it (tested); pass ``allow_fast=False`` for
+    the single-interpolation reference-exact path.
+    """
+    from . import fast_corr
+
+    out = np.zeros((len(l1), len(l2), len(l3), len(l4), len(l5)))
+    for i3, d3 in enumerate(l3):
+        for i4, d4 in enumerate(l4):
+            for i5, d5 in enumerate(l5):
+                combo = _apply_lag_to_params_np(
+                    base_params, np.array([0.0, 0.0, d3, d4, d5]))
+                x, y = wcs.world_to_pixel(combo, np.asarray(lon),
+                                          np.asarray(lat), kind=kind, xp=np)
+                warped = resample_to_grid(small_img, x, y, order=order,
+                                          compute_dtype=compute_dtype)
+                block = fast_corr.evaluate_crval_grid_fast(
+                    warped, ref_img, lon, lat, combo, l1, l2,
+                    order=order, kind=kind, compute_dtype=compute_dtype,
+                    grid_params=base_params,
+                )
+                if block is None:
+                    return None
+                out[:, :, i3, i4, i5] = block
+    return out
 
 
 def resample_to_grid(image, x, y, order=2, compute_dtype=jnp.float32):

@@ -66,7 +66,16 @@ class Alignment:
         compute_dtype="float32",
         batch_size_lags: int = 8,
         use_device_mesh: bool = True,
+        lag_search_mode: str = "auto",
     ):
+        """``lag_search_mode``:
+        * "auto" (default): CRVAL-only grids use the exact FFT fast path;
+          mixed grids use the per-combo block fast path when the grid is
+          large (> 2000 candidates), the reference-exact gather engine
+          otherwise;
+        * "exact": always the per-lag gather engine;
+        * "fast": always the FFT/block fast paths where applicable.
+        """
         self.large_fov_known_pointing = large_fov_known_pointing
         self.small_fov_to_correct = small_fov_to_correct
 
@@ -103,6 +112,9 @@ class Alignment:
         self.compute_dtype = jnp.dtype(compute_dtype)
         self.batch_size_lags = batch_size_lags
         self.mesh = lag_search.default_mesh() if use_device_mesh else None
+        if lag_search_mode not in ("auto", "exact", "fast"):
+            raise ValueError(f"unknown lag_search_mode: {lag_search_mode!r}")
+        self.lag_search_mode = lag_search_mode
 
         self.data_large = None
         self.data_small = None
@@ -277,6 +289,13 @@ class Alignment:
 
         l1, l2, l3, l4, l5 = self._lags_deg(wrap=wrap)
         base = {**small_params.as_dict(), "crota": get_crota(self.hdr_small)}
+        n_lags = len(l1) * len(l2) * len(l3) * len(l4) * len(l5)
+        if self.lag_search_mode == "exact":
+            allow_fast = False
+        elif self.lag_search_mode == "fast":
+            allow_fast = "block"
+        else:  # auto
+            allow_fast = "block" if n_lags > 2000 else True
         corr5 = lag_search.evaluate_lag_grid(
             self.data_small,
             ref_img,
@@ -290,6 +309,7 @@ class Alignment:
             compute_dtype=self.compute_dtype,
             batch_size=self.batch_size_lags,
             mesh=self.mesh,
+            allow_fast=allow_fast,
         )
         # helioprojective ignores lag_solar_r: replicate across the 6th axis
         return np.repeat(corr5[..., np.newaxis], len(self.lag_solar_r), axis=-1)

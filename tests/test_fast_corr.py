@@ -100,3 +100,45 @@ def test_fast_path_float32_argmax():
     assert np.unravel_index(np.nanargmax(f32), f32.shape) == \
         np.unravel_index(np.nanargmax(f64), f64.shape)
     np.testing.assert_allclose(f32, f64, atol=5e-3)
+
+
+def test_block_fast_matches_general_with_crota_lags():
+    """Mixed grid (crval x crota): block fast path must agree with the exact
+    engine on argmax and closely on values (double-interpolation smoothing)."""
+    ds, ref_img, lon, lat, base = build_inputs(nan_border=True)
+    l1 = np.arange(-2, 19, 4.0) / 3600.0
+    l2 = np.arange(-14, 7, 4.0) / 3600.0
+    l5 = np.array([-0.5, 0.0, 0.5])
+
+    general = lag_search.evaluate_lag_grid(
+        ds, ref_img, lon, lat, base, l1, l2, [0.0], [0.0], l5,
+        order=2, compute_dtype="float64", allow_fast=False,
+    )
+    block = lag_search.evaluate_lag_grid(
+        ds, ref_img, lon, lat, base, l1, l2, [0.0], [0.0], l5,
+        order=2, compute_dtype="float64", allow_fast="block",
+    )
+    assert block is not None
+    assert np.unravel_index(np.nanargmax(block), block.shape) == \
+        np.unravel_index(np.nanargmax(general), general.shape)
+    np.testing.assert_allclose(block, general, atol=0.02)
+
+
+def test_block_fast_with_constant_nonzero_crota():
+    """The reference golden configs use a constant crota lag (e.g. [0.75]):
+    block path handles the non-identity base map via the pre-warp."""
+    ds, ref_img, lon, lat, base = build_inputs(nan_border=True)
+    l1 = np.arange(-2, 19, 2.0) / 3600.0
+    l2 = np.arange(-14, 7, 2.0) / 3600.0
+    l5 = np.array([0.75])
+    general = lag_search.evaluate_lag_grid(
+        ds, ref_img, lon, lat, base, l1, l2, [0.0], [0.0], l5,
+        order=2, compute_dtype="float64", allow_fast=False,
+    )
+    block = lag_search.evaluate_lag_grid(
+        ds, ref_img, lon, lat, base, l1, l2, [0.0], [0.0], l5,
+        order=2, compute_dtype="float64", allow_fast="block",
+    )
+    assert np.unravel_index(np.nanargmax(block), block.shape) == \
+        np.unravel_index(np.nanargmax(general), general.shape)
+    np.testing.assert_allclose(block, general, atol=0.02)
