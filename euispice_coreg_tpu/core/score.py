@@ -60,6 +60,24 @@ def c_correlate(s_1, s_2, lags):
     return jnp.stack(out)
 
 
+def c_correlate3d(s_1, s_2, lags):
+    """Batched IDL c_correlate over the trailing axis.
+
+    Parity with ``c_correlate3D`` (``c_correlate.py:9-37``): inputs of shape
+    (A, B, N); returns (A, B, len(lags)).  Expressed as a vmap of the 1-D
+    kernel instead of explicit loops.
+    """
+    import jax
+
+    s_1 = jnp.asarray(s_1)
+    s_2 = jnp.asarray(s_2)
+    flat1 = s_1.reshape(-1, s_1.shape[-1])
+    flat2 = s_2.reshape(-1, s_2.shape[-1])
+    f = jax.vmap(lambda a, b: c_correlate(a, b, lags))
+    out = f(flat1, flat2)
+    return out.reshape(*s_1.shape[:-1], len(list(lags)))
+
+
 def residus(a, b):
     """std((a - b)/sqrt(a)) over all elements, NaNs propagating.
 
