@@ -248,6 +248,7 @@ def evaluate_lag_grid_carrington(
     compute_dtype=jnp.float32,
     batch_size=8,
     mesh=None,
+    allow_fast=True,
 ):
     """Score the lag hypercube in the Carrington frame; returns
     (n1, n2, n3, n4, n5) float64 numpy.
@@ -270,6 +271,18 @@ def evaluate_lag_grid_carrington(
     l4 = np.asarray(lag_cdelt2_deg, dtype=np.float64)
     l5 = np.asarray(lag_crota_deg, dtype=np.float64)
     out_shape = (len(l1), len(l2), len(l3), len(l4), len(l5))
+
+    if allow_fast and method == "correlation" and order in (0, 2):
+        fast = _carrington_block_fast(
+            small_img, ref_img, sc, lon, lat,
+            delta_t=delta_t, rate_wave=rate_wave,
+            x3=x3, yy=yy, zz=zz, lonlims=lonlims, latlims=latlims, shape=shape,
+            l1=l1, l2=l2, l3=l3, l4=l4, l5=l5,
+            order=order, compute_dtype=compute_dtype,
+        )
+        if fast is not None:
+            return fast
+
     grids = np.meshgrid(l1, l2, l3, l4, l5, indexing="ij")
     lags = np.stack([g.ravel() for g in grids], axis=-1)
     n_lags = lags.shape[0]
@@ -312,3 +325,86 @@ def evaluate_lag_grid_carrington(
         out = np.asarray(out)[:n_lags]
 
     return out.astype(np.float64).reshape(out_shape)
+
+
+def _carrington_block_fast(small_img, ref_img, sc, lon, lat, delta_t,
+                           rate_wave, x3, yy, zz, lonlims, latlims, shape,
+                           l1, l2, l3, l4, l5, *, order, compute_dtype):
+    """FFT fast path in the Carrington frame.
+
+    For each (cdelt1, cdelt2, crota) combo the small image is warped onto the
+    Carrington grid once; CRVAL lags then displace the detector sampling by an
+    *exactly constant* vector in small-pixel space (x0/y0 are linear in CRVAL,
+    rectify.py:396-404), which is conjugated into grid space through the
+    spherical map and its inverse.  Falls back to the general per-lag engine
+    (returns None) when the conjugated displacement is not constant within
+    the fast-path bound (strongly curved grids).
+    """
+    from . import fast_corr
+    from ..utils import units as _units
+
+    h, w = lon.shape
+    probes = [(h // 2, w // 2), (0, 0), (0, w - 1), (h - 1, 0), (h - 1, w - 1)]
+    pr = np.array(probes)
+    lon1d0, lat1d0 = lonlims[0], latlims[0]
+    dlon_step = (lonlims[1] - lonlims[0]) / (shape[0] - 1)
+    dlat_step = (latlims[1] - latlims[0]) / (shape[1] - 1)
+
+    out = np.zeros((len(l1), len(l2), len(l3), len(l4), len(l5)))
+    g1, g2 = np.meshgrid(l1, l2, indexing="ij")
+    dc1 = g1.ravel() * 3600.0  # arcsec
+    dc2 = g2.ravel() * 3600.0
+    L = dc1.size
+
+    for i3, d3 in enumerate(l3):
+        for i4, d4 in enumerate(l4):
+            for i5, d5 in enumerate(l5):
+                combo = dict(sc)
+                combo["cdelt1_arcsec"] = sc["cdelt1_arcsec"] + d3 * 3600.0
+                combo["cdelt2_arcsec"] = sc["cdelt2_arcsec"] + d4 * 3600.0
+                combo["roll"] = sc["roll"] + d5
+
+                x0, y0 = _pixel_origin(
+                    combo["crval1_arcsec"], combo["crval2_arcsec"],
+                    combo["crpix1"], combo["crpix2"], combo["roll"],
+                    combo["cdelt1_arcsec"], combo["cdelt2_arcsec"], xp=np)
+                nx0, ny0 = spherical_project(
+                    x3, yy, zz, combo["dist"], combo["roll"], x0, y0,
+                    combo["cdelt1_arcsec"], combo["cdelt2_arcsec"], xp=np)
+
+                # exact constant displacement in small-pixel space per lag
+                roll_r = np.radians(combo["roll"])
+                cos_r, sin_r = np.cos(roll_r), np.sin(roll_r)
+                csx = -(cos_r * dc1 + sin_r * dc2) / combo["cdelt1_arcsec"]
+                csy = -(-sin_r * dc1 + cos_r * dc2) / combo["cdelt2_arcsec"]
+
+                # conjugate to grid space at the probe points
+                px = nx0[pr[:, 0], pr[:, 1]][None, :] + csx[:, None]  # (L, 5)
+                py = ny0[pr[:, 0], pr[:, 1]][None, :] + csy[:, None]
+                if not np.isfinite(px).all():
+                    return None
+                lon_r2, lat2 = spherical_unproject(px, py, combo)
+                # undo the differential rotation at the unprojected latitude
+                lon2 = lon_r2 + diff_rot_shift_deg(lat2, delta_t, rate_wave)
+                gx = (lon2 - lon1d0) / dlon_step
+                gy = (lat2 - lat1d0) / dlat_step
+                c = np.stack([gx - pr[:, 1][None, :],
+                              gy - pr[:, 0][None, :]], axis=-1)  # (L, 5, 2)
+                center = c[:, 0, :]
+                spread = float(np.max(np.abs(c - center[:, None, :])))
+
+                warped = _sample_np(small_img, nx0, ny0, order, compute_dtype)
+                r = fast_corr.evaluate_from_displacements(
+                    warped, ref_img, center, spread,
+                    order=order, compute_dtype=compute_dtype)
+                if r is None:
+                    return None
+                out[:, :, i3, i4, i5] = r.reshape(len(l1), len(l2))
+    return out
+
+
+def _sample_np(img, x, y, order, compute_dtype):
+    out = _sample_jit(jnp.asarray(img, dtype=compute_dtype),
+                      jnp.asarray(x, dtype=compute_dtype),
+                      jnp.asarray(y, dtype=compute_dtype), order)
+    return np.asarray(out, dtype=np.float64)

@@ -261,9 +261,29 @@ def evaluate_crval_grid_fast(
 
     c, spread = displacement_per_lag(base_params, lags, lon, lat, kind,
                                      grid=grid_params)
+    r = evaluate_from_displacements(
+        small_img, ref_img, c, spread,
+        order=order, compute_dtype=compute_dtype,
+    )
+    if r is None:
+        return None
+    return r.reshape(len(l1), len(l2))
+
+
+def evaluate_from_displacements(small_img, ref_img, c, spread, *,
+                                order: int = 2, compute_dtype=jnp.float32):
+    """Masked Pearson for a list of constant pixel displacements ``c``
+    ((L, 2), x/y order) of the moving image relative to the comparison grid.
+
+    Returns the (L,) score vector, or None when the spread bound or the
+    frame-size precondition fails.  Shared core of the crval fast path, the
+    block fast path and the Carrington fast path.
+    """
     if spread > MAX_DISPLACEMENT_SPREAD_PX:
         return None
 
+    c = np.asarray(c, dtype=np.float64)
+    L = c.shape[0]
     # stencil base convention must match the resampler: k = floor(c + 0.5)
     dint = np.floor(c + 0.5).astype(np.int64)
     dfrac = c - dint  # in [-0.5, 0.5)
@@ -301,7 +321,7 @@ def evaluate_crval_grid_fast(
 
     wx = weights_1d(dfrac[:, 0])  # (L, ntap)
     wy = weights_1d(dfrac[:, 1])  # (L, ntap)
-    w2 = (wy[:, :, None] * wx[:, None, :]).reshape(len(lags), nt)  # (L, nt)
+    w2 = (wy[:, :, None] * wx[:, None, :]).reshape(L, nt)  # (L, nt)
 
     n = S[0]
     Sa = S[1]
@@ -309,7 +329,7 @@ def evaluate_crval_grid_fast(
     Sb = np.einsum("lt,tl->l", w2, S[3 : 3 + nt])
     Sab = np.einsum("lt,tl->l", w2, S[3 + nt : 3 + 2 * nt])
 
-    pair_w = np.zeros((len(lags), npairs))
+    pair_w = np.zeros((L, npairs))
     k = 0
     for i in range(nt):
         for j in range(i, nt):
@@ -320,5 +340,4 @@ def evaluate_crval_grid_fast(
     with np.errstate(invalid="ignore", divide="ignore"):
         num = Sab - Sa * Sb / n
         den = np.sqrt((Saa - Sa * Sa / n) * (Sbb - Sb * Sb / n))
-        r = num / den
-    return r.reshape(len(l1), len(l2))
+        return num / den

@@ -142,3 +142,27 @@ def test_block_fast_with_constant_nonzero_crota():
     assert np.unravel_index(np.nanargmax(block), block.shape) == \
         np.unravel_index(np.nanargmax(general), general.shape)
     np.testing.assert_allclose(block, general, atol=0.02)
+
+
+def test_carrington_fast_matches_general():
+    from euispice_coreg_tpu.engine import carrington as carr
+
+    dl, hl, ds, hs = fx.make_carrington_pair(true_shift_arcsec=(20.0, -10.0))
+    lonlims, latlims, shape = (115.0, 125.0), (-2.0, 8.0), (128, 128)
+    ref_img = carr.reproject_to_carrington(
+        dl, hl, lonlims, latlims, shape, d_solar_r=1.004,
+        reference_date=hl["DATE-OBS"], rate_wave="171",
+        compute_dtype="float64")
+    l1 = np.arange(0.0, 41.0, 5.0) / 3600.0
+    l2 = np.arange(-30.0, 11.0, 5.0) / 3600.0
+    kwargs = dict(d_solar_r=1.004, reference_date=hl["DATE-OBS"],
+                  rate_wave="171", order=2, compute_dtype="float64")
+    general = carr.evaluate_lag_grid_carrington(
+        ds, ref_img, hs, lonlims, latlims, shape,
+        l1, l2, [0.0], [0.0], [0.0], allow_fast=False, **kwargs)
+    fast = carr.evaluate_lag_grid_carrington(
+        ds, ref_img, hs, lonlims, latlims, shape,
+        l1, l2, [0.0], [0.0], [0.0], allow_fast=True, **kwargs)
+    assert np.unravel_index(np.nanargmax(fast), fast.shape) == \
+        np.unravel_index(np.nanargmax(general), general.shape)
+    np.testing.assert_allclose(fast, general, atol=0.05)
