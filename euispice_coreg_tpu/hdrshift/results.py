@@ -19,6 +19,13 @@ from ..core.header import correct_pointing_header
 from ..utils import units
 
 
+def _maybe_int(s: str):
+    try:
+        return int(s)
+    except ValueError:
+        return s
+
+
 def twoD_Gaussian(xy, amplitude, xo, yo, sigma_x, sigma_y, offset):
     """Same model as the reference (AlignmentResults.py:12-20)."""
     x, y = xy
@@ -147,6 +154,41 @@ class AlignmentResults:
             pa["lag_crota"][mi[4]],
         )
         return True
+
+    # ------------------------------------------------------------------
+    # persistence (framework extension: the reference has no checkpoint
+    # mechanism beyond callers saving the returned corr array, SURVEY.md 5)
+    # ------------------------------------------------------------------
+    def save(self, path: str):
+        """Persist the full result (corr hypercube + lags + provenance) to a
+        .npz checkpoint; reload with :meth:`AlignmentResults.load`."""
+        np.savez_compressed(
+            path,
+            corr=self.corr,
+            unit_lag=np.array(self.unit_lag),
+            image_to_align_path=np.array(str(self.image_to_align_path)),
+            image_to_align_window=np.array(str(self.image_to_align_window)),
+            reference_image_path=np.array(str(self.reference_image_path)),
+            reference_image_window=np.array(str(self.reference_image_window)),
+            **{k: v for k, v in self.parameters_alignment.items()},
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "AlignmentResults":
+        z = np.load(path, allow_pickle=False)
+        return cls(
+            corr=z["corr"],
+            lag_crval1=z["lag_crval1"],
+            lag_crval2=z["lag_crval2"],
+            lag_cdelt1=z["lag_cdelt1"],
+            lag_cdelt2=z["lag_cdelt2"],
+            lag_crota=z["lag_crota"],
+            unit_lag=str(z["unit_lag"]),
+            image_to_align_path=str(z["image_to_align_path"]),
+            image_to_align_window=_maybe_int(str(z["image_to_align_window"])),
+            reference_image_path=str(z["reference_image_path"]),
+            reference_image_window=_maybe_int(str(z["reference_image_window"])),
+        )
 
     # ------------------------------------------------------------------
     def write_corrected_fits(
