@@ -273,19 +273,28 @@ class Alignment:
 
     def _run_projected_search(self, wrap: bool):
         """Shared helioprojective / initial-carrington search body."""
+        from ..utils.obs import logger, timed
+
         small_params = wcs_params_from_header(self.hdr_small)
         large_params = wcs_params_from_header(self.hdr_large)
         kind = small_params.kind
+
+        if self.display_progress_bar:
+            from ..utils.obs import enable_console_logging
+
+            enable_console_logging()
 
         # world coordinates of the comparison grid = the small image's own
         # grid (submap step, alignment.py:987-1016)
         lon, lat = coords.header_world_grid(self.hdr_small, wrap=wrap and kind == "tan")
 
         # ONE-TIME: reference image resampled onto that grid
-        xg, yg = coords.world_to_pixel_of_header(self.hdr_large, lon, lat)
-        ref_img = lag_search.resample_to_grid(
-            self.data_large, xg, yg, order=self.order, compute_dtype=self.compute_dtype
-        )
+        with timed("submap (reference image -> comparison grid)"):
+            xg, yg = coords.world_to_pixel_of_header(self.hdr_large, lon, lat)
+            ref_img = lag_search.resample_to_grid(
+                self.data_large, xg, yg, order=self.order,
+                compute_dtype=self.compute_dtype,
+            )
 
         l1, l2, l3, l4, l5 = self._lags_deg(wrap=wrap)
         base = {**small_params.as_dict(), "crota": get_crota(self.hdr_small)}
@@ -296,7 +305,17 @@ class Alignment:
             allow_fast = "block"
         else:  # auto
             allow_fast = "block" if n_lags > 2000 else True
-        corr5 = lag_search.evaluate_lag_grid(
+        logger.info("lag search: %d candidates, mode=%s, order=%d",
+                    n_lags * len(self.lag_solar_r), self.lag_search_mode, self.order)
+        with timed(f"lag-grid search ({n_lags} candidates)"):
+            corr5 = self._evaluate(lon, lat, base, l1, l2, l3, l4, l5, kind,
+                                   allow_fast, ref_img)
+        # helioprojective ignores lag_solar_r: replicate across the 6th axis
+        return np.repeat(corr5[..., np.newaxis], len(self.lag_solar_r), axis=-1)
+
+    def _evaluate(self, lon, lat, base, l1, l2, l3, l4, l5, kind, allow_fast,
+                  ref_img):
+        return lag_search.evaluate_lag_grid(
             self.data_small,
             ref_img,
             lon,
@@ -311,8 +330,6 @@ class Alignment:
             mesh=self.mesh,
             allow_fast=allow_fast,
         )
-        # helioprojective ignores lag_solar_r: replicate across the 6th axis
-        return np.repeat(corr5[..., np.newaxis], len(self.lag_solar_r), axis=-1)
 
     def align_using_carrington(
         self,

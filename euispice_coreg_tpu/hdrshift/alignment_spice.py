@@ -417,6 +417,11 @@ class AlignementSpiceIterativeContextRaster(AlignmentSpice):
         l1d, l2d, l3d, l4d, l5d = self._lags_deg(wrap=True)
         shape = (len(l1d), len(l2d), len(l3d), len(l4d), len(l5d))
         corr = np.zeros(shape)
+        from ..utils.obs import Progress
+
+        progress = Progress(total=len(l1d) * len(l2d) * len(self.lag_crota),
+                            label="iterative context-raster lag search",
+                            enabled=self.display_progress_bar)
         for i1, d1 in enumerate(l1d):
             for i2, d2 in enumerate(l2d):
                 for i5, d5 in enumerate(self.lag_crota):
@@ -451,6 +456,7 @@ class AlignementSpiceIterativeContextRaster(AlignmentSpice):
                         "correlation" if method == "correlation" else method
                     ](jnp.asarray(data_large), jnp.asarray(small_i))
                     corr[i1, i2, 0, 0, i5] = float(val)
+                    progress.step()
         corr6 = corr[..., np.newaxis]
         if return_type == "corr":
             return corr6

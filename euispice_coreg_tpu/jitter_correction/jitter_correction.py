@@ -71,6 +71,12 @@ def jitter_correction_imagers(
     sublists = [idx[n : n + sublist_length + overlap]
                 for n in range(0, len(idx), sublist_length)]
 
+    from ..utils.obs import Progress, logger
+
+    progress = Progress(total=max(len(list_files_input) - 1, 1),
+                        label="jitter correction")
+    logger.info("jitter correction: %d frames in %d sublists",
+                len(list_files_input), len(sublists))
     results_all = {}
     for ii, sub in enumerate(sublists):
         index_ref = int(sub[0])
@@ -110,6 +116,7 @@ def jitter_correction_imagers(
                 path_to_l3_output=os.path.join(path_files_output, basename_new),
             )
             results_all[index_to_align] = results
+            progress.step()
     return results_all
 
 

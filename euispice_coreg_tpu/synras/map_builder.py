@@ -233,8 +233,11 @@ class SPICEComposedMapBuilder(ComposedMapBuilder):
     (map_builder.py:240-349)."""
 
     def _prepare_spectro_data(self, hdr_spice, keep_original_imager_pixel_size, level):
+        if level == 3:
+            return self._prepare_spectro_data_l3(
+                hdr_spice, keep_original_imager_pixel_size)
         if level != 2:
-            raise NotImplementedError("only L2 SPICE input is supported")
+            raise ValueError("level must be 2 or 3")
         w = NDWCS.from_header(hdr_spice)
         naxis1 = int(hdr_spice["NAXIS1"])
         naxis2 = int(hdr_spice["NAXIS2"])
@@ -280,3 +283,44 @@ class SPICEComposedMapBuilder(ComposedMapBuilder):
 
         naxis_long = len(xs)
         return hdr_im, lat, lon, naxis1, naxis2, naxis_long, utc_cols
+
+    def _prepare_spectro_data_l3(self, hdr_spice, keep_original_imager_pixel_size):
+        """L3 SPICE input: axes (coeff, x, y, t) with the coefficient axis
+        first in FITS order (map_builder.py:295-348)."""
+        from ..io import fits
+
+        w = NDWCS.from_header(hdr_spice)
+        w_xyt = w.dropaxis(0)  # drop coefficient axis
+        ilon = w_xyt.axis_index("HPLN")
+        ilat = w_xyt.axis_index("HPLT")
+        it = w_xyt.axis_index("UTC")
+        naxis1 = int(hdr_spice[f"NAXIS{ilon + 2}"])  # +1 for drop, +1 FITS
+        naxis2 = int(hdr_spice[f"NAXIS{ilat + 2}"])
+
+        hdul_im = fits.open(self.list_imager_paths[0])
+        hdr_im = hdul_im[self.window_imager].header.copy()
+        if keep_original_imager_pixel_size:
+            step_x = hdr_im["CDELT1"] / hdr_spice[f"CDELT{ilon + 2}"]
+            step_y = hdr_im["CDELT2"] / hdr_spice[f"CDELT{ilat + 2}"]
+            xs = np.arange(0, naxis1, step_x)
+            ys = np.arange(0, naxis2, step_y)
+        else:
+            xs = np.arange(naxis1, dtype=np.float64)
+            ys = np.arange(naxis2, dtype=np.float64)
+        xg, yg = np.meshgrid(xs, ys)
+
+        w_spatial = w_xyt.copy()
+        w_spatial.set_pc(it, ilon, 0.0)
+        w_xy = w_spatial.dropaxis(it)
+        self.hdr_spice_ = w_xy.to_header()
+        p = wcs_params_from_header(self.hdr_spice_)
+        lon, lat = wcs2d.pixel_to_world(p.as_dict(), xg, yg, kind=p.kind, xp=np)
+        lon = units.ang2pipi_deg(lon)
+        lat = units.ang2pipi_deg(lat)
+
+        qx = xs + 1.0 - w_xyt.crpix[ilon]
+        qt = 1.0 - w_xyt.crpix[it]
+        tsec = (w_xyt.crval[it]
+                + w_xyt.cdelt[it] * (w_xyt.pc[it, ilon] * qx + w_xyt.pc[it, it] * qt))
+        utc_cols = w_xyt.time_origin_seconds() + tsec
+        return hdr_im, lat, lon, naxis1, naxis2, len(xs), utc_cols
