@@ -22,6 +22,7 @@ Orders 0..3 are supported; the reference default is order=2
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -106,6 +107,115 @@ def _mirror(idx, n):
     period = 2 * n - 2
     idx = jnp.abs(idx) % period
     return jnp.where(idx >= n, period - idx, idx)
+
+
+def sample_image_select(image_padded, x, y, order: int, shift_x, shift_y,
+                        residual_bound: int, pad: int, h: int, w: int,
+                        cval=jnp.nan):
+    """Gather-free equivalent of :func:`sample_image` for near-translation
+    coordinate fields.
+
+    The TPU's hardware gather unit runs at ~7 cycles/element, so the generic
+    engine's per-lag resample dominated everything.  When the coordinate
+    field decomposes as ``c = index + global_shift + residual`` with
+    ``|residual| <= residual_bound`` (true for every header-lag warp: the lag
+    moves the whole image, rotation/scale residuals are bounded), the sample
+    is an exact masked sum over statically-shifted slices — pure VPU work.
+
+    Args:
+      image_padded: the source image mirror-padded by ``pad`` on both axes
+        (``jnp.pad(img, pad, mode="reflect")``), which reproduces scipy's
+        mirror tap extension exactly (see :func:`sample_image`).
+      x, y: absolute sample coordinates into the ORIGINAL (h, w) image.
+      shift_x, shift_y: per-call (dynamic) integer global shifts; residuals
+        relative to them must stay within ``residual_bound``.
+      residual_bound, pad: static ints; ``pad >= |shift| + residual_bound + 2``
+        must hold (caller-checked).
+      h, w: original image size (static).
+
+    Output elements whose coordinate is NaN, outside ``[0, n-1]``, or whose
+    residual exceeds the bound are ``cval``.
+    """
+    m = int(residual_bound)
+    moff = m + 2  # margin covering stencil taps
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    out_shape = jnp.broadcast_shapes(x.shape, y.shape)
+    oh, ow = out_shape
+
+    # working window: w0[a, b] = img_mirror[a - moff + shift_y, b - moff + shift_x]
+    start_y = pad + shift_y - moff
+    start_x = pad + shift_x - moff
+    w0 = jax.lax.dynamic_slice(
+        image_padded, (start_y, start_x), (oh + 2 * moff, ow + 2 * moff)
+    )
+
+    jj = jax.lax.broadcasted_iota(jnp.int32, out_shape, 1)
+    ii = jax.lax.broadcasted_iota(jnp.int32, out_shape, 0)
+
+    invalid = (
+        jnp.isnan(x) | jnp.isnan(y)
+        | (x < 0) | (x > w - 1) | (y < 0) | (y > h - 1)
+    )
+    xs = jnp.where(invalid, jj.astype(x.dtype), x)
+    ys = jnp.where(invalid, ii.astype(y.dtype), y)
+
+    if order == 2:
+        kx = jnp.floor(xs + 0.5).astype(jnp.int32)
+        ky = jnp.floor(ys + 0.5).astype(jnp.int32)
+        tap_lo, n_taps = -1, 3
+    elif order == 1:
+        kx = jnp.floor(xs).astype(jnp.int32)
+        ky = jnp.floor(ys).astype(jnp.int32)
+        tap_lo, n_taps = 0, 2
+    elif order == 0:
+        kx = jnp.floor(xs + 0.5).astype(jnp.int32)
+        ky = jnp.floor(ys + 0.5).astype(jnp.int32)
+        tap_lo, n_taps = 0, 1
+    else:
+        raise NotImplementedError(f"order {order} (use 0, 1 or 2)")
+
+    tx = xs - kx
+    ty = ys - ky
+    _, wx_list = _taps_and_weights(xs, order)
+    _, wy_list = _taps_and_weights(ys, order)
+
+    rx = kx - jj - shift_x  # integer residual, in [-m, m] when valid
+    ry = ky - ii - shift_y
+    res_ok = (jnp.abs(rx) <= m) & (jnp.abs(ry) <= m)
+    invalid = invalid | ~res_ok
+    rx = jnp.clip(rx, -m, m)
+    ry = jnp.clip(ry, -m, m)
+
+    dtype = image_padded.dtype
+    zero = jnp.zeros(out_shape, dtype=dtype)
+
+    # stage over row offsets r = ry + ay: column-mix each needed row window,
+    # then y-mix with masked selection.  All w0 accesses are static slices.
+    def col_mixed_row(r):
+        acc = zero
+        for ox in range(-m, m + 1):
+            mask_x = rx == ox
+            inner = zero
+            for ax in range(n_taps):
+                sl = w0[moff + r : moff + r + oh,
+                        moff + ox + tap_lo + ax : moff + ox + tap_lo + ax + ow]
+                inner = inner + wx_list[ax].astype(dtype) * sl
+            acc = jnp.where(mask_x, inner, acc)
+        return acc
+
+    rows = {r: col_mixed_row(r)
+            for r in range(-m + tap_lo, m + tap_lo + n_taps)}
+
+    out = zero
+    for oy in range(-m, m + 1):
+        mask_y = ry == oy
+        mixed = zero
+        for ay in range(n_taps):
+            mixed = mixed + wy_list[ay].astype(dtype) * rows[oy + tap_lo + ay]
+        out = jnp.where(mask_y, mixed, out)
+
+    return jnp.where(invalid, cval, out)
 
 
 def interpol2d(image, x, y, fill=jnp.nan, order: int = 2, dst=None):

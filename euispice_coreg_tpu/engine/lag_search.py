@@ -78,6 +78,30 @@ def _score_one_lag(d, small_img, ref_img, lon, lat, base, order, method, kind):
     return score.SCORE_FUNCTIONS[method](ref_img, sampled)
 
 
+def _score_one_lag_select(d, shift, small_padded, ref_img, lon, lat, base,
+                          order, method, kind, residual_bound, pad, h, w):
+    """Gather-free per-lag scorer: exact :func:`_score_one_lag` semantics via
+    the shift-and-select sampler (per-lag integer shift precomputed on host)."""
+    params = apply_lag_to_params(base, d)
+    x, y = wcs.world_to_pixel(params, lon, lat, kind=kind)
+    sampled = resample.sample_image_select(
+        small_padded, x, y, order, shift[0], shift[1],
+        residual_bound=residual_bound, pad=pad, h=h, w=w,
+    )
+    return score.SCORE_FUNCTIONS[method](ref_img, sampled)
+
+
+@partial(jax.jit, static_argnames=("order", "method", "kind", "batch_size",
+                                   "residual_bound", "pad", "h", "w"))
+def _evaluate_flat_select(lags, shifts, small_padded, ref_img, lon, lat, base,
+                          order, method, kind, batch_size, residual_bound,
+                          pad, h, w):
+    f = lambda args: _score_one_lag_select(
+        args[0], args[1], small_padded, ref_img, lon, lat, base,
+        order, method, kind, residual_bound, pad, h, w)
+    return jax.lax.map(f, (lags, shifts), batch_size=batch_size)
+
+
 @partial(jax.jit, static_argnames=("order", "method", "kind", "batch_size"))
 def _evaluate_flat(lags, small_img, ref_img, lon, lat, base, order, method, kind, batch_size):
     f = lambda d: _score_one_lag(d, small_img, ref_img, lon, lat, base, order, method, kind)
@@ -179,7 +203,33 @@ def evaluate_lag_grid(
     base_d = {k: jnp.asarray(v, dtype=compute_dtype) for k, v in base_params.items()}
     lags_d = jnp.asarray(lags, dtype=compute_dtype)
 
-    if mesh is None:
+    # gather-free select path: exact same numerics, ~100x faster on TPU
+    # (the hardware gather unit is ~7 cycles/element).  Applicable when the
+    # per-lag warp is a bounded-residual translation of the grid — true for
+    # every helioprojective/CAR header-lag search with same-grid sampling.
+    select_cfg = None
+    if order in (0, 1, 2) and np.shape(small_img) == np.shape(ref_img):
+        c, spread = _displacements_full(
+            base_params, lags, np.asarray(lon), np.asarray(lat), kind)
+        m_resid = int(np.ceil(spread)) + 1
+        shifts = np.floor(c + 0.5).astype(np.int32)
+        g_bound = int(np.max(np.abs(shifts))) if shifts.size else 0
+        h_img, w_img = np.shape(small_img)
+        pad = g_bound + m_resid + 2
+        if m_resid <= 16 and pad <= min(h_img, w_img) - 1:
+            select_cfg = (shifts, m_resid, pad, h_img, w_img)
+
+    if select_cfg is not None and mesh is None:
+        shifts, m_resid, pad, h_img, w_img = select_cfg
+        small_padded = jnp.pad(small_d, pad, mode="reflect")
+        out = _evaluate_flat_select(
+            lags_d, jnp.asarray(shifts), small_padded, ref_d, lon_d, lat_d,
+            base_d, order=order, method=method, kind=kind,
+            batch_size=batch_size, residual_bound=m_resid, pad=pad,
+            h=h_img, w=w_img,
+        )
+        out = np.asarray(out)[:n_lags]
+    elif mesh is None:
         out = _evaluate_flat(
             lags_d, small_d, ref_d, lon_d, lat_d, base_d,
             order=order, method=method, kind=kind, batch_size=batch_size,
@@ -198,6 +248,43 @@ def evaluate_lag_grid(
         out = np.asarray(out)[:n_lags]
 
     return out.astype(np.float64).reshape(shape)
+
+
+def _displacements_full(base: dict, lags: np.ndarray, lon, lat, kind: str):
+    """Per-lag pixel displacement (center value + probe spread) under the
+    FULL 5-vector lag (crval1/2, cdelt1/2, crota), float64 host math.
+
+    The spread bounds the non-translation residual of the warp — rotation
+    and scale lags make it grow with the field of view."""
+    h, w = lon.shape
+    probes = [(h // 2, w // 2), (0, 0), (0, w - 1), (h - 1, 0), (h - 1, w - 1)]
+    pl = np.array([lon[i, j] for i, j in probes], dtype=np.float64)
+    pb = np.array([lat[i, j] for i, j in probes], dtype=np.float64)
+    px0 = np.array([j for _, j in probes], dtype=np.float64)
+    py0 = np.array([i for i, _ in probes], dtype=np.float64)
+
+    crval1 = base["crval1"] + lags[:, 0]
+    crval2 = base["crval2"] + lags[:, 1]
+    cdelt1 = base["cdelt1"] + lags[:, 2]
+    cdelt2 = base["cdelt2"] + lags[:, 3]
+    crota = base["crota"] + lags[:, 4]
+    rebuild = (lags[:, 2] != 0) | (lags[:, 3] != 0) | (lags[:, 4] != 0)
+    rho = np.deg2rad(crota)
+    lam = cdelt2 / cdelt1
+    p = {
+        "crval1": crval1[:, None], "crval2": crval2[:, None],
+        "crpix1": float(base["crpix1"]), "crpix2": float(base["crpix2"]),
+        "cdelt1": cdelt1[:, None], "cdelt2": cdelt2[:, None],
+        "pc11": np.where(rebuild, np.cos(rho), base["pc11"])[:, None],
+        "pc12": np.where(rebuild, -lam * np.sin(rho), base["pc12"])[:, None],
+        "pc21": np.where(rebuild, np.sin(rho) / lam, base["pc21"])[:, None],
+        "pc22": np.where(rebuild, np.cos(rho), base["pc22"])[:, None],
+    }
+    bx, by = wcs.world_to_pixel(p, pl[None, :], pb[None, :], kind=kind, xp=np)
+    cs = np.stack([bx - px0[None, :], by - py0[None, :]], axis=-1)  # (L, 5, 2)
+    center = cs[:, 0, :]
+    spread = float(np.max(np.abs(cs - center[:, None, :]))) if cs.size else 0.0
+    return center, spread
 
 
 def _apply_lag_to_params_np(base: dict, d5: np.ndarray) -> dict:

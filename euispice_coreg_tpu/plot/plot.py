@@ -327,10 +327,49 @@ def plot_co_alignment(
     data_al = np.asarray(al.data, dtype=np.float64)
     data_ref = np.asarray(ref.data, dtype=np.float64)
     levels = [np.nanpercentile(data_al, levels_percentile)]
-    if type_plot in ("compare_plot", "successive_plot"):
+    if type_plot == "compare_plot":
         fig = compare_plot(
             ref.header, data_ref, hdr_before, data_al, hdr_after, data_al,
             path_save=path_save_figure, show=show, levels=levels,
         )
         return fig
+    if type_plot == "successive_plot":
+        return successive_plot(
+            ref.header, data_ref, hdr_before, hdr_after, data_al,
+            path_save=path_save_figure, show=show, levels=levels,
+        )
     raise NotImplementedError(f"type_plot={type_plot!r}")
+
+
+def successive_plot(hdr_ref, data_ref, hdr_before, hdr_after, data_al,
+                    path_save=None, show=False, levels=None, norm=None):
+    """Three-panel figure: the image to align, then the reference with its
+    contours before and after the pointing correction (the reference's
+    'successive_plot' mode, plot.py:607-925)."""
+    from matplotlib import pyplot as plt
+    from matplotlib.gridspec import GridSpec
+
+    fig = plt.figure(figsize=(14, 5))
+    gs = GridSpec(1, 4, width_ratios=[1, 1, 1, 0.08], wspace=0.35)
+    ax0 = fig.add_subplot(gs[0])
+    ax1 = fig.add_subplot(gs[1])
+    ax2 = fig.add_subplot(gs[2])
+    ax_cbar = fig.add_subplot(gs[3])
+
+    simple_plot(hdr_before, data_al, fig=fig, ax=ax0, show=False,
+                plot_colorbar=False, norm=norm)
+    ax0.set_title("image to align")
+    contour_plot(hdr_ref, data_ref, hdr_before, data_al, fig=fig, ax=ax1,
+                 show=False, plot_colorbar=False, levels=levels, norm=norm,
+                 show_ylabel=False)
+    ax1.set_title("before correction")
+    im = contour_plot(hdr_ref, data_ref, hdr_after, data_al, fig=fig, ax=ax2,
+                      show=False, plot_colorbar=False, levels=levels,
+                      norm=norm, show_ylabel=False)
+    ax2.set_title("after correction")
+    fig.colorbar(im, cax=ax_cbar, label=hdr_ref.get("BUNIT", ""))
+    if show:
+        fig.show()
+    if path_save is not None:
+        fig.savefig(path_save)
+    return fig

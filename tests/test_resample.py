@@ -86,3 +86,83 @@ def test_float32_path(image):
     ours = np.asarray(resample.sample_image(img32, x, y, order=2))
     ref = scipy_ref(image, x.astype(np.float64), y.astype(np.float64), 2)
     np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# gather-free select sampler
+# ---------------------------------------------------------------------------
+
+def select_sample(image, x, y, order, m=4, pad=None):
+    import jax.numpy as jnp
+
+    h, w = image.shape
+    jj, ii = np.meshgrid(np.arange(x.shape[1]), np.arange(x.shape[0]))
+    dx = np.where(np.isfinite(x), x - jj, 0.0)
+    dy = np.where(np.isfinite(y), y - ii, 0.0)
+    sx = int(np.round(np.median(dx)))
+    sy = int(np.round(np.median(dy)))
+    if pad is None:
+        pad = max(abs(sx), abs(sy)) + m + 2
+    pad = min(pad, min(h, w) - 1)
+    padded = jnp.pad(jnp.asarray(image), pad, mode="reflect")
+    return np.asarray(resample.sample_image_select(
+        padded, x, y, order, sx, sy, residual_bound=m, pad=pad, h=h, w=w))
+
+
+@pytest.mark.parametrize("order", [0, 1, 2])
+def test_select_sampler_matches_gather_translation(image, order):
+    h, w = image.shape
+    x, y = np.meshgrid(np.arange(w, dtype=np.float64), np.arange(h, dtype=np.float64))
+    x = x + 3.4
+    y = y - 2.7
+    ref = np.asarray(resample.sample_image(image, x, y, order=order))
+    got = select_sample(image, x, y, order)
+    np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-12, equal_nan=True)
+
+
+@pytest.mark.parametrize("order", [1, 2])
+def test_select_sampler_matches_gather_rotation(image, order):
+    """Small rotation + shift: residual field within the bound."""
+    h, w = image.shape
+    jj, ii = np.meshgrid(np.arange(w, dtype=np.float64), np.arange(h, dtype=np.float64))
+    th = np.deg2rad(1.5)
+    cx, cy = w / 2, h / 2
+    x = cx + (jj - cx) * np.cos(th) - (ii - cy) * np.sin(th) + 5.2
+    y = cy + (jj - cx) * np.sin(th) + (ii - cy) * np.cos(th) - 4.1
+    ref = np.asarray(resample.sample_image(image, x, y, order=order))
+    got = select_sample(image, x, y, order, m=4)
+    np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-12, equal_nan=True)
+
+
+def test_select_sampler_nan_and_oob(image):
+    h, w = image.shape
+    x, y = np.meshgrid(np.arange(w, dtype=np.float64), np.arange(h, dtype=np.float64))
+    x = x + 30.0  # pushes right part out of range
+    x[3, 3] = np.nan
+    ref = np.asarray(resample.sample_image(image, x, y, order=2))
+    got = select_sample(image, x, y, order=2)
+    np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-12, equal_nan=True)
+
+
+def test_select_sampler_nan_pixels(image):
+    img = image.copy()
+    img[12, 17] = np.nan
+    h, w = img.shape
+    x, y = np.meshgrid(np.arange(w, dtype=np.float64), np.arange(h, dtype=np.float64))
+    x = x + 0.3
+    y = y + 0.6
+    ref = np.asarray(resample.sample_image(img, x, y, order=2))
+    got = select_sample(img, x, y, order=2)
+    np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-12, equal_nan=True)
+
+
+def test_select_sampler_residual_exceeded_marks_invalid(image):
+    h, w = image.shape
+    x, y = np.meshgrid(np.arange(w, dtype=np.float64), np.arange(h, dtype=np.float64))
+    x[5, 5] += 30.0  # single outlier beyond the residual bound
+    got = select_sample(image, x, y, order=2, m=2)
+    assert np.isnan(got[5, 5])
+    ref = np.asarray(resample.sample_image(image, x, y, order=2))
+    mask = np.ones_like(got, dtype=bool)
+    mask[5, 5] = False
+    np.testing.assert_allclose(got[mask], ref[mask], rtol=1e-12, equal_nan=True)
