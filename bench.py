@@ -123,7 +123,59 @@ def cpu_reference_per_lag(small_img, ref_img, lon, lat, base):
     return min(times)
 
 
+def run_full_api(tmp_dir, small_img, ref_img, base):
+    """End-to-end through the public Alignment API: FITS read, submap,
+    121x121 lag search, results object."""
+    from euispice_coreg_tpu.core.header import Header, pc_from_crota
+    from euispice_coreg_tpu.hdrshift import Alignment
+    from euispice_coreg_tpu.io import fits
+
+    def make_hdr(params):
+        pc = (params["pc11"], params["pc12"], params["pc21"], params["pc22"])
+        return Header({
+            "NAXIS1": N_SMALL, "NAXIS2": N_SMALL,
+            "CRVAL1": params["crval1"] * 3600.0, "CRVAL2": params["crval2"] * 3600.0,
+            "CRPIX1": params["crpix1"], "CRPIX2": params["crpix2"],
+            "CDELT1": params["cdelt1"] * 3600.0, "CDELT2": params["cdelt2"] * 3600.0,
+            "CUNIT1": "arcsec", "CUNIT2": "arcsec",
+            "CTYPE1": "HPLN-TAN", "CTYPE2": "HPLT-TAN",
+            "CROTA": params["crota"],
+            "PC1_1": pc[0], "PC1_2": pc[1], "PC2_1": pc[2], "PC2_2": pc[3],
+        })
+
+    ref_params = dict(base)
+    ref_params["crval1"] = base["crval1"] + 8.0 / 3600.0  # truth
+    p_large = f"{tmp_dir}/bench_large.fits"
+    p_small = f"{tmp_dir}/bench_small.fits"
+    fits.write(p_large, [fits.PrimaryHDU(data=ref_img.astype(np.float32),
+                                         header=make_hdr(ref_params))])
+    fits.write(p_small, [fits.PrimaryHDU(data=small_img.astype(np.float32),
+                                         header=make_hdr(base))])
+
+    step = 0.5
+    lag = (np.arange(GRID) - GRID // 2) * step
+
+    def run():
+        A = Alignment(
+            large_fov_known_pointing=p_large, small_fov_to_correct=p_small,
+            lag_crval1=lag, lag_crval2=lag,
+            lag_cdelt1=None, lag_cdelt2=None, lag_crota=None,
+            small_fov_window=0, large_fov_window=0,
+        )
+        return A.align_using_helioprojective(return_type="corr")
+
+    corr = run()  # warm compile
+    t0 = time.perf_counter()
+    corr = run()
+    t1 = time.perf_counter()
+    mi = np.unravel_index(np.nanargmax(corr), corr.shape)
+    assert abs(lag[mi[0]] - 8.0) < 1.0, f"API argmax off: {lag[mi[0]]}"
+    return t1 - t0
+
+
 def main():
+    import tempfile
+
     small_img, ref_img, lon, lat, base = synthesize_pair()
     small32 = small_img.astype(np.float32)
     ref32 = ref_img.astype(np.float32)
@@ -133,6 +185,9 @@ def main():
     t_tpu, _ = run_tpu(small32, ref32, lon32, lat32, base)
     n_lags = GRID * GRID
     evals_per_sec = n_lags / t_tpu
+
+    with tempfile.TemporaryDirectory() as td:
+        t_api = run_full_api(td, small_img, ref_img, base)
 
     t_cpu_lag = cpu_reference_per_lag(small_img, ref_img, lon, lat, base)
     t_cpu_total = t_cpu_lag * n_lags / CPU_BASELINE_PROCS
@@ -144,6 +199,7 @@ def main():
         "unit": "evals/s",
         "vs_baseline": round(speedup, 2),
         "wall_clock_s": round(t_tpu, 4),
+        "end_to_end_api_s": round(t_api, 4),
         "cpu_baseline_s_20core_est": round(t_cpu_total, 2),
     }))
 

@@ -72,12 +72,7 @@ def displacement_per_lag(base: dict, lags_deg: np.ndarray, lon, lat, kind: str,
     Returns (c, spread): c (L, 2) at the grid center; spread = max over probe
     points and lags of |c(probe) - c(center)| (constancy check).
     """
-    h, w = lon.shape
-    probes = [(h // 2, w // 2), (0, 0), (0, w - 1), (h - 1, 0), (h - 1, w - 1)]
-    pl = np.array([lon[i, j] for i, j in probes], dtype=np.float64)
-    pb = np.array([lat[i, j] for i, j in probes], dtype=np.float64)
-    px0 = np.array([j for _, j in probes], dtype=np.float64)
-    py0 = np.array([i for i, _ in probes], dtype=np.float64)
+    pl, pb, px0, py0 = lag_search.probe_values(lon, lat)
 
     # batch all lags at once: WCS params broadcast as (L, 1) against (probes,)
     p = {k: np.float64(v) for k, v in base.items()}

@@ -256,12 +256,7 @@ def _displacements_full(base: dict, lags: np.ndarray, lon, lat, kind: str):
 
     The spread bounds the non-translation residual of the warp — rotation
     and scale lags make it grow with the field of view."""
-    h, w = lon.shape
-    probes = [(h // 2, w // 2), (0, 0), (0, w - 1), (h - 1, 0), (h - 1, w - 1)]
-    pl = np.array([lon[i, j] for i, j in probes], dtype=np.float64)
-    pb = np.array([lat[i, j] for i, j in probes], dtype=np.float64)
-    px0 = np.array([j for _, j in probes], dtype=np.float64)
-    py0 = np.array([i for i, _ in probes], dtype=np.float64)
+    pl, pb, px0, py0 = probe_values(lon, lat)
 
     crval1 = base["crval1"] + lags[:, 0]
     crval2 = base["crval2"] + lags[:, 1]
@@ -324,15 +319,18 @@ def _evaluate_block_fast(small_img, ref_img, lon, lat, base_params,
     from . import fast_corr
 
     out = np.zeros((len(l1), len(l2), len(l3), len(l4), len(l5)))
+    small_d = jnp.asarray(small_img, dtype=compute_dtype)
+    lon_d = jnp.asarray(lon, dtype=compute_dtype)
+    lat_d = jnp.asarray(lat, dtype=compute_dtype)
     for i3, d3 in enumerate(l3):
         for i4, d4 in enumerate(l4):
             for i5, d5 in enumerate(l5):
                 combo = _apply_lag_to_params_np(
                     base_params, np.array([0.0, 0.0, d3, d4, d5]))
-                x, y = wcs.world_to_pixel(combo, np.asarray(lon),
-                                          np.asarray(lat), kind=kind, xp=np)
-                warped = resample_to_grid(small_img, x, y, order=order,
-                                          compute_dtype=compute_dtype)
+                combo_d = {k: jnp.asarray(v, dtype=compute_dtype)
+                           for k, v in combo.items() if k != "crota"}
+                warped = _warp_by_params(small_d, lon_d, lat_d, combo_d,
+                                         kind, order)
                 block = fast_corr.evaluate_crval_grid_fast(
                     warped, ref_img, lon, lat, combo, l1, l2,
                     order=order, kind=kind, compute_dtype=compute_dtype,
@@ -344,15 +342,126 @@ def _evaluate_block_fast(small_img, ref_img, lon, lat, base_params,
     return out
 
 
+@partial(jax.jit, static_argnames=("h", "w", "kind", "wrap"))
+def compute_world_grid(small_params, h, w, kind, wrap):
+    """Device-side world coordinates of the comparison grid."""
+    x = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    y = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    lon, lat = wcs.pixel_to_world(small_params, x, y, kind=kind)
+    if wrap:
+        lon = wcs.ang2pipi_deg(lon)
+        lat = wcs.ang2pipi_deg(lat)
+    return lon, lat
+
+
+@partial(jax.jit, static_argnames=("h", "w", "kind", "wrap", "order", "m", "pad",
+                                   "h_src", "w_src"))
+def _submap_select_jit(padded_large, small_params, large_params, h, w, kind,
+                       wrap, order, sx, sy, m, pad, h_src, w_src):
+    """Submap via the gather-free select sampler (same-instrument pairs)."""
+    lon, lat = compute_world_grid(small_params, h, w, kind, wrap)
+    x, y = wcs.world_to_pixel(large_params, lon, lat, kind=kind)
+    ref = resample.sample_image_select(
+        padded_large, x, y, order, sx, sy, residual_bound=m, pad=pad,
+        h=h_src, w=w_src)
+    return lon, lat, ref
+
+
+@partial(jax.jit, static_argnames=("h", "w", "kind", "wrap", "order"))
+def prepare_grid_and_submap(data_large, small_params, large_params, h, w,
+                            kind, wrap, order):
+    """Device-side pipeline head: build the comparison grid's world
+    coordinates from the small header and resample the reference image onto
+    it (the submap step, alignment.py:987-1016) — no coordinate fields ever
+    cross host<->device.
+
+    Returns (lon, lat, ref_img) as device arrays of shape (h, w)."""
+    x = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    y = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    lon, lat = wcs.pixel_to_world(small_params, x, y, kind=kind)
+    if wrap:
+        lon = wcs.ang2pipi_deg(lon)
+        lat = wcs.ang2pipi_deg(lat)
+    xg, yg = wcs.world_to_pixel(large_params, lon, lat, kind=kind)
+    ref_img = resample.sample_image(data_large, xg, yg, order=order,
+                                    cval=jnp.nan)
+    return lon, lat, ref_img
+
+
+def probe_values(lon, lat):
+    """World coordinates at the 5 standard probe points (center + corners),
+    as float64 numpy — one tiny transfer when lon/lat live on device."""
+    h, w = lon.shape
+    pts = [(h // 2, w // 2), (0, 0), (0, w - 1), (h - 1, 0), (h - 1, w - 1)]
+    px0 = np.array([j for _, j in pts], dtype=np.float64)
+    py0 = np.array([i for i, _ in pts], dtype=np.float64)
+    if isinstance(lon, np.ndarray):
+        pl = np.array([lon[i, j] for i, j in pts], dtype=np.float64)
+        pb = np.array([lat[i, j] for i, j in pts], dtype=np.float64)
+    else:
+        ii = jnp.array([i for i, _ in pts])
+        jj = jnp.array([j for _, j in pts])
+        vals = np.asarray(jnp.stack([lon[ii, jj], lat[ii, jj]]),
+                          dtype=np.float64)
+        pl, pb = vals[0], vals[1]
+    return pl, pb, px0, py0
+
+
 def resample_to_grid(image, x, y, order=2, compute_dtype=jnp.float32):
     """One-shot device resample (used for the reference-image submap,
-    ``alignment.py:987-1016``)."""
+    ``alignment.py:987-1016``).
+
+    Routes through the gather-free select sampler when the coordinate field
+    is a bounded-residual translation (e.g. same-instrument jitter movies),
+    falling back to the hardware gather otherwise.
+    """
     img = jnp.asarray(image, dtype=compute_dtype)
+    x = np.asarray(x)
+    y = np.asarray(y)
+
+    cfg = None
+    if (order in (0, 1, 2) and x.ndim == 2
+            and np.shape(image) == x.shape == y.shape):
+        h, w = x.shape
+        pr = [(h // 2, w // 2), (0, 0), (0, w - 1), (h - 1, 0), (h - 1, w - 1)]
+        cx = np.array([x[i, j] - j for i, j in pr])
+        cy = np.array([y[i, j] - i for i, j in pr])
+        if np.isfinite(cx).all() and np.isfinite(cy).all():
+            sx = int(np.floor(cx[0] + 0.5))
+            sy = int(np.floor(cy[0] + 0.5))
+            spread = max(np.max(np.abs(cx - cx[0])), np.max(np.abs(cy - cy[0])))
+            m = int(np.ceil(spread)) + 1
+            pad = max(abs(sx), abs(sy)) + m + 2
+            if m <= 16 and pad <= min(h, w) - 1:
+                cfg = (sx, sy, m, pad, h, w)
+    if cfg is not None:
+        sx, sy, m, pad, h, w = cfg
+        out = _resample_select_jit(
+            jnp.pad(img, pad, mode="reflect"),
+            jnp.asarray(x, dtype=compute_dtype),
+            jnp.asarray(y, dtype=compute_dtype),
+            order, sx, sy, m, pad, h, w,
+        )
+        return np.asarray(out, dtype=np.float64)
+
     out = _resample_jit(img, jnp.asarray(x, dtype=compute_dtype),
                         jnp.asarray(y, dtype=compute_dtype), order)
     return np.asarray(out, dtype=np.float64)
 
 
+@partial(jax.jit, static_argnames=("order", "m", "pad", "h", "w"))
+def _resample_select_jit(padded, x, y, order, sx, sy, m, pad, h, w):
+    return resample.sample_image_select(
+        padded, x, y, order, sx, sy, residual_bound=m, pad=pad, h=h, w=w)
+
+
 @partial(jax.jit, static_argnames=("order",))
 def _resample_jit(img, x, y, order):
+    return resample.sample_image(img, x, y, order=order, cval=jnp.nan)
+
+
+@partial(jax.jit, static_argnames=("kind", "order"))
+def _warp_by_params(img, lon, lat, params, kind, order):
+    """Warp img onto the (lon, lat) grid through the given WCS, on device."""
+    x, y = wcs.world_to_pixel(params, lon, lat, kind=kind)
     return resample.sample_image(img, x, y, order=order, cval=jnp.nan)

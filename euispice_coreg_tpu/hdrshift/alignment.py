@@ -33,6 +33,7 @@ import warnings
 
 import numpy as np
 
+from ..core import wcs as wcs_mod
 from ..core.header import Header, ensure_pcij, get_crota, wcs_params_from_header
 from ..engine import carrington as carr_engine
 from ..engine import lag_search
@@ -284,17 +285,54 @@ class Alignment:
 
             enable_console_logging()
 
-        # world coordinates of the comparison grid = the small image's own
-        # grid (submap step, alignment.py:987-1016)
-        lon, lat = coords.header_world_grid(self.hdr_small, wrap=wrap and kind == "tan")
+        # world coordinates of the comparison grid (= the small image's own
+        # grid) and the reference-image submap (alignment.py:987-1016), both
+        # computed on device — coordinate fields never cross host<->device.
+        import jax.numpy as jnp
 
-        # ONE-TIME: reference image resampled onto that grid
+        do_wrap = wrap and kind == "tan"
+        h, w = self.data_small.shape
+        sp = {k: jnp.asarray(v, dtype=self.compute_dtype)
+              for k, v in small_params.as_dict().items()}
+        lp = {k: jnp.asarray(v, dtype=self.compute_dtype)
+              for k, v in large_params.as_dict().items()}
+
         with timed("submap (reference image -> comparison grid)"):
-            xg, yg = coords.world_to_pixel_of_header(self.hdr_large, lon, lat)
-            ref_img = lag_search.resample_to_grid(
-                self.data_large, xg, yg, order=self.order,
-                compute_dtype=self.compute_dtype,
-            )
+            select_cfg = None
+            if self.data_large.shape == (h, w) and self.order in (0, 1, 2):
+                # same-instrument pair (e.g. jitter movies): the submap warp
+                # is a bounded-residual translation -> gather-free sampler
+                px0 = np.array([w // 2, 0, w - 1, 0, w - 1], dtype=np.float64)
+                py0 = np.array([h // 2, 0, 0, h - 1, h - 1], dtype=np.float64)
+                pl, pb = wcs_mod.pixel_to_world(
+                    small_params.as_dict(), px0, py0, kind=kind, xp=np)
+                if do_wrap:
+                    pl = units.ang2pipi_deg(pl)
+                    pb = units.ang2pipi_deg(pb)
+                xg, yg = wcs_mod.world_to_pixel(
+                    large_params.as_dict(), pl, pb, kind=kind, xp=np)
+                cx, cy = xg - px0, yg - py0
+                if np.isfinite(cx).all() and np.isfinite(cy).all():
+                    sx = int(np.floor(cx[0] + 0.5))
+                    sy = int(np.floor(cy[0] + 0.5))
+                    spread = max(np.max(np.abs(cx - cx[0])),
+                                 np.max(np.abs(cy - cy[0])))
+                    m = int(np.ceil(spread)) + 1
+                    pad = max(abs(sx), abs(sy)) + m + 2
+                    if m <= 16 and pad <= min(h, w) - 1:
+                        select_cfg = (sx, sy, m, pad)
+            if select_cfg is not None:
+                sx, sy, m, pad = select_cfg
+                padded = jnp.pad(
+                    jnp.asarray(self.data_large, dtype=self.compute_dtype),
+                    pad, mode="reflect")
+                lon, lat, ref_img = lag_search._submap_select_jit(
+                    padded, sp, lp, h, w, kind, do_wrap, self.order,
+                    sx, sy, m, pad, h, w)
+            else:
+                lon, lat, ref_img = lag_search.prepare_grid_and_submap(
+                    jnp.asarray(self.data_large, dtype=self.compute_dtype),
+                    sp, lp, h, w, kind, do_wrap, self.order)
 
         l1, l2, l3, l4, l5 = self._lags_deg(wrap=wrap)
         base = {**small_params.as_dict(), "crota": get_crota(self.hdr_small)}

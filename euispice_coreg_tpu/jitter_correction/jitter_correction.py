@@ -120,6 +120,67 @@ def jitter_correction_imagers(
     return results_all
 
 
+def align_movie_to_reference(
+    list_files_input,
+    reference_path: str,
+    path_files_output: str | None = None,
+    lag_crval1=np.arange(-5, 5.5, 0.5),
+    lag_crval2=np.arange(-5, 5.5, 0.5),
+    window_files_input=-1,
+    reference_window=-1,
+    alignement_method: str = "helioprojective",
+    lonlims=None,
+    latlims=None,
+    shape=None,
+    reference_date=None,
+    **alignment_kwargs,
+):
+    """Align every frame of a movie against ONE fixed reference image
+    (BASELINE.md batched-movie configuration).
+
+    Frames share image shape and lag grid, so after the first frame every
+    alignment reuses the compiled TPU program; with a CRVAL-only lag grid
+    each frame costs a single FFT correlation-surface evaluation.
+
+    Returns {index: AlignmentResults}; writes corrected files when
+    ``path_files_output`` is given.
+    """
+    from ..utils.obs import Progress
+
+    progress = Progress(total=len(list_files_input), label="movie alignment")
+    results_all = {}
+    for k, path in enumerate(list_files_input):
+        A = Alignment(
+            large_fov_known_pointing=reference_path,
+            large_fov_window=reference_window,
+            small_fov_to_correct=path,
+            small_fov_window=window_files_input,
+            lag_crval1=lag_crval1,
+            lag_crval2=lag_crval2,
+            lag_cdelt1=None, lag_cdelt2=None, lag_crota=None,
+            **alignment_kwargs,
+        )
+        if alignement_method == "helioprojective":
+            results = A.align_using_helioprojective()
+        elif alignement_method == "carrington":
+            results = A.align_using_carrington(
+                lonlims=lonlims, latlims=latlims, shape=shape,
+                reference_date=reference_date)
+        elif alignement_method == "initial_carrington":
+            results = A.align_using_initial_carrington()
+        else:
+            raise ValueError(f"unknown alignement_method: {alignement_method}")
+        results_all[k] = results
+        if path_files_output is not None:
+            basename = os.path.basename(str(path))
+            results.write_corrected_fits(
+                window_list_to_apply_shift=[window_files_input],
+                path_to_l3_output=os.path.join(path_files_output, basename),
+            )
+        progress.step()
+    return results_all
+
+
 def _align_hrieuv_with_hrieuv(
     large_fov_fits_path: str,
     large_fov_window,
