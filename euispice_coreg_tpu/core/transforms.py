@@ -337,6 +337,43 @@ class PolynomialDistortion(Transform):
         return x - dx2, y - dy2
 
 
+def load_distortion_ini(path, section="distortion", deg_key="degree"):
+    """Load polynomial-distortion coefficients from an .ini file, the storage
+    format of the reference's Zemax-derived FSI distortion data
+    (rectify.py:522-527, 679-695: configparser over coefficient sections).
+
+    Expected layout::
+
+        [distortion]
+        degree = 2
+        cx_0_0 = 0.0
+        cx_1_0 = 1.2e-4
+        cy_0_1 = -3e-5
+        ...
+
+    Returns a :class:`PolynomialDistortion`.
+    """
+    import configparser
+
+    cp = configparser.ConfigParser()
+    read = cp.read(path)
+    if not read:
+        raise FileNotFoundError(path)
+    sec = cp[section]
+    deg = int(sec.get(deg_key, 3))
+    cx = np.zeros((deg + 1, deg + 1))
+    cy = np.zeros((deg + 1, deg + 1))
+    for key, value in sec.items():
+        if key == deg_key:
+            continue
+        which, i, j = key.split("_")
+        if which == "cx":
+            cx[int(i), int(j)] = float(value)
+        elif which == "cy":
+            cy[int(i), int(j)] = float(value)
+    return PolynomialDistortion(cx, cy)
+
+
 def gridpattern(nx=3072, ny=3072, s=16, t=3):
     """Binary test grid (rectify.py:110-123)."""
     image = np.zeros((nx, ny))

@@ -173,6 +173,8 @@ def evaluate_lag_grid(
     l5 = np.asarray(lag_crota, dtype=np.float64)
     shape = (len(l1), len(l2), len(l3), len(l4), len(l5))
 
+    from ..utils.obs import logger
+
     if allow_fast and method == "correlation":
         from . import fast_corr
 
@@ -182,7 +184,10 @@ def evaluate_lag_grid(
                 order=order, kind=kind, compute_dtype=compute_dtype,
             )
             if fast is not None:
+                logger.info("engine path: FFT fast (crval grid)")
                 return fast.reshape(shape)
+            logger.info("engine path: FFT fast preconditions failed, "
+                        "falling back")
         elif allow_fast == "block" and order in (0, 2):
             fast = _evaluate_block_fast(
                 small_img, ref_img, lon, lat, base_params,
@@ -190,6 +195,7 @@ def evaluate_lag_grid(
                 order=order, kind=kind, compute_dtype=compute_dtype,
             )
             if fast is not None:
+                logger.info("engine path: FFT block fast (mixed grid)")
                 return fast
 
     grids = np.meshgrid(l1, l2, l3, l4, l5, indexing="ij")
@@ -221,6 +227,7 @@ def evaluate_lag_grid(
 
     if select_cfg is not None and mesh is None:
         shifts, m_resid, pad, h_img, w_img = select_cfg
+        logger.info("engine path: shift-and-select (m=%d)", m_resid)
         small_padded = jnp.pad(small_d, pad, mode="reflect")
         out = _evaluate_flat_select(
             lags_d, jnp.asarray(shifts), small_padded, ref_d, lon_d, lat_d,
@@ -230,6 +237,7 @@ def evaluate_lag_grid(
         )
         out = np.asarray(out)[:n_lags]
     elif mesh is None:
+        logger.info("engine path: per-lag gather")
         out = _evaluate_flat(
             lags_d, small_d, ref_d, lon_d, lat_d, base_d,
             order=order, method=method, kind=kind, batch_size=batch_size,

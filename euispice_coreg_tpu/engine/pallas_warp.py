@@ -1,0 +1,349 @@
+"""Pallas TPU kernel: fused per-lag warp + masked-Pearson partial sums.
+
+The general (non-FFT) engine's per-lag work is "shifted-WCS resample + masked
+correlation".  The XLA select-path (core/resample.sample_image_select) already
+avoids the ~7 cycles/element hardware gather, but it must use a select radius
+covering the residual displacement over the WHOLE image (rotation lags make it
+~20 px at 2k^2).  This kernel tiles the image and re-bases each tile on its
+own integer displacement, shrinking the radius to the within-tile residual
+(~2-3 px) — ~30x less select work — and keeps every intermediate in VMEM:
+
+  grid = (lags, tiles_y, tiles_x)
+  per step: DMA the source block at (tile origin + per-lag-per-tile shift),
+            compute the shifted-WCS coordinates for the tile from the lon/lat
+            blocks (VPU trig), sample via static-slice select, and accumulate
+            the 6 masked-Pearson sums for the lag.
+
+Host wrapper: :func:`evaluate_lag_grid_pallas` (same contract as the other
+engine evaluators; exact sample_image semantics incl. mirror taps).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core import wcs
+
+TILE = 256
+OUT_LANES = 128  # output row padded to one full lane tile
+
+
+def _b2_weights(t):
+    return (0.5 * (0.5 - t) ** 2, 0.75 - t * t, 0.5 * (0.5 + t) ** 2)
+
+
+def _make_kernel(m, tile, mm, hw_img, order, kind, pad):
+    h_img, w_img = hw_img
+    if order == 2:
+        n_taps, tap_lo = 3, -1
+    elif order == 1:
+        n_taps, tap_lo = 2, 0
+    elif order == 0:
+        n_taps, tap_lo = 1, 0
+    else:
+        raise NotImplementedError(f"order {order}")
+
+    def kernel(lag_ref, shift_ref, base_ref, small_hbm, ref_tile, lon_tile,
+               lat_tile, out_ref, block, sem):
+        ty = pl.program_id(1)
+        tx = pl.program_id(2)
+
+        sx = shift_ref[0, 0, 0, 0, 0]
+        sy = shift_ref[0, 0, 0, 0, 1]
+
+        start_y = ty * tile + sy - mm + pad
+        start_x = tx * tile + sx - mm + pad
+        dma = pltpu.make_async_copy(
+            small_hbm.at[pl.ds(start_y, tile + 2 * mm),
+                         pl.ds(start_x, tile + 2 * mm)],
+            block,
+            sem,
+        )
+        dma.start()
+
+        # shifted WCS params for this lag (scalars from SMEM)
+        d0, d1, d2 = lag_ref[0, 0, 0], lag_ref[0, 0, 1], lag_ref[0, 0, 2]
+        d3, d4 = lag_ref[0, 0, 3], lag_ref[0, 0, 4]
+        crval1 = base_ref[0, 0] + d0
+        crval2 = base_ref[0, 1] + d1
+        cdelt1 = base_ref[0, 4] + d2
+        cdelt2 = base_ref[0, 5] + d3
+        crota = base_ref[0, 10] + d4
+        rebuild = (d2 != 0) | (d3 != 0) | (d4 != 0)
+        rho = crota * wcs.RAD_PER_DEG
+        lam = cdelt2 / cdelt1
+        params = {
+            "crval1": crval1, "crval2": crval2,
+            "crpix1": base_ref[0, 2], "crpix2": base_ref[0, 3],
+            "cdelt1": cdelt1, "cdelt2": cdelt2,
+            "pc11": jnp.where(rebuild, jnp.cos(rho), base_ref[0, 6]),
+            "pc12": jnp.where(rebuild, -lam * jnp.sin(rho), base_ref[0, 7]),
+            "pc21": jnp.where(rebuild, jnp.sin(rho) / lam, base_ref[0, 8]),
+            "pc22": jnp.where(rebuild, jnp.cos(rho), base_ref[0, 9]),
+        }
+        x, y = wcs.world_to_pixel(params, lon_tile[:], lat_tile[:], kind=kind)
+
+        jj = ((tx * tile).astype(jnp.float32)
+              + jax.lax.broadcasted_iota(jnp.float32, (tile, tile), 1))
+        ii = ((ty * tile).astype(jnp.float32)
+              + jax.lax.broadcasted_iota(jnp.float32, (tile, tile), 0))
+
+        invalid = (jnp.isnan(x) | jnp.isnan(y)
+                   | (x < 0) | (x > w_img - 1) | (y < 0) | (y > h_img - 1))
+        xs = jnp.where(invalid, jj, x)
+        ys = jnp.where(invalid, ii, y)
+
+        if order in (0, 2):
+            kx = jnp.floor(xs + 0.5)
+            ky = jnp.floor(ys + 0.5)
+        else:
+            kx = jnp.floor(xs)
+            ky = jnp.floor(ys)
+        tx_f = xs - kx
+        ty_f = ys - ky
+        if order == 2:
+            wx_list = _b2_weights(tx_f)
+            wy_list = _b2_weights(ty_f)
+        elif order == 1:
+            wx_list = (1.0 - tx_f, tx_f)
+            wy_list = (1.0 - ty_f, ty_f)
+        else:
+            wx_list = (jnp.ones_like(tx_f),)
+            wy_list = (jnp.ones_like(ty_f),)
+
+        rx = kx.astype(jnp.int32) - jj.astype(jnp.int32) - sx
+        ry = ky.astype(jnp.int32) - ii.astype(jnp.int32) - sy
+        res_ok = (jnp.abs(rx) <= m) & (jnp.abs(ry) <= m)
+        invalid = invalid | ~res_ok
+        rx = jnp.clip(rx, -m, m)
+        ry = jnp.clip(ry, -m, m)
+
+        dma.wait()
+        blk = block[:]
+
+        zero = jnp.zeros((tile, tile), dtype=jnp.float32)
+
+        def col_mixed_row(r):
+            acc = zero
+            for ox in range(-m, m + 1):
+                inner = zero
+                for ax in range(n_taps):
+                    sl = jax.lax.slice(
+                        blk,
+                        (mm + r, mm + ox + tap_lo + ax),
+                        (mm + r + tile, mm + ox + tap_lo + ax + tile),
+                    )
+                    inner = inner + wx_list[ax] * sl
+                acc = jnp.where(rx == ox, inner, acc)
+            return acc
+
+        rows = {r: col_mixed_row(r)
+                for r in range(-m + tap_lo, m + tap_lo + n_taps)}
+        sampled = zero
+        for oy in range(-m, m + 1):
+            mixed = zero
+            for ay in range(n_taps):
+                mixed = mixed + wy_list[ay] * rows[oy + tap_lo + ay]
+            sampled = jnp.where(ry == oy, mixed, sampled)
+
+        a = ref_tile[:]
+        mask = jnp.isfinite(a) & jnp.isfinite(sampled) & ~invalid
+        mf = mask.astype(jnp.float32)
+        am = jnp.where(mask, a, 0.0)
+        bm = jnp.where(mask, sampled, 0.0)
+
+        vals = jnp.zeros((1, 1, OUT_LANES), dtype=jnp.float32)
+        vals = vals.at[0, 0, 0].set(jnp.sum(mf))
+        vals = vals.at[0, 0, 1].set(jnp.sum(am))
+        vals = vals.at[0, 0, 2].set(jnp.sum(am * am))
+        vals = vals.at[0, 0, 3].set(jnp.sum(bm))
+        vals = vals.at[0, 0, 4].set(jnp.sum(bm * bm))
+        vals = vals.at[0, 0, 5].set(jnp.sum(am * bm))
+
+        @pl.when((ty == 0) & (tx == 0))
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        out_ref[:] = out_ref[:] + vals
+
+    return kernel
+
+
+def warp_score_sums(small_padded, ref_img, lon, lat, base_vec, lags, shifts,
+                    *, m, pad, hw_img, order=2, kind="tan", interpret=False):
+    """(L, OUT_LANES) raw masked sums [n, Sa, Saa, Sb, Sbb, Sab, ...] per lag."""
+    ht, wt = ref_img.shape
+    n_ty, n_tx = ht // TILE, wt // TILE
+    L = lags.shape[0]
+    mm = m + 2
+
+    kernel = _make_kernel(m, TILE, mm, hw_img, order, kind, pad)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(L, n_ty, n_tx),
+        in_specs=[
+            pl.BlockSpec((1, 1, 5), lambda l, ty, tx: (l, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, 1, 2), lambda l, ty, tx: (l, ty, tx, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 12), lambda l, ty, tx: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((TILE, TILE), lambda l, ty, tx: (ty, tx),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, TILE), lambda l, ty, tx: (ty, tx),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, TILE), lambda l, ty, tx: (ty, tx),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, OUT_LANES), lambda l, ty, tx: (l, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((L, 1, OUT_LANES), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((TILE + 2 * mm, TILE + 2 * mm), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(lags.reshape(L, 1, 5), shifts.reshape(L, n_ty, n_tx, 1, 2),
+      base_vec, small_padded, ref_img, lon, lat)
+    return out.reshape(L, OUT_LANES)
+
+
+def evaluate_lag_grid_pallas(
+    small_img, ref_img, lon, lat, base_params,
+    lag_crval1, lag_crval2, lag_cdelt1, lag_cdelt2, lag_crota,
+    *, order=2, method="correlation", kind="tan", interpret=False,
+    max_residual=8,
+):
+    """Engine-compatible evaluator backed by the Pallas kernel.
+
+    Returns the (n1..n5) float64 hypercube, or None when preconditions fail
+    (residual bound exceeded, unsupported method/order, mismatched shapes).
+    """
+    if method != "correlation" or order not in (0, 1, 2):
+        return None
+    l1 = np.asarray(lag_crval1, dtype=np.float64)
+    l2 = np.asarray(lag_crval2, dtype=np.float64)
+    l3 = np.asarray(lag_cdelt1, dtype=np.float64)
+    l4 = np.asarray(lag_cdelt2, dtype=np.float64)
+    l5 = np.asarray(lag_crota, dtype=np.float64)
+    shape5 = (len(l1), len(l2), len(l3), len(l4), len(l5))
+    grids = np.meshgrid(l1, l2, l3, l4, l5, indexing="ij")
+    lags = np.stack([g.ravel() for g in grids], axis=-1)
+    L = lags.shape[0]
+
+    h, w = np.shape(small_img)
+    if np.shape(ref_img) != (h, w):
+        return None
+
+    ht = -(-h // TILE) * TILE
+    wt = -(-w // TILE) * TILE
+    n_ty, n_tx = ht // TILE, wt // TILE
+
+    lon_np = np.asarray(lon, dtype=np.float64)
+    lat_np = np.asarray(lat, dtype=np.float64)
+
+    # 3x3 probe points per tile (corners + center, clipped into the image)
+    def axis_probes(n_t, n):
+        pts = np.zeros((n_t, 3), dtype=np.int64)
+        for t in range(n_t):
+            pts[t] = (min(t * TILE + TILE // 2, n - 1),
+                      min(t * TILE, n - 1),
+                      min((t + 1) * TILE - 1, n - 1))
+        return pts
+
+    py = axis_probes(n_ty, h)  # (n_ty, 3)
+    px = axis_probes(n_tx, w)  # (n_tx, 3)
+    pyg, pxg = np.meshgrid(py.ravel(), px.ravel(), indexing="ij")
+    pl_ = lon_np[pyg.ravel(), pxg.ravel()]
+    pb_ = lat_np[pyg.ravel(), pxg.ravel()]
+    disp = _displacements(base_params, lags, pl_, pb_,
+                          pxg.ravel().astype(np.float64),
+                          pyg.ravel().astype(np.float64), kind)
+    disp = disp.reshape(L, n_ty, 3, n_tx, 3, 2)
+    center = disp[:, :, 0, :, 0, :]  # (L, n_ty, n_tx, 2)
+    if not np.isfinite(disp).all():
+        return None
+    spread = float(np.max(np.abs(disp - center[:, :, None, :, None, :])))
+    m = int(np.ceil(spread)) + 1
+    if m > max_residual:
+        return None
+    shifts = np.floor(center + 0.5).astype(np.int32)
+    g_bound = int(np.max(np.abs(shifts)))
+    mm = m + 2
+    # DMA window must stay inside the padded array for every tile
+    pad = g_bound + mm + 1
+    if pad >= min(h, w) - 1:
+        return None
+
+    # canvas padded to tile multiples (NaN outside the field), then
+    # mirror-padded around the REAL image region like scipy's tap extension
+    pey, pex = min(pad, h - 1), min(pad, w - 1)
+    refl = np.pad(np.asarray(small_img, dtype=np.float32),
+                  ((pey, pey), (pex, pex)), mode="reflect")
+    padded = np.full((ht + 2 * pad, wt + 2 * pad), np.nan, dtype=np.float32)
+    padded[pad - pey: pad + h + pey, pad - pex: pad + w + pex] = refl
+
+    ref32 = np.full((ht, wt), np.nan, dtype=np.float32)
+    ref32[:h, :w] = np.asarray(ref_img, dtype=np.float32)
+    lon32 = np.zeros((ht, wt), dtype=np.float32)
+    lat32 = np.zeros((ht, wt), dtype=np.float32)
+    lon32[:h, :w] = lon_np
+    lat32[:h, :w] = lat_np
+
+    # pre-centering: exact for Pearson, avoids f32 cancellation
+    amean = float(np.nanmean(ref32))
+    bmean = float(np.nanmean(np.asarray(small_img, dtype=np.float64)))
+    ref32 = ref32 - amean
+    padded = padded - bmean
+
+    base_vec = np.array([[
+        base_params["crval1"], base_params["crval2"],
+        base_params["crpix1"], base_params["crpix2"],
+        base_params["cdelt1"], base_params["cdelt2"],
+        base_params["pc11"], base_params["pc12"],
+        base_params["pc21"], base_params["pc22"],
+        base_params.get("crota", 0.0), 0.0,
+    ]], dtype=np.float32)
+
+    sums = np.asarray(warp_score_sums(
+        jnp.asarray(padded), jnp.asarray(ref32), jnp.asarray(lon32),
+        jnp.asarray(lat32), jnp.asarray(base_vec),
+        jnp.asarray(lags, dtype=np.float32), jnp.asarray(shifts),
+        m=m, pad=pad, hw_img=(h, w), order=order, kind=kind,
+        interpret=interpret,
+    ), dtype=np.float64)
+
+    n, Sa, Saa, Sb, Sbb, Sab = (sums[:, k] for k in range(6))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        num = Sab - Sa * Sb / n
+        den = np.sqrt((Saa - Sa * Sa / n) * (Sbb - Sb * Sb / n))
+        r = num / den
+    return r.reshape(shape5)
+
+
+def _displacements(base, lags, pl_, pb_, px0, py0, kind):
+    """(L, npts, 2) displacement of sample coordinates vs grid indices."""
+    crval1 = base["crval1"] + lags[:, 0]
+    crval2 = base["crval2"] + lags[:, 1]
+    cdelt1 = base["cdelt1"] + lags[:, 2]
+    cdelt2 = base["cdelt2"] + lags[:, 3]
+    crota = base.get("crota", 0.0) + lags[:, 4]
+    rebuild = (lags[:, 2] != 0) | (lags[:, 3] != 0) | (lags[:, 4] != 0)
+    rho = np.deg2rad(crota)
+    lam = cdelt2 / cdelt1
+    p = {
+        "crval1": crval1[:, None], "crval2": crval2[:, None],
+        "crpix1": float(base["crpix1"]), "crpix2": float(base["crpix2"]),
+        "cdelt1": cdelt1[:, None], "cdelt2": cdelt2[:, None],
+        "pc11": np.where(rebuild, np.cos(rho), base["pc11"])[:, None],
+        "pc12": np.where(rebuild, -lam * np.sin(rho), base["pc12"])[:, None],
+        "pc21": np.where(rebuild, np.sin(rho) / lam, base["pc21"])[:, None],
+        "pc22": np.where(rebuild, np.cos(rho), base["pc22"])[:, None],
+    }
+    bx, by = wcs.world_to_pixel(p, pl_[None, :], pb_[None, :], kind=kind, xp=np)
+    return np.stack([bx - px0[None, :], by - py0[None, :]], axis=-1)

@@ -292,6 +292,18 @@ class Alignment:
 
         do_wrap = wrap and kind == "tan"
         h, w = self.data_small.shape
+
+        # the ]-180, 180] wrap is a mathematical no-op unless the field
+        # approaches the branch cut; applying it on device in float32 costs
+        # ~0.04 px of world precision (mod-360 at magnitude ~360), so skip it
+        # when the host float64 probes show it cannot fire
+        if do_wrap:
+            px_pr = np.array([w // 2, 0, w - 1, 0, w - 1], dtype=np.float64)
+            py_pr = np.array([h // 2, 0, 0, h - 1, h - 1], dtype=np.float64)
+            pl_pr, pb_pr = wcs_mod.pixel_to_world(
+                small_params.as_dict(), px_pr, py_pr, kind=kind, xp=np)
+            if max(np.max(np.abs(pl_pr)), np.max(np.abs(pb_pr))) < 170.0:
+                do_wrap = False
         sp = {k: jnp.asarray(v, dtype=self.compute_dtype)
               for k, v in small_params.as_dict().items()}
         lp = {k: jnp.asarray(v, dtype=self.compute_dtype)

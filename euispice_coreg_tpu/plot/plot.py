@@ -373,3 +373,13 @@ def successive_plot(hdr_ref, data_ref, hdr_before, hdr_after, data_al,
     if path_save is not None:
         fig.savefig(path_save)
     return fig
+
+
+def use_style():
+    """Activate the package plot style (plot/euicoreg.mplstyle), the
+    counterpart of the reference's perso.mplstyle."""
+    import os
+
+    from matplotlib import pyplot as plt
+
+    plt.style.use(os.path.join(os.path.dirname(__file__), "euicoreg.mplstyle"))

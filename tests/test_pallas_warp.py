@@ -1,0 +1,73 @@
+"""Pallas fused warp+score kernel vs the reference-exact gather engine
+(interpret mode on CPU)."""
+import numpy as np
+import pytest
+
+import fixtures as fx
+from euispice_coreg_tpu.core.header import get_crota, wcs_params_from_header
+from euispice_coreg_tpu.engine import lag_search, pallas_warp
+from euispice_coreg_tpu.utils import coords
+
+
+def build_inputs(seed=0):
+    dl, hl, ds, hs = fx.make_helioprojective_pair(
+        true_shift_arcsec=(8.0, -4.0), small_naxis=(96, 96), seed=seed
+    )
+    lon, lat = coords.header_world_grid(hs)
+    xg, yg = coords.world_to_pixel_of_header(hl, lon, lat)
+    ref_img = lag_search.resample_to_grid(dl, xg, yg, order=2,
+                                          compute_dtype="float64")
+    base = {**wcs_params_from_header(hs).as_dict(), "crota": get_crota(hs)}
+    return ds, ref_img, lon, lat, base
+
+
+@pytest.mark.parametrize("l5", [[0.0], [0.75]])
+def test_pallas_matches_general(l5):
+    ds, ref_img, lon, lat, base = build_inputs()
+    l1 = np.arange(-2, 19, 4.0) / 3600.0
+    l2 = np.arange(-14, 7, 4.0) / 3600.0
+
+    general = lag_search.evaluate_lag_grid(
+        ds, ref_img, lon, lat, base, l1, l2, [0.0], [0.0], l5,
+        order=2, compute_dtype="float32", allow_fast=False,
+    )
+    got = pallas_warp.evaluate_lag_grid_pallas(
+        ds, ref_img, lon, lat, base, l1, l2, [0.0], [0.0], l5,
+        order=2, interpret=True,
+    )
+    assert got is not None
+    np.testing.assert_allclose(got, general, atol=2e-4)
+    assert np.unravel_index(np.nanargmax(got), got.shape) == \
+        np.unravel_index(np.nanargmax(general), general.shape)
+
+
+def test_pallas_with_nans_in_inputs():
+    ds, ref_img, lon, lat, base = build_inputs()
+    ds[10:20, 30:40] = np.nan
+    ref_img = ref_img.copy()
+    ref_img[50:60, 5:15] = np.nan
+    l1 = np.array([0.0, 8.0 / 3600.0])
+    l2 = np.array([-4.0 / 3600.0, 0.0])
+    general = lag_search.evaluate_lag_grid(
+        ds, ref_img, lon, lat, base, l1, l2, [0.0], [0.0], [0.0],
+        order=2, compute_dtype="float32", allow_fast=False,
+    )
+    got = pallas_warp.evaluate_lag_grid_pallas(
+        ds, ref_img, lon, lat, base, l1, l2, [0.0], [0.0], [0.0],
+        order=2, interpret=True,
+    )
+    np.testing.assert_allclose(got, general, atol=2e-4)
+
+
+def test_pallas_gating():
+    ds, ref_img, lon, lat, base = build_inputs()
+    # residus not supported -> None
+    out = pallas_warp.evaluate_lag_grid_pallas(
+        ds, ref_img, lon, lat, base, [0.0], [0.0], [0.0], [0.0], [0.0],
+        order=2, method="residus", interpret=True)
+    assert out is None
+    # huge rotation lag -> residual bound exceeded -> None
+    out = pallas_warp.evaluate_lag_grid_pallas(
+        ds, ref_img, lon, lat, base, [0.0], [0.0], [0.0], [0.0], [45.0],
+        order=2, interpret=True)
+    assert out is None

@@ -163,3 +163,19 @@ def test_extend_regular_grid():
     lon2, lat2 = PlotFits.extend_regular_grid(lon, lat, 0.4, 0.2)
     assert lon2.min() < lon.min() and lon2.max() > lon.max()
     assert lon2.shape[1] > lon.shape[1]
+
+
+def test_load_distortion_ini(tmp_path):
+    ini = tmp_path / "dist.ini"
+    ini.write_text(
+        "[distortion]\ndegree = 2\ncx_1_0 = 1e-3\ncy_0_1 = -5e-4\n")
+    t = transforms.load_distortion_ini(str(ini))
+    fx_, fy_ = t.forward(np.array([1000.0]), np.array([1000.0]), xp=np)
+    assert fx_[0] == pytest.approx(1001.0)
+    assert fy_[0] == pytest.approx(999.5)
+
+
+def test_plot_style_loads():
+    from euispice_coreg_tpu.plot import plot as plotmod
+
+    plotmod.use_style()
