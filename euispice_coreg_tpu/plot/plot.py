@@ -383,3 +383,27 @@ def use_style():
     from matplotlib import pyplot as plt
 
     plt.style.use(os.path.join(os.path.dirname(__file__), "euicoreg.mplstyle"))
+
+
+def plot_fov_rectangle(data, slc=None, path_save=None, show=False,
+                       plot_colorbar=True, norm=None, angle=0):
+    """Image with a highlighted rectangle (PlotFits.plot_fov_rectangle,
+    Util.py:710-723)."""
+    import matplotlib.patches as patches
+    from matplotlib import pyplot as plt
+
+    fig = plt.figure()
+    ax = fig.add_subplot()
+    plot_fov(data, show=False, fig=fig, ax=ax, norm=norm,
+             plot_colorbar=plot_colorbar)
+    rect = patches.Rectangle(
+        (slc[1].start, slc[0].start),
+        slc[1].stop - slc[1].start, slc[0].stop - slc[0].start,
+        linewidth=1, edgecolor="r", facecolor="none", angle=angle,
+    )
+    ax.add_patch(rect)
+    if show:
+        fig.show()
+    if path_save is not None:
+        fig.savefig(path_save)
+    return fig, ax
