@@ -27,7 +27,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core import wcs
 
-TILE = 256
+TILE = 128
 OUT_LANES = 128  # output row padded to one full lane tile
 
 
@@ -35,7 +35,7 @@ def _b2_weights(t):
     return (0.5 * (0.5 - t) ** 2, 0.75 - t * t, 0.5 * (0.5 + t) ** 2)
 
 
-def _make_kernel(m, tile, mm, hw_img, order, kind, pad):
+def _make_kernel(m, tile, mm_y, mm_x, hw_img, order, kind, pad):
     h_img, w_img = hw_img
     if order == 2:
         n_taps, tap_lo = 3, -1
@@ -54,11 +54,16 @@ def _make_kernel(m, tile, mm, hw_img, order, kind, pad):
         sx = shift_ref[0, 0, 0, 0, 0]
         sy = shift_ref[0, 0, 0, 0, 1]
 
-        start_y = ty * tile + sy - mm + pad
-        start_x = tx * tile + sx - mm + pad
+        # DMA start must be provably aligned to the (8, 128) tiling: align
+        # the per-tile shift down and re-center with a dynamic roll after
+        # fully static DMA window: the margins absorb the whole per-tile
+        # shift; the shift itself is applied afterwards with dynamic rolls
+        bh = tile + 2 * mm_y
+        bw = tile + 2 * mm_x
+        start_y = pl.multiple_of(ty * tile - mm_y + pad, 8)
+        start_x = pl.multiple_of(tx * tile - mm_x + pad, 128)
         dma = pltpu.make_async_copy(
-            small_hbm.at[pl.ds(start_y, tile + 2 * mm),
-                         pl.ds(start_x, tile + 2 * mm)],
+            small_hbm.at[pl.ds(start_y, bh), pl.ds(start_x, bw)],
             block,
             sem,
         )
@@ -86,10 +91,10 @@ def _make_kernel(m, tile, mm, hw_img, order, kind, pad):
         }
         x, y = wcs.world_to_pixel(params, lon_tile[:], lat_tile[:], kind=kind)
 
-        jj = ((tx * tile).astype(jnp.float32)
-              + jax.lax.broadcasted_iota(jnp.float32, (tile, tile), 1))
-        ii = ((ty * tile).astype(jnp.float32)
-              + jax.lax.broadcasted_iota(jnp.float32, (tile, tile), 0))
+        jj_i = (tx * tile) + jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 1)
+        ii_i = (ty * tile) + jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 0)
+        jj = jj_i.astype(jnp.float32)
+        ii = ii_i.astype(jnp.float32)
 
         invalid = (jnp.isnan(x) | jnp.isnan(y)
                    | (x < 0) | (x > w_img - 1) | (y < 0) | (y > h_img - 1))
@@ -114,40 +119,54 @@ def _make_kernel(m, tile, mm, hw_img, order, kind, pad):
             wx_list = (jnp.ones_like(tx_f),)
             wy_list = (jnp.ones_like(ty_f),)
 
-        rx = kx.astype(jnp.int32) - jj.astype(jnp.int32) - sx
-        ry = ky.astype(jnp.int32) - ii.astype(jnp.int32) - sy
+        rx = kx.astype(jnp.int32) - jj_i - sx
+        ry = ky.astype(jnp.int32) - ii_i - sy
         res_ok = (jnp.abs(rx) <= m) & (jnp.abs(ry) <= m)
         invalid = invalid | ~res_ok
         rx = jnp.clip(rx, -m, m)
         ry = jnp.clip(ry, -m, m)
 
         dma.wait()
-        blk = block[:]
+        # re-center: after this, blk[mm_y + u, mm_x + v] is the source pixel
+        # at (tile row + sy + u, tile col + sx + v)
+        blk = pltpu.roll(block[:], jnp.mod(bh - sy, bh), 0)
+        blk = pltpu.roll(blk, jnp.mod(bw - sx, bw), 1)
 
         zero = jnp.zeros((tile, tile), dtype=jnp.float32)
 
         def col_mixed_row(r):
+            """Row band r, column-selected and x-tap-mixed.  Windows are
+            cached per distinct lane shift: consecutive ox values reuse
+            (ox + ax) windows, cutting the lane rolls ~2.5x."""
+            band = jax.lax.slice(
+                pltpu.roll(blk, (bh - r) % bh, 0),
+                (mm_y, 0), (mm_y + tile, bw))
+            wins = {}
+            for c in range(-m + tap_lo, m + tap_lo + n_taps):
+                wins[c] = jax.lax.slice(
+                    pltpu.roll(band, (bw - c) % bw, 1),
+                    (0, mm_x), (tile, mm_x + tile))
             acc = zero
             for ox in range(-m, m + 1):
                 inner = zero
                 for ax in range(n_taps):
-                    sl = jax.lax.slice(
-                        blk,
-                        (mm + r, mm + ox + tap_lo + ax),
-                        (mm + r + tile, mm + ox + tap_lo + ax + tile),
-                    )
-                    inner = inner + wx_list[ax] * sl
+                    inner = inner + wx_list[ax] * wins[ox + tap_lo + ax]
                 acc = jnp.where(rx == ox, inner, acc)
             return acc
 
-        rows = {r: col_mixed_row(r)
-                for r in range(-m + tap_lo, m + tap_lo + n_taps)}
+        # rolling cache over row offsets: only n_taps row bands live at once
+        r_lo = -m + tap_lo
+        cache = {r: col_mixed_row(r) for r in range(r_lo, r_lo + n_taps)}
         sampled = zero
         for oy in range(-m, m + 1):
             mixed = zero
             for ay in range(n_taps):
-                mixed = mixed + wy_list[ay] * rows[oy + tap_lo + ay]
+                r = oy + tap_lo + ay
+                if r not in cache:
+                    cache[r] = col_mixed_row(r)
+                mixed = mixed + wy_list[ay] * cache[r]
             sampled = jnp.where(ry == oy, mixed, sampled)
+            cache.pop(oy + tap_lo, None)  # lowest row no longer needed
 
         a = ref_tile[:]
         mask = jnp.isfinite(a) & jnp.isfinite(sampled) & ~invalid
@@ -155,13 +174,15 @@ def _make_kernel(m, tile, mm, hw_img, order, kind, pad):
         am = jnp.where(mask, a, 0.0)
         bm = jnp.where(mask, sampled, 0.0)
 
+        # assemble the 6 sums into one lane-vector without scatter
+        # (unsupported in the Mosaic TPU lowering)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, OUT_LANES), 2)
         vals = jnp.zeros((1, 1, OUT_LANES), dtype=jnp.float32)
-        vals = vals.at[0, 0, 0].set(jnp.sum(mf))
-        vals = vals.at[0, 0, 1].set(jnp.sum(am))
-        vals = vals.at[0, 0, 2].set(jnp.sum(am * am))
-        vals = vals.at[0, 0, 3].set(jnp.sum(bm))
-        vals = vals.at[0, 0, 4].set(jnp.sum(bm * bm))
-        vals = vals.at[0, 0, 5].set(jnp.sum(am * bm))
+        for idx, s in enumerate([
+            jnp.sum(mf), jnp.sum(am), jnp.sum(am * am),
+            jnp.sum(bm), jnp.sum(bm * bm), jnp.sum(am * bm),
+        ]):
+            vals = jnp.where(lane == idx, s, vals)
 
         @pl.when((ty == 0) & (tx == 0))
         def _():
@@ -173,14 +194,19 @@ def _make_kernel(m, tile, mm, hw_img, order, kind, pad):
 
 
 def warp_score_sums(small_padded, ref_img, lon, lat, base_vec, lags, shifts,
-                    *, m, pad, hw_img, order=2, kind="tan", interpret=False):
+                    *, m, g_bound, pad, hw_img, order=2, kind="tan",
+                    interpret=False):
     """(L, OUT_LANES) raw masked sums [n, Sa, Saa, Sb, Sbb, Sab, ...] per lag."""
     ht, wt = ref_img.shape
     n_ty, n_tx = ht // TILE, wt // TILE
     L = lags.shape[0]
-    mm = m + 2
+    # margins cover the full per-tile shift + residual + spline taps and are
+    # aligned to the (8, 128) float32 tiling so the static DMA windows are
+    # provably aligned
+    mm_y = -(-(g_bound + m + 2) // 8) * 8
+    mm_x = -(-(g_bound + m + 2) // 128) * 128
 
-    kernel = _make_kernel(m, TILE, mm, hw_img, order, kind, pad)
+    kernel = _make_kernel(m, TILE, mm_y, mm_x, hw_img, order, kind, pad)
 
     out = pl.pallas_call(
         kernel,
@@ -204,7 +230,7 @@ def warp_score_sums(small_padded, ref_img, lon, lat, base_vec, lags, shifts,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((L, 1, OUT_LANES), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((TILE + 2 * mm, TILE + 2 * mm), jnp.float32),
+            pltpu.VMEM((TILE + 2 * mm_y, TILE + 2 * mm_x), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -274,9 +300,10 @@ def evaluate_lag_grid_pallas(
         return None
     shifts = np.floor(center + 0.5).astype(np.int32)
     g_bound = int(np.max(np.abs(shifts)))
-    mm = m + 2
-    # DMA window must stay inside the padded array for every tile
-    pad = g_bound + mm + 1
+    mm = -(-(g_bound + m + 2) // 128) * 128  # largest (lane) margin
+    # DMA window must stay inside the padded array for every tile; multiple
+    # of 128 so the static DMA window offsets stay provably aligned
+    pad = -(-(mm + 1) // 128) * 128
     if pad >= min(h, w) - 1:
         return None
 
@@ -314,7 +341,7 @@ def evaluate_lag_grid_pallas(
         jnp.asarray(padded), jnp.asarray(ref32), jnp.asarray(lon32),
         jnp.asarray(lat32), jnp.asarray(base_vec),
         jnp.asarray(lags, dtype=np.float32), jnp.asarray(shifts),
-        m=m, pad=pad, hw_img=(h, w), order=order, kind=kind,
+        m=m, g_bound=g_bound, pad=pad, hw_img=(h, w), order=order, kind=kind,
         interpret=interpret,
     ), dtype=np.float64)
 

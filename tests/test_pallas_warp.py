@@ -11,7 +11,8 @@ from euispice_coreg_tpu.utils import coords
 
 def build_inputs(seed=0):
     dl, hl, ds, hs = fx.make_helioprojective_pair(
-        true_shift_arcsec=(8.0, -4.0), small_naxis=(96, 96), seed=seed
+        true_shift_arcsec=(8.0, -4.0), small_naxis=(512, 512),
+        small_cdelt=(2.0, 2.0), seed=seed
     )
     lon, lat = coords.header_world_grid(hs)
     xg, yg = coords.world_to_pixel_of_header(hl, lon, lat)
@@ -24,8 +25,8 @@ def build_inputs(seed=0):
 @pytest.mark.parametrize("l5", [[0.0], [0.75]])
 def test_pallas_matches_general(l5):
     ds, ref_img, lon, lat, base = build_inputs()
-    l1 = np.arange(-2, 19, 4.0) / 3600.0
-    l2 = np.arange(-14, 7, 4.0) / 3600.0
+    l1 = np.arange(0, 17, 8.0) / 3600.0
+    l2 = np.arange(-12, 5, 8.0) / 3600.0
 
     general = lag_search.evaluate_lag_grid(
         ds, ref_img, lon, lat, base, l1, l2, [0.0], [0.0], l5,
