@@ -175,6 +175,19 @@ def evaluate_lag_grid(
 
     from ..utils.obs import logger
 
+    if allow_fast == "pallas":
+        from . import pallas_warp
+
+        out = pallas_warp.evaluate_lag_grid_pallas(
+            small_img, ref_img, lon, lat, base_params,
+            l1, l2, l3, l4, l5, order=order, method=method, kind=kind,
+        )
+        if out is not None:
+            logger.info("engine path: pallas fused warp+score")
+            return out
+        logger.info("pallas preconditions failed, falling back")
+        allow_fast = True
+
     if allow_fast and method == "correlation":
         from . import fast_corr
 

@@ -75,7 +75,8 @@ class Alignment:
           large (> 2000 candidates), the reference-exact gather engine
           otherwise;
         * "exact": always the per-lag gather engine;
-        * "fast": always the FFT/block fast paths where applicable.
+        * "fast": always the FFT/block fast paths where applicable;
+        * "pallas": the fused Pallas warp+score kernel (tiled, VMEM-resident).
         """
         self.large_fov_known_pointing = large_fov_known_pointing
         self.small_fov_to_correct = small_fov_to_correct
@@ -113,7 +114,7 @@ class Alignment:
         self.compute_dtype = jnp.dtype(compute_dtype)
         self.batch_size_lags = batch_size_lags
         self.mesh = lag_search.default_mesh() if use_device_mesh else None
-        if lag_search_mode not in ("auto", "exact", "fast"):
+        if lag_search_mode not in ("auto", "exact", "fast", "pallas"):
             raise ValueError(f"unknown lag_search_mode: {lag_search_mode!r}")
         self.lag_search_mode = lag_search_mode
 
@@ -351,6 +352,8 @@ class Alignment:
         n_lags = len(l1) * len(l2) * len(l3) * len(l4) * len(l5)
         if self.lag_search_mode == "exact":
             allow_fast = False
+        elif self.lag_search_mode == "pallas":
+            allow_fast = "pallas"
         elif self.lag_search_mode == "fast":
             allow_fast = "block"
         else:  # auto

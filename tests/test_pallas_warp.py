@@ -72,3 +72,24 @@ def test_pallas_gating():
         ds, ref_img, lon, lat, base, [0.0], [0.0], [0.0], [0.0], [45.0],
         order=2, interpret=True)
     assert out is None
+
+
+def test_alignment_pallas_mode(tmp_path):
+    """End-to-end Alignment with lag_search_mode='pallas' (interpret on CPU
+    is too slow for 512^2 full API; use direct engine equivalence above —
+    here just check the mode wires through and falls back gracefully on a
+    tiny image where pallas preconditions fail)."""
+    import fixtures as fx2
+    from euispice_coreg_tpu.hdrshift.alignment import Alignment
+
+    dl, hl, ds, hs = fx2.make_helioprojective_pair(true_shift_arcsec=(8.0, -4.0))
+    p_large, p_small = fx2.write_pair_fits(tmp_path, dl, hl, ds, hs)
+    A = Alignment(
+        large_fov_known_pointing=p_large, small_fov_to_correct=p_small,
+        lag_crval1=np.arange(4.0, 13.0, 2.0), lag_crval2=np.arange(-8.0, 1.0, 2.0),
+        small_fov_window=0, large_fov_window=0,
+        lag_search_mode="pallas",
+    )
+    corr = A.align_using_helioprojective(return_type="corr")
+    mi = np.unravel_index(np.nanargmax(corr), corr.shape)
+    assert A.lag_crval1[mi[0]] == 8.0

@@ -240,3 +240,40 @@ def test_alignment_spice_selector(tmp_path):
     mi = np.unravel_index(np.nanargmax(corr), corr.shape)
     assert A.lag_crval1[mi[0]] == pytest.approx(8.0)
     assert A.lag_crval2[mi[1]] == pytest.approx(-4.0)
+
+
+def test_align_movie_to_reference(tmp_path):
+    from euispice_coreg_tpu.jitter_correction.jitter_correction import (
+        align_movie_to_reference,
+    )
+
+    hdr_ref = fx.make_header((128, 128), (8.0, 8.0), (0.0, 0.0), 0.0)
+    data_ref = fx.render_helioprojective(hdr_ref)
+    p_ref = str(tmp_path / "movie_ref.fits")
+    fits.write(p_ref, [fits.PrimaryHDU(data=data_ref.astype(np.float32),
+                                       header=hdr_ref)])
+
+    offsets = [(2.0, -4.0), (-4.0, 2.0), (4.0, 4.0)]
+    paths = []
+    for k, (ox, oy) in enumerate(offsets):
+        hdr = hdr_ref.copy()
+        hdr["CRVAL1"] = hdr_ref["CRVAL1"] - ox
+        hdr["CRVAL2"] = hdr_ref["CRVAL2"] - oy
+        p = str(tmp_path / f"mf_{k}.fits")
+        fits.write(p, [fits.PrimaryHDU(data=data_ref.astype(np.float32),
+                                       header=hdr)])
+        paths.append(p)
+
+    outdir = tmp_path / "movie_out"
+    os.makedirs(outdir)
+    results = align_movie_to_reference(
+        paths, p_ref, path_files_output=str(outdir),
+        lag_crval1=np.arange(-6.0, 7.0, 2.0),
+        lag_crval2=np.arange(-6.0, 7.0, 2.0),
+        window_files_input=0, reference_window=0,
+    )
+    assert len(results) == 3
+    for k, (ox, oy) in enumerate(offsets):
+        assert results[k].shift_arcsec[0] == pytest.approx(ox, abs=1.0)
+        assert results[k].shift_arcsec[1] == pytest.approx(oy, abs=1.0)
+        assert os.path.isfile(outdir / f"mf_{k}.fits")
