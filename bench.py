@@ -173,6 +173,63 @@ def run_full_api(tmp_dir, small_img, ref_img, base):
     return t1 - t0
 
 
+def run_carrington(lon, lat):
+    """BASELINE config 2: Carrington-frame 121x121 search on a 2048^2 grid."""
+    from euispice_coreg_tpu.core.header import Header, pc_from_crota
+    from euispice_coreg_tpu.engine import carrington as carr
+
+    def scene(lon_c, lat_c):
+        out = np.full(lon_c.shape, 100.0)
+        rng = np.random.default_rng(11)
+        for _ in range(30):
+            cx = rng.uniform(116, 124)
+            cy = rng.uniform(-3, 7)
+            w_ = rng.uniform(0.3, 1.5)
+            out += rng.uniform(0.5, 3) * np.exp(
+                -(((lon_c - cx) ** 2) + ((lat_c - cy) ** 2)) / (2 * w_ * w_))
+        return out
+
+    extra = {
+        "DSUN_OBS": 0.5 * 1.496e11, "CRLN_OBS": 120.0, "CRLT_OBS": 3.0,
+        "DATE-OBS": "2022-03-17T09:50:45", "WAVELNTH": 174,
+    }
+    pc = pc_from_crota(0.3, 2.0, 2.0)
+    hdr = Header({
+        "NAXIS1": N_SMALL, "NAXIS2": N_SMALL,
+        "CRVAL1": 150.0, "CRVAL2": 100.0,
+        "CRPIX1": (N_SMALL + 1) / 2, "CRPIX2": (N_SMALL + 1) / 2,
+        "CDELT1": 2.0, "CDELT2": 2.0, "CUNIT1": "arcsec", "CUNIT2": "arcsec",
+        "CROTA": 0.3, "PC1_1": pc[0], "PC1_2": pc[1],
+        "PC2_1": pc[2], "PC2_2": pc[3], **extra,
+    })
+    sc = carr.header_spherical_scalars(hdr, 1.004)
+    px, py = np.meshgrid(np.arange(N_SMALL, dtype=np.float64),
+                         np.arange(N_SMALL, dtype=np.float64))
+    lon_c, lat_c = carr.spherical_unproject(px, py, sc)
+    small = np.where(np.isfinite(lon_c), scene(np.nan_to_num(lon_c),
+                                               np.nan_to_num(lat_c)), np.nan)
+
+    lonlims, latlims, shape = (117.0, 123.0), (-1.0, 7.0), (2048, 2048)
+    lon_g, lat_g = carr.carrington_grid(lonlims, latlims, shape)
+    ref = scene(lon_g, lat_g)
+
+    step = 0.5 / 3600.0
+    l1 = (np.arange(GRID) - GRID // 2) * step
+
+    def run():
+        return carr.evaluate_lag_grid_carrington(
+            small, ref, hdr, lonlims, latlims, shape,
+            l1, l1, [0.0], [0.0], [0.0],
+            d_solar_r=1.004, reference_date=hdr["DATE-OBS"], rate_wave="171",
+            order=2, compute_dtype="float32",
+        )
+
+    corr = run()
+    t0 = time.perf_counter()
+    corr = run()
+    return time.perf_counter() - t0
+
+
 def main():
     import tempfile
 
@@ -189,6 +246,8 @@ def main():
     with tempfile.TemporaryDirectory() as td:
         t_api = run_full_api(td, small_img, ref_img, base)
 
+    t_carr = run_carrington(lon, lat)
+
     t_cpu_lag = cpu_reference_per_lag(small_img, ref_img, lon, lat, base)
     t_cpu_total = t_cpu_lag * n_lags / CPU_BASELINE_PROCS
     speedup = t_cpu_total / t_tpu
@@ -200,6 +259,7 @@ def main():
         "vs_baseline": round(speedup, 2),
         "wall_clock_s": round(t_tpu, 4),
         "end_to_end_api_s": round(t_api, 4),
+        "carrington_121x121_2048_s": round(t_carr, 4),
         "cpu_baseline_s_20core_est": round(t_cpu_total, 2),
     }))
 

@@ -244,20 +244,24 @@ class SPICEComposedMapBuilder(ComposedMapBuilder):
 
         w_xyt = w.dropaxis(2)  # drop spectral; axes now (x, y, t)
 
-        if keep_original_imager_pixel_size:
-            from ..io import fits
+        from ..io import fits
 
-            hdul_im = fits.open(self.list_imager_paths[0])
-            hdr_im = hdul_im[self.window_imager].header.copy()
-            step_x = hdr_im["CDELT1"] / hdr_spice["CDELT1"]
-            step_y = hdr_im["CDELT2"] / hdr_spice["CDELT2"]
+        hdul_im = fits.open(self.list_imager_paths[0])
+        hdr_im = hdul_im[self.window_imager].header.copy()
+        if keep_original_imager_pixel_size:
+            # pixel-pitch ratio with units reconciled (the reference divides
+            # raw header values, assuming matching CUNITs)
+            c1_im = units.convert(hdr_im["CDELT1"],
+                                  hdr_im.get("CUNIT1", "arcsec"),
+                                  hdr_spice.get("CUNIT1", "deg"))
+            c2_im = units.convert(hdr_im["CDELT2"],
+                                  hdr_im.get("CUNIT2", "arcsec"),
+                                  hdr_spice.get("CUNIT2", "deg"))
+            step_x = c1_im / hdr_spice["CDELT1"]
+            step_y = c2_im / hdr_spice["CDELT2"]
             xs = np.arange(0, naxis1, step_x)
             ys = np.arange(0, naxis2, step_y)
         else:
-            from ..io import fits
-
-            hdul_im = fits.open(self.list_imager_paths[0])
-            hdr_im = hdul_im[self.window_imager].header.copy()
             xs = np.arange(naxis1, dtype=np.float64)
             ys = np.arange(naxis2, dtype=np.float64)
 

@@ -209,3 +209,33 @@ def test_fov_limits_crops(tmp_path):
     mi = np.unravel_index(np.nanargmax(corr), corr.shape)
     assert A.lag_crval1[mi[0]] == pytest.approx(8.0)
     assert A.lag_crval2[mi[1]] == pytest.approx(-4.0)
+
+
+def test_multiple_lag_solar_r(tmp_path):
+    """Multiple solar radii work (the reference crashes, SURVEY.md 2.3):
+    helioprojective ignores the value, so planes must be identical."""
+    A = make_alignment(tmp_path, lag_solar_r=[1.0, 1.004])
+    corr = A.align_using_helioprojective(return_type="corr")
+    assert corr.shape[-1] == 2
+    np.testing.assert_array_equal(corr[..., 0], corr[..., 1])
+
+
+def test_carrington_multiple_solar_r(tmp_path):
+    import fixtures as fx2
+
+    dl, hl, ds, hs = fx2.make_carrington_pair(true_shift_arcsec=(20.0, -10.0))
+    p_large, p_small = fx2.write_pair_fits(tmp_path, dl, hl, ds, hs)
+    A = Alignment(
+        large_fov_known_pointing=p_large, small_fov_to_correct=p_small,
+        lag_crval1=np.array([0.0, 20.0]), lag_crval2=np.array([-10.0, 0.0]),
+        lag_cdelt1=None, lag_cdelt2=None, lag_crota=None,
+        lag_solar_r=[1.0, 1.004],
+        small_fov_window=0, large_fov_window=0,
+    )
+    corr = A.align_using_carrington(
+        lonlims=(115.0, 125.0), latlims=(-2.0, 8.0), shape=(128, 128),
+        return_type="corr")
+    assert corr.shape == (2, 2, 1, 1, 1, 2)
+    # the fixture was rendered at d_solar_r=1.004: that plane should win
+    mi = np.unravel_index(np.nanargmax(corr), corr.shape)
+    assert mi[5] == 1

@@ -207,3 +207,24 @@ def test_synras_threshold_error(tmp_path):
     with pytest.raises(ValueError, match="sufficiently close in time"):
         builder.process(folder_path_output=str(tmp_path), level=2,
                         print_filename=False)
+
+
+def test_synras_keep_original_imager_pixel_size(tmp_path):
+    paths = make_imager_series(tmp_path)
+    hdr_spice = fx.make_spice_l2_header(nx=48, ny=64, dt_per_step=5.0)
+    cube = fx.render_spice_l2_cube(hdr_spice)
+    p_spice = str(tmp_path / "solo_L2_spice_kop.fits")
+    fits.write(p_spice, [fits.PrimaryHDU(data=cube.astype(np.float32),
+                                         header=hdr_spice)])
+    builder = SPICEComposedMapBuilder(
+        path_to_spectro=p_spice, list_imager_paths=paths,
+        threshold_time=600.0, window_imager=0, window_spectro=0)
+    out = builder.process(folder_path_output=str(tmp_path), level=2,
+                          print_filename=False, return_synras_name=True,
+                          keep_original_imager_pixel_size=True)
+    hdul = fits.open(out)
+    # imager cdelt 12" vs spice 4"/1": composed grid is coarser than the
+    # spice grid: 48 * 4/12 = 16 columns, 64 * 1/12 -> ~6 rows
+    assert hdul[0].data.shape[1] == len(np.arange(0, 48, 12.0 / 4.0))
+    assert hdul[0].header["CDELT1"] == pytest.approx(12.0 / 3600.0)
+    assert hdul[0].header["CRPIX1"] == (hdul[0].data.shape[1] + 1) / 2
