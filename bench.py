@@ -243,10 +243,19 @@ def main():
     n_lags = GRID * GRID
     evals_per_sec = n_lags / t_tpu
 
-    with tempfile.TemporaryDirectory() as td:
-        t_api = run_full_api(td, small_img, ref_img, base)
+    # secondary configs: never let a flaky TPU worker kill the primary metric
+    t_api = None
+    try:
+        with tempfile.TemporaryDirectory() as td:
+            t_api = run_full_api(td, small_img, ref_img, base)
+    except Exception as exc:  # noqa: BLE001
+        print(f"# end-to-end API config failed: {exc}", file=sys.stderr)
 
-    t_carr = run_carrington(lon, lat)
+    t_carr = None
+    try:
+        t_carr = run_carrington(lon, lat)
+    except Exception as exc:  # noqa: BLE001
+        print(f"# carrington config failed: {exc}", file=sys.stderr)
 
     t_cpu_lag = cpu_reference_per_lag(small_img, ref_img, lon, lat, base)
     t_cpu_total = t_cpu_lag * n_lags / CPU_BASELINE_PROCS
@@ -258,8 +267,8 @@ def main():
         "unit": "evals/s",
         "vs_baseline": round(speedup, 2),
         "wall_clock_s": round(t_tpu, 4),
-        "end_to_end_api_s": round(t_api, 4),
-        "carrington_121x121_2048_s": round(t_carr, 4),
+        "end_to_end_api_s": round(t_api, 4) if t_api is not None else None,
+        "carrington_121x121_2048_s": round(t_carr, 4) if t_carr is not None else None,
         "cpu_baseline_s_20core_est": round(t_cpu_total, 2),
     }))
 

@@ -106,7 +106,7 @@ def _tap_offsets(order: int):
 
 
 @partial(jax.jit, static_argnames=("order", "m"))
-def _build_surfaces(small, ref, order, m):
+def _build_surfaces(small, ref, order, m, constraint=None):
     """All cross-correlation surfaces, shape (n_pairs, m, m).
 
     Returned layout (order 2, taps T = 3 offsets/axis, nt = 9, npair = 45):
@@ -155,6 +155,9 @@ def _build_surfaces(small, ref, order, m):
         for j in range(i, nt):
             r_fields.append(Af * s_t[i] * s_t[j])
     r_fields = jnp.stack(r_fields)  # (1 + nt + nt(nt+1)/2, h, w)
+    if constraint is not None:
+        # multi-chip: shard the field batch across the mesh
+        r_fields = jax.lax.with_sharding_constraint(r_fields, constraint)
 
     G = jnp.fft.rfft2(g_fields, s=(m, m))
     R = jnp.fft.rfft2(r_fields, s=(m, m))
@@ -168,6 +171,8 @@ def _build_surfaces(small, ref, order, m):
         jnp.conj(G[1:2]) * R[1 : 1 + nt],     # Sab terms
         jnp.conj(G[0:1]) * R[1 + nt : 1 + nt + npairs],  # Sbb terms
     ])
+    if constraint is not None:
+        prods = jax.lax.with_sharding_constraint(prods, constraint)
     return jnp.fft.irfft2(prods, s=(m, m))
 
 
@@ -177,6 +182,27 @@ def _surfaces_at(small, ref, iy, ix, order, m):
     small array ever leaves the device."""
     surfaces = _build_surfaces(small, ref, order, m)
     return surfaces[:, iy, ix]
+
+
+def surfaces_at_sharded(small, ref, iy, ix, order, m, mesh):
+    """Multi-chip variant: the surface batch (58 field FFTs + 66 inverse
+    transforms) is sharded across the mesh's ``lags`` axis; images are
+    replicated.  XLA inserts the (tiny) all-gather of the (n_surf, L) values
+    over ICI."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    shard = NamedSharding(mesh, P("lags"))
+    repl = NamedSharding(mesh, P())
+
+    @partial(jax.jit, static_argnames=("order", "m"))
+    def run(small_, ref_, iy_, ix_, order, m):
+        surfaces = _build_surfaces.__wrapped__(small_, ref_, order, m,
+                                               constraint=shard)
+        return surfaces[:, iy_, ix_]
+
+    small_ = jax.device_put(small, repl)
+    ref_ = jax.device_put(ref, repl)
+    return run(small_, ref_, iy, ix, order, m)
 
 
 def _shift2(x, ty, tx, fill):
@@ -242,6 +268,7 @@ def evaluate_crval_grid_fast(
     kind: str = "tan",
     compute_dtype=jnp.float32,
     grid_params: dict | None = None,
+    mesh=None,
 ):
     """Masked-Pearson scores for a crval1 x crval2 lag grid.
 
@@ -258,7 +285,7 @@ def evaluate_crval_grid_fast(
                                      grid=grid_params)
     r = evaluate_from_displacements(
         small_img, ref_img, c, spread,
-        order=order, compute_dtype=compute_dtype,
+        order=order, compute_dtype=compute_dtype, mesh=mesh,
     )
     if r is None:
         return None
@@ -266,7 +293,8 @@ def evaluate_crval_grid_fast(
 
 
 def evaluate_from_displacements(small_img, ref_img, c, spread, *,
-                                order: int = 2, compute_dtype=jnp.float32):
+                                order: int = 2, compute_dtype=jnp.float32,
+                                mesh=None):
     """Masked Pearson for a list of constant pixel displacements ``c``
     ((L, 2), x/y order) of the moving image relative to the comparison grid.
 
@@ -293,8 +321,12 @@ def evaluate_from_displacements(small_img, ref_img, c, spread, *,
     ix = jnp.asarray(np.mod(dint[:, 0], m))
     small_d = jnp.asarray(small_img, dtype=compute_dtype)
     ref_d = jnp.asarray(ref_img, dtype=compute_dtype)
-    S = np.asarray(_surfaces_at(small_d, ref_d, iy, ix, order, m),
-                   dtype=np.float64)
+    if mesh is not None and mesh.devices.size > 1:
+        S = np.asarray(surfaces_at_sharded(small_d, ref_d, iy, ix, order, m,
+                                           mesh), dtype=np.float64)
+    else:
+        S = np.asarray(_surfaces_at(small_d, ref_d, iy, ix, order, m),
+                       dtype=np.float64)
 
     taps = _tap_offsets(order)
     ntap = len(taps)

@@ -195,6 +195,7 @@ def evaluate_lag_grid(
             fast = fast_corr.evaluate_crval_grid_fast(
                 small_img, ref_img, lon, lat, base_params, l1, l2,
                 order=order, kind=kind, compute_dtype=compute_dtype,
+                mesh=mesh,
             )
             if fast is not None:
                 logger.info("engine path: FFT fast (crval grid)")

@@ -197,3 +197,18 @@ def test_select_engine_matches_gather_engine():
         order=2, compute_dtype="float64", allow_fast=False,
     ).ravel()
     np.testing.assert_allclose(select, gather, rtol=1e-10, atol=1e-12)
+
+
+def test_fast_path_sharded_matches_single_device():
+    """FFT fast path with the field batch sharded over the 8-device mesh."""
+    ds, ref_img, lon, lat, base = build_inputs(nan_border=True)
+    l1 = np.arange(-2, 19, 2.0) / 3600.0
+    l2 = np.arange(-14, 7, 2.0) / 3600.0
+    single = fast_corr.evaluate_crval_grid_fast(
+        ds, ref_img, lon, lat, base, l1, l2, order=2, compute_dtype="float64")
+    mesh = lag_search.default_mesh()
+    assert mesh is not None and mesh.devices.size == 8
+    sharded = fast_corr.evaluate_crval_grid_fast(
+        ds, ref_img, lon, lat, base, l1, l2, order=2, compute_dtype="float64",
+        mesh=mesh)
+    np.testing.assert_allclose(sharded, single, rtol=1e-10, atol=1e-12)

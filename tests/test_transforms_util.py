@@ -179,3 +179,32 @@ def test_plot_style_loads():
     from euispice_coreg_tpu.plot import plot as plotmod
 
     plotmod.use_style()
+
+
+def test_with_retries_transient_then_success():
+    from jax.errors import JaxRuntimeError
+
+    from euispice_coreg_tpu.utils.jaxcfg import with_retries
+
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 2:
+            raise JaxRuntimeError("UNAVAILABLE: TPU worker process crashed")
+        return 42
+
+    assert with_retries(flaky, retries=2, backoff_s=0.0)() == 42
+    assert calls["n"] == 2
+
+
+def test_with_retries_non_transient_raises():
+    from jax.errors import JaxRuntimeError
+
+    from euispice_coreg_tpu.utils.jaxcfg import with_retries
+
+    def broken():
+        raise JaxRuntimeError("INVALID_ARGUMENT: bad shapes")
+
+    with pytest.raises(JaxRuntimeError, match="INVALID_ARGUMENT"):
+        with_retries(broken, retries=3, backoff_s=0.0)()
