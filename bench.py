@@ -239,7 +239,9 @@ def main():
     lon32 = lon.astype(np.float32)
     lat32 = lat.astype(np.float32)
 
-    t_tpu, _ = run_tpu(small32, ref32, lon32, lat32, base)
+    from euispice_coreg_tpu.utils.jaxcfg import with_retries
+
+    t_tpu, _ = with_retries(run_tpu, retries=2)(small32, ref32, lon32, lat32, base)
     n_lags = GRID * GRID
     evals_per_sec = n_lags / t_tpu
 
@@ -253,7 +255,7 @@ def main():
 
     t_carr = None
     try:
-        t_carr = run_carrington(lon, lat)
+        t_carr = with_retries(run_carrington, retries=2)(lon, lat)
     except Exception as exc:  # noqa: BLE001
         print(f"# carrington config failed: {exc}", file=sys.stderr)
 

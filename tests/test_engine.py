@@ -92,7 +92,8 @@ def test_mesh_sharded_matches_single_device(tmp_path):
     A2 = make_alignment(tmp_path, use_device_mesh=True)
     assert A2.mesh is not None and A2.mesh.devices.size == 8
     corr2 = A2.align_using_helioprojective(return_type="corr")
-    np.testing.assert_allclose(corr1, corr2, rtol=1e-12, atol=1e-12)
+    # sharded FFT reductions reorder float32 sums: tiny tolerance
+    np.testing.assert_allclose(corr1, corr2, rtol=1e-5, atol=1e-6)
 
 
 def test_float32_vs_float64_argmax(tmp_path):
