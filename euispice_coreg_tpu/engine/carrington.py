@@ -272,6 +272,8 @@ def evaluate_lag_grid_carrington(
     l5 = np.asarray(lag_crota_deg, dtype=np.float64)
     out_shape = (len(l1), len(l2), len(l3), len(l4), len(l5))
 
+    from ..utils.obs import logger
+
     if allow_fast and method == "correlation" and order in (0, 2):
         fast = _carrington_block_fast(
             small_img, ref_img, sc, lon, lat,
@@ -281,7 +283,25 @@ def evaluate_lag_grid_carrington(
             order=order, compute_dtype=compute_dtype,
         )
         if fast is not None:
+            logger.info("engine path: carrington FFT fast")
             return fast
+        logger.info("carrington FFT fast preconditions failed, trying "
+                    "linearized select path")
+
+    if allow_fast and order in (0, 1, 2):
+        fast = _carrington_select(
+            small_img, ref_img, sc, lon, lat,
+            delta_t=delta_t, rate_wave=rate_wave,
+            x3=x3, yy=yy, zz=zz, lonlims=lonlims, latlims=latlims, shape=shape,
+            l1=l1, l2=l2, l3=l3, l4=l4, l5=l5,
+            order=order, method=method, compute_dtype=compute_dtype,
+            batch_size=batch_size,
+        )
+        if fast is not None:
+            logger.info("engine path: carrington linearized select")
+            return fast
+        logger.info("carrington select preconditions failed, "
+                    "falling back to per-lag gather")
 
     grids = np.meshgrid(l1, l2, l3, l4, l5, indexing="ij")
     lags = np.stack([g.ravel() for g in grids], axis=-1)
@@ -325,6 +345,134 @@ def evaluate_lag_grid_carrington(
         out = np.asarray(out)[:n_lags]
 
     return out.astype(np.float64).reshape(out_shape)
+
+
+@partial(jax.jit, static_argnames=("order", "method", "batch_size", "m",
+                                   "pad", "h", "w"))
+def _eval_select_carr(coeffs, shifts, warped_padded, ref_img, order, method,
+                      batch_size, m, pad, h, w):
+    """Per-lag scorer on the pre-warped Carrington image; the displacement
+    field of each lag is the quadratic map fitted to the exact conjugation at
+    the probe grid (coeffs: (L, 6, 2) for [px, py, 1, px^2, py^2, px*py] -> (dx, dy))."""
+    jj = jax.lax.broadcasted_iota(warped_padded.dtype, (h, w), 1)
+    ii = jax.lax.broadcasted_iota(warped_padded.dtype, (h, w), 0)
+
+    def one(args):
+        cf, shift = args
+        dx = (cf[0, 0] * jj + cf[1, 0] * ii + cf[2, 0]
+              + cf[3, 0] * jj * jj + cf[4, 0] * ii * ii + cf[5, 0] * jj * ii)
+        dy = (cf[0, 1] * jj + cf[1, 1] * ii + cf[2, 1]
+              + cf[3, 1] * jj * jj + cf[4, 1] * ii * ii + cf[5, 1] * jj * ii)
+        sampled = resample.sample_image_select(
+            warped_padded, jj + dx, ii + dy, order, shift[0], shift[1],
+            residual_bound=m, pad=pad, h=h, w=w)
+        return score.SCORE_FUNCTIONS[method](ref_img, sampled)
+
+    return jax.lax.map(one, (coeffs, shifts), batch_size=batch_size)
+
+
+def _carrington_select(small_img, ref_img, sc, lon, lat, delta_t, rate_wave,
+                       x3, yy, zz, lonlims, latlims, shape,
+                       l1, l2, l3, l4, l5, *, order, method, compute_dtype,
+                       batch_size, tol_px=0.05):
+    """Quadratic-conjugation select path for strongly curved Carrington grids
+    (where the FFT fast path's constant-displacement bound fails).
+
+    Per (cdelt, crota) combo: warp the detector image onto the grid once; the
+    per-lag CRVAL displacement — exactly constant in DETECTOR pixels — maps
+    into grid space through the spherical projection's inverse.  That
+    conjugated field is fitted per lag with a quadratic map over a 4x4 grid of
+    exact probe conjugations; the fit residual gates the path (fall back to
+    the per-lag gather engine when > ``tol_px`` grid pixels).  Per-lag
+    sampling uses the gather-free select sampler on the pre-warped image
+    (double interpolation, like the helioprojective block fast path).
+    """
+    h, w = lon.shape
+    ppy = np.unique(np.linspace(0, h - 1, 4).astype(np.int64))
+    ppx = np.unique(np.linspace(0, w - 1, 4).astype(np.int64))
+    pyg, pxg = np.meshgrid(ppy, ppx, indexing="ij")
+    pyf = pyg.ravel().astype(np.float64)
+    pxf = pxg.ravel().astype(np.float64)
+    dlon_step = (lonlims[1] - lonlims[0]) / (shape[0] - 1)
+    dlat_step = (latlims[1] - latlims[0]) / (shape[1] - 1)
+
+    g1, g2 = np.meshgrid(l1, l2, indexing="ij")
+    dc1 = g1.ravel() * 3600.0
+    dc2 = g2.ravel() * 3600.0
+    L = dc1.size
+
+    # quadratic displacement model: [px, py, 1, px^2, py^2, px*py]
+    design = np.stack([pxf, pyf, np.ones_like(pxf),
+                       pxf * pxf, pyf * pyf, pxf * pyf], axis=-1)  # (16, 6)
+    pinv = np.linalg.pinv(design)  # (6, 16)
+
+    out = np.zeros((len(l1), len(l2), len(l3), len(l4), len(l5)))
+    for i3, d3 in enumerate(l3):
+        for i4, d4 in enumerate(l4):
+            for i5, d5 in enumerate(l5):
+                combo = dict(sc)
+                combo["cdelt1_arcsec"] = sc["cdelt1_arcsec"] + d3 * 3600.0
+                combo["cdelt2_arcsec"] = sc["cdelt2_arcsec"] + d4 * 3600.0
+                combo["roll"] = sc["roll"] + d5
+
+                x0, y0 = _pixel_origin(
+                    combo["crval1_arcsec"], combo["crval2_arcsec"],
+                    combo["crpix1"], combo["crpix2"], combo["roll"],
+                    combo["cdelt1_arcsec"], combo["cdelt2_arcsec"], xp=np)
+                nx0, ny0 = spherical_project(
+                    x3, yy, zz, combo["dist"], combo["roll"], x0, y0,
+                    combo["cdelt1_arcsec"], combo["cdelt2_arcsec"], xp=np)
+
+                # constant per-lag displacement in DETECTOR pixels
+                roll_r = np.radians(combo["roll"])
+                cos_r, sin_r = np.cos(roll_r), np.sin(roll_r)
+                csx = -(cos_r * dc1 + sin_r * dc2) / combo["cdelt1_arcsec"]
+                csy = -(-sin_r * dc1 + cos_r * dc2) / combo["cdelt2_arcsec"]
+
+                # exact conjugated displacement at the probe grid
+                px = nx0[pyg.ravel(), pxg.ravel()][None, :] + csx[:, None]
+                py = ny0[pyg.ravel(), pxg.ravel()][None, :] + csy[:, None]
+                if not np.isfinite(px).all():
+                    return None
+                lon_r2, lat2 = spherical_unproject(px, py, combo)
+                lon2 = lon_r2 + diff_rot_shift_deg(lat2, delta_t, rate_wave)
+                gx = (lon2 - lonlims[0]) / dlon_step
+                gy = (lat2 - latlims[0]) / dlat_step
+                c_exact = np.stack([gx - pxf[None, :],
+                                    gy - pyf[None, :]], axis=-1)  # (L, 16, 2)
+                if not np.isfinite(c_exact).all():
+                    return None
+
+                # per-lag quadratic fit  (L, 6, 2)
+                coeffs = np.einsum("pq,lqk->lpk", pinv, c_exact)
+                fit = np.einsum("qp,lpk->lqk", design, coeffs)
+                fit_err = float(np.max(np.abs(fit - c_exact)))
+                if fit_err > tol_px:
+                    return None
+
+                # residual bound relative to per-lag global integer shift
+                center = np.mean(c_exact, axis=1)
+                shifts = np.floor(center + 0.5).astype(np.int32)
+                spread = float(np.max(np.abs(
+                    c_exact - shifts[:, None, :]))) + fit_err
+                m = int(np.ceil(spread)) + 1
+                g_bound = int(np.max(np.abs(shifts)))
+                pad = g_bound + m + 2
+                if m > 24 or pad >= min(h, w) - 1:
+                    return None
+
+                warped = _sample_np(small_img, nx0, ny0, order, compute_dtype)
+                warped_padded = jnp.pad(
+                    jnp.asarray(warped, dtype=compute_dtype), pad,
+                    mode="reflect")
+                vals = _eval_select_carr(
+                    jnp.asarray(coeffs, dtype=compute_dtype),
+                    jnp.asarray(shifts), warped_padded,
+                    jnp.asarray(ref_img, dtype=compute_dtype),
+                    order, method, batch_size, m, pad, h, w)
+                out[:, :, i3, i4, i5] = np.asarray(
+                    vals, dtype=np.float64).reshape(len(l1), len(l2))
+    return out
 
 
 def _carrington_block_fast(small_img, ref_img, sc, lon, lat, delta_t,

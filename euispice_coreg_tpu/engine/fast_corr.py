@@ -107,7 +107,8 @@ def _tap_offsets(order: int):
 
 @partial(jax.jit, static_argnames=("order", "m"))
 def _build_surfaces(small, ref, order, m, constraint=None):
-    """All cross-correlation surfaces, shape (n_pairs, m, m).
+    """Frequency-domain cross-correlation products, shape (n_pairs, m, m//2+1)
+    (callers apply the inverse FFT, possibly chunked).
 
     Returned layout (order 2, taps T = 3 offsets/axis, nt = 9, npair = 45):
       [0]                 XC(M,   A)
@@ -173,15 +174,24 @@ def _build_surfaces(small, ref, order, m, constraint=None):
     ])
     if constraint is not None:
         prods = jax.lax.with_sharding_constraint(prods, constraint)
-    return jnp.fft.irfft2(prods, s=(m, m))
+    return prods
 
 
 @partial(jax.jit, static_argnames=("order", "m"))
 def _surfaces_at(small, ref, iy, ix, order, m):
     """Surface values at the per-lag integer offsets: (n_surf, L) — only this
-    small array ever leaves the device."""
-    surfaces = _build_surfaces(small, ref, order, m)
-    return surfaces[:, iy, ix]
+    small array ever leaves the device.
+
+    The inverse FFTs run in chunks so the full (n_surf, m, m) surface stack
+    (>1 GB at 2k^2) never materializes in HBM at once."""
+    prods = _build_surfaces(small, ref, order, m)
+    n_surf = prods.shape[0]
+    chunk = 8
+    vals = []
+    for k in range(0, n_surf, chunk):
+        surf = jnp.fft.irfft2(prods[k : k + chunk], s=(m, m))
+        vals.append(surf[:, iy, ix])
+    return jnp.concatenate(vals, axis=0)
 
 
 def surfaces_at_sharded(small, ref, iy, ix, order, m, mesh):
@@ -196,8 +206,9 @@ def surfaces_at_sharded(small, ref, iy, ix, order, m, mesh):
 
     @partial(jax.jit, static_argnames=("order", "m"))
     def run(small_, ref_, iy_, ix_, order, m):
-        surfaces = _build_surfaces.__wrapped__(small_, ref_, order, m,
-                                               constraint=shard)
+        prods = _build_surfaces.__wrapped__(small_, ref_, order, m,
+                                            constraint=shard)
+        surfaces = jnp.fft.irfft2(prods, s=(m, m))
         return surfaces[:, iy_, ix_]
 
     small_ = jax.device_put(small, repl)

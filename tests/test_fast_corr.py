@@ -212,3 +212,39 @@ def test_fast_path_sharded_matches_single_device():
         ds, ref_img, lon, lat, base, l1, l2, order=2, compute_dtype="float64",
         mesh=mesh)
     np.testing.assert_allclose(sharded, single, rtol=1e-10, atol=1e-12)
+
+
+def test_carrington_select_matches_general():
+    """Linearized-conjugation select path vs the per-lag gather engine."""
+    from euispice_coreg_tpu.engine import carrington as carr
+    from euispice_coreg_tpu.utils import timeutils
+
+    dl, hl, ds, hs = fx.make_carrington_pair(true_shift_arcsec=(20.0, -10.0))
+    lonlims, latlims, shape = (115.0, 125.0), (-2.0, 8.0), (128, 128)
+    ref_img = carr.reproject_to_carrington(
+        dl, hl, lonlims, latlims, shape, d_solar_r=1.004,
+        reference_date=hl["DATE-OBS"], rate_wave="171", compute_dtype="float64")
+    l1 = np.arange(0.0, 41.0, 10.0) / 3600.0
+    l2 = np.arange(-30.0, 11.0, 10.0) / 3600.0
+    kwargs = dict(d_solar_r=1.004, reference_date=hl["DATE-OBS"],
+                  rate_wave="171", order=2, compute_dtype="float64")
+    general = carr.evaluate_lag_grid_carrington(
+        ds, ref_img, hs, lonlims, latlims, shape,
+        l1, l2, [0.0], [0.0], [0.0], allow_fast=False, **kwargs)
+
+    # call the select path directly (the FFT fast path would otherwise win)
+    sc = carr.header_spherical_scalars(hs, 1.004)
+    lon, lat = carr.carrington_grid(lonlims, latlims, shape)
+    delta_t = timeutils.time_diff_days(str(hs["DATE-OBS"]), str(hl["DATE-OBS"]))
+    lon_rot = lon - carr.diff_rot_shift_deg(lat, delta_t, "171")
+    x3, yy, zz = carr.observer_geometry(lon_rot, lat, sc["obs_lon"], sc["obs_lat"])
+    sel = carr._carrington_select(
+        ds, ref_img, sc, lon, lat, delta_t=delta_t, rate_wave="171",
+        x3=x3, yy=yy, zz=zz, lonlims=lonlims, latlims=latlims, shape=shape,
+        l1=l1, l2=l2, l3=np.array([0.0]), l4=np.array([0.0]),
+        l5=np.array([0.0]), order=2, method="correlation",
+        compute_dtype="float64", batch_size=4)
+    assert sel is not None
+    assert np.unravel_index(np.nanargmax(sel), sel.shape) == \
+        np.unravel_index(np.nanargmax(general), general.shape)
+    np.testing.assert_allclose(sel, general, atol=0.05)
