@@ -319,9 +319,13 @@ def evaluate_lag_grid_carrington(
     lags_d = jnp.asarray(lags, dtype=compute_dtype)
 
     if mesh is None:
-        out = _evaluate_flat_carr(lags_d, small_d, ref_d, geom, base,
-                                  order=order, method=method, batch_size=batch_size)
-        out = np.asarray(out)[:n_lags]
+        out = lag_search.run_chunked(
+            lambda lg: _evaluate_flat_carr(
+                lg, small_d, ref_d, geom, base,
+                order=order, method=method, batch_size=batch_size),
+            [lags], n_lags,
+            min(lag_search.CHUNK_GATHER, max(n_lags, 1)),
+            label="carrington gather lag search")
     else:
         from jax import shard_map
 
@@ -465,11 +469,14 @@ def _carrington_select(small_img, ref_img, sc, lon, lat, delta_t, rate_wave,
                 warped_padded = jnp.pad(
                     jnp.asarray(warped, dtype=compute_dtype), pad,
                     mode="reflect")
-                vals = _eval_select_carr(
-                    jnp.asarray(coeffs, dtype=compute_dtype),
-                    jnp.asarray(shifts), warped_padded,
-                    jnp.asarray(ref_img, dtype=compute_dtype),
-                    order, method, batch_size, m, pad, h, w)
+                ref_d = jnp.asarray(ref_img, dtype=compute_dtype)
+                vals = lag_search.run_chunked(
+                    lambda cf, sh: _eval_select_carr(
+                        cf, sh, warped_padded, ref_d,
+                        order, method, batch_size, m, pad, h, w),
+                    [np.asarray(coeffs, dtype=compute_dtype), shifts],
+                    L, min(lag_search.CHUNK_SELECT, max(L, 1)),
+                    label="carrington select lag search")
                 out[:, :, i3, i4, i5] = np.asarray(
                     vals, dtype=np.float64).reshape(len(l1), len(l2))
     return out

@@ -125,6 +125,40 @@ def _sharded_evaluator(mesh, order, method, kind, batch_size):
     return jax.jit(sharded)
 
 
+def run_chunked(fn, per_lag_arrays, n_lags, chunk_size, label="lag chunks"):
+    """Evaluate a per-lag device function in bounded host-side chunks.
+
+    One giant ``lax.map`` program over >10k lags can run for minutes, which
+    some TPU runtimes kill (and gives no progress).  This slices every
+    per-lag operand into fixed-size chunks (last chunk padded for a stable
+    jit signature), calls ``fn(*chunk_arrays)`` per slice and stitches the
+    results, reporting progress between device calls.
+    """
+    from ..utils.obs import Progress
+
+    outs = []
+    prog = Progress(total=n_lags, label=label,
+                    enabled=n_lags > chunk_size)
+    for s in range(0, n_lags, chunk_size):
+        e = min(s + chunk_size, n_lags)
+        args = []
+        for a in per_lag_arrays:
+            part = np.asarray(a[s:e])
+            if e - s < chunk_size:
+                fill = np.repeat(part[-1:], chunk_size - (e - s), axis=0)
+                part = np.concatenate([part, fill], axis=0)
+            args.append(jnp.asarray(part))
+        vals = np.asarray(fn(*args))[: e - s]
+        outs.append(vals)
+        prog.step(e - s)
+    return np.concatenate(outs)
+
+
+# device program size targets (seconds-scale per chunk, watchdog-safe)
+CHUNK_SELECT = 2048
+CHUNK_GATHER = 64
+
+
 def default_mesh(max_devices: int | None = None) -> Mesh | None:
     """1-D ``lags`` mesh over the available devices (None if single device)."""
     devs = jax.devices()
@@ -243,20 +277,23 @@ def evaluate_lag_grid(
         shifts, m_resid, pad, h_img, w_img = select_cfg
         logger.info("engine path: shift-and-select (m=%d)", m_resid)
         small_padded = jnp.pad(small_d, pad, mode="reflect")
-        out = _evaluate_flat_select(
-            lags_d, jnp.asarray(shifts), small_padded, ref_d, lon_d, lat_d,
-            base_d, order=order, method=method, kind=kind,
-            batch_size=batch_size, residual_bound=m_resid, pad=pad,
-            h=h_img, w=w_img,
-        )
-        out = np.asarray(out)[:n_lags]
+        out = run_chunked(
+            lambda lg, sh: _evaluate_flat_select(
+                lg, sh, small_padded, ref_d, lon_d, lat_d, base_d,
+                order=order, method=method, kind=kind,
+                batch_size=batch_size, residual_bound=m_resid, pad=pad,
+                h=h_img, w=w_img),
+            [lags, shifts], n_lags, min(CHUNK_SELECT, max(n_lags, 1)),
+            label="select lag search")
     elif mesh is None:
         logger.info("engine path: per-lag gather")
-        out = _evaluate_flat(
-            lags_d, small_d, ref_d, lon_d, lat_d, base_d,
-            order=order, method=method, kind=kind, batch_size=batch_size,
-        )
-        out = np.asarray(out)[:n_lags]
+        out = run_chunked(
+            lambda lg: _evaluate_flat(
+                lg, small_d, ref_d, lon_d, lat_d, base_d,
+                order=order, method=method, kind=kind,
+                batch_size=batch_size),
+            [lags], n_lags, min(CHUNK_GATHER, max(n_lags, 1)),
+            label="gather lag search")
     else:
         ndev = mesh.devices.size
         n_pad = math.ceil(n_lags / ndev) * ndev
