@@ -48,9 +48,25 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import wcs
+from ..ops import precise_fft
 from . import lag_search
 
 MAX_DISPLACEMENT_SPREAD_PX = 0.05  # fall back if curvature exceeds this
+
+
+def _rfft2(x, m, precise):
+    """Backend-selected forward transform (see ops/precise_fft.py: the XLA
+    TPU FFT carries ~1e-3 * field-scale absolute error, fatal for the small
+    cancellation-sensitive surfaces like XC(M a, A))."""
+    if precise:
+        return precise_fft.rfft2(x, m)
+    return jnp.fft.rfft2(x, s=(m, m))
+
+
+def _irfft2(X, m, precise):
+    if precise:
+        return precise_fft.irfft2(X, m)
+    return jnp.fft.irfft2(X, s=(m, m))
 
 
 def _fft_size(n: int) -> int:
@@ -105,8 +121,8 @@ def _tap_offsets(order: int):
     return [-1, 0, 1]  # order 2
 
 
-@partial(jax.jit, static_argnames=("order", "m"))
-def _build_surfaces(small, ref, order, m, constraint=None):
+@partial(jax.jit, static_argnames=("order", "m", "precise"))
+def _build_surfaces(small, ref, order, m, constraint=None, precise=False):
     """Frequency-domain cross-correlation products, shape (n_pairs, m, m//2+1)
     (callers apply the inverse FFT, possibly chunked).
 
@@ -160,8 +176,17 @@ def _build_surfaces(small, ref, order, m, constraint=None):
         # multi-chip: shard the field batch across the mesh
         r_fields = jax.lax.with_sharding_constraint(r_fields, constraint)
 
-    G = jnp.fft.rfft2(g_fields, s=(m, m))
-    R = jnp.fft.rfft2(r_fields, s=(m, m))
+    if precise:
+        # chunk the field batch: the precise path's full-complex intermediate
+        # is (chunk, m, m) c64 — keep the transient under ~1 GB
+        G = precise_fft.rfft2(g_fields, m)
+        R = jnp.concatenate(
+            [precise_fft.rfft2(r_fields[k : k + 8], m)
+             for k in range(0, r_fields.shape[0], 8)]
+        )
+    else:
+        G = jnp.fft.rfft2(g_fields, s=(m, m))
+        R = jnp.fft.rfft2(r_fields, s=(m, m))
 
     npairs = nt * (nt + 1) // 2
     prods = jnp.concatenate([
@@ -177,19 +202,19 @@ def _build_surfaces(small, ref, order, m, constraint=None):
     return prods
 
 
-@partial(jax.jit, static_argnames=("order", "m"))
-def _surfaces_at(small, ref, iy, ix, order, m):
+@partial(jax.jit, static_argnames=("order", "m", "precise"))
+def _surfaces_at(small, ref, iy, ix, order, m, precise=False):
     """Surface values at the per-lag integer offsets: (n_surf, L) — only this
     small array ever leaves the device.
 
     The inverse FFTs run in chunks so the full (n_surf, m, m) surface stack
     (>1 GB at 2k^2) never materializes in HBM at once."""
-    prods = _build_surfaces(small, ref, order, m)
+    prods = _build_surfaces(small, ref, order, m, precise=precise)
     n_surf = prods.shape[0]
     chunk = 8
     vals = []
     for k in range(0, n_surf, chunk):
-        surf = jnp.fft.irfft2(prods[k : k + chunk], s=(m, m))
+        surf = _irfft2(prods[k : k + chunk], m, precise)
         vals.append(surf[:, iy, ix])
     return jnp.concatenate(vals, axis=0)
 
@@ -203,17 +228,26 @@ def surfaces_at_sharded(small, ref, iy, ix, order, m, mesh):
 
     shard = NamedSharding(mesh, P("lags"))
     repl = NamedSharding(mesh, P())
+    precise = precise_fft.use_precise_fft(mesh.devices.ravel()[0].platform)
 
     @partial(jax.jit, static_argnames=("order", "m"))
     def run(small_, ref_, iy_, ix_, order, m):
         prods = _build_surfaces.__wrapped__(small_, ref_, order, m,
-                                            constraint=shard)
-        surfaces = jnp.fft.irfft2(prods, s=(m, m))
+                                            constraint=shard, precise=precise)
+        surfaces = _irfft2(prods, m, precise)
         return surfaces[:, iy_, ix_]
 
     small_ = jax.device_put(small, repl)
     ref_ = jax.device_put(ref, repl)
     return run(small_, ref_, iy, ix, order, m)
+
+
+def _backend_of(x) -> str | None:
+    """Platform of a jax array's device (None -> default backend)."""
+    try:
+        return next(iter(x.devices())).platform
+    except Exception:
+        return None
 
 
 def _shift2(x, ty, tx, fill):
@@ -254,6 +288,7 @@ def pearson_integer_shifts(fixed_img, moving_img, dxs, dys, *,
             jnp.asarray(moving_img, dtype=compute_dtype),
             jnp.asarray(fixed_img, dtype=compute_dtype),
             iy, ix, 0, m,
+            precise=precise_fft.use_precise_fft(),
         ),
         dtype=np.float64,
     )
@@ -332,12 +367,13 @@ def evaluate_from_displacements(small_img, ref_img, c, spread, *,
     ix = jnp.asarray(np.mod(dint[:, 0], m))
     small_d = jnp.asarray(small_img, dtype=compute_dtype)
     ref_d = jnp.asarray(ref_img, dtype=compute_dtype)
+    precise = precise_fft.use_precise_fft(_backend_of(small_d))
     if mesh is not None and mesh.devices.size > 1:
         S = np.asarray(surfaces_at_sharded(small_d, ref_d, iy, ix, order, m,
                                            mesh), dtype=np.float64)
     else:
-        S = np.asarray(_surfaces_at(small_d, ref_d, iy, ix, order, m),
-                       dtype=np.float64)
+        S = np.asarray(_surfaces_at(small_d, ref_d, iy, ix, order, m,
+                                    precise=precise), dtype=np.float64)
 
     taps = _tap_offsets(order)
     ntap = len(taps)
