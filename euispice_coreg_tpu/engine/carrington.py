@@ -454,31 +454,57 @@ def _carrington_select(small_img, ref_img, sc, lon, lat, delta_t, rate_wave,
                 if fit_err > tol_px:
                     return None
 
-                # residual bound relative to per-lag global integer shift
+                # residual bound relative to per-lag global integer shift:
+                # the select sampler's cost is O((2m+taps)^2) slice reads, and
+                # the residual grows ~linearly with |lag| — bucket lags by
+                # their OWN residual so central lags don't pay the corner
+                # lags' window (2-3x on a 121x121 grid)
                 center = np.mean(c_exact, axis=1)
                 shifts = np.floor(center + 0.5).astype(np.int32)
-                spread = float(np.max(np.abs(
-                    c_exact - shifts[:, None, :]))) + fit_err
-                m = int(np.ceil(spread)) + 1
-                g_bound = int(np.max(np.abs(shifts)))
-                pad = g_bound + m + 2
-                if m > 24 or pad >= min(h, w) - 1:
+                r_l = np.max(np.abs(c_exact - shifts[:, None, :]),
+                             axis=(1, 2)) + fit_err           # (L,)
+                m_l = np.ceil(r_l).astype(np.int64) + 1
+                if int(m_l.max()) > 24:
                     return None
 
                 warped = _sample_np(small_img, nx0, ny0, order, compute_dtype)
-                warped_padded = jnp.pad(
-                    jnp.asarray(warped, dtype=compute_dtype), pad,
-                    mode="reflect")
+                warped_d = jnp.asarray(warped, dtype=compute_dtype)
                 ref_d = jnp.asarray(ref_img, dtype=compute_dtype)
-                vals = lag_search.run_chunked(
-                    lambda cf, sh: _eval_select_carr(
-                        cf, sh, warped_padded, ref_d,
-                        order, method, batch_size, m, pad, h, w),
-                    [np.asarray(coeffs, dtype=compute_dtype), shifts],
-                    L, min(lag_search.CHUNK_SELECT, max(L, 1)),
-                    label="carrington select lag search")
-                out[:, :, i3, i4, i5] = np.asarray(
-                    vals, dtype=np.float64).reshape(len(l1), len(l2))
+                coeffs_np = np.asarray(coeffs, dtype=compute_dtype)
+
+                vals = np.zeros(L)
+                buckets = [2, 3, 4, 6, 8, 12, 16, 24]
+                mb_l = np.asarray(
+                    [next(b for b in buckets if b >= mm) for mm in m_l])
+                for mb in sorted(set(mb_l.tolist())):
+                    idx = np.nonzero(mb_l == mb)[0]
+                    g_bound = int(np.max(np.abs(shifts[idx])))
+                    # quantize pad (shape is a static jit arg -> cache reuse)
+                    pad = -(-(g_bound + mb + 2) // 32) * 32
+                    if pad >= min(h, w) - 1:
+                        return None
+                    warped_padded = jnp.pad(warped_d, pad, mode="reflect")
+                    # device-program size ~ constant work: the slice count is
+                    # (2m+taps)^2, so shrink the lag chunk as m grows
+                    # (watchdog-safe), quantized for a stable jit signature
+                    sizes = (16, 64, 256, 1024, 2048)
+                    budget = lag_search.CHUNK_SELECT * 15 * 15
+                    want = max(budget // ((2 * mb + 3) ** 2), 1)
+                    c_budget = max((c for c in sizes if c <= want),
+                                   default=sizes[0])
+                    c_len = next((c for c in sizes if c >= len(idx)),
+                                 sizes[-1])
+                    chunk = min(c_budget, c_len)
+                    sub = lag_search.run_chunked(
+                        lambda cf, sh, wp=warped_padded, mb=mb, pad=pad:
+                            _eval_select_carr(
+                                cf, sh, wp, ref_d,
+                                order, method, batch_size, mb, pad, h, w),
+                        [coeffs_np[idx], shifts[idx]],
+                        len(idx), chunk,
+                        label=f"carrington select lag search (m={mb})")
+                    vals[idx] = np.asarray(sub, dtype=np.float64)
+                out[:, :, i3, i4, i5] = vals.reshape(len(l1), len(l2))
     return out
 
 
