@@ -108,6 +108,9 @@ def _full_from_half(Xh, m: int):
     """Reconstruct the full (..., m, m) spectrum of a REAL signal from the
     half spectrum (..., m, m//2+1) via Hermitian symmetry
     X[ky, kx] = conj(X[(-ky) % m, (-kx) % m])."""
+    if m % 2:
+        raise NotImplementedError("odd transform sizes (engine sizes are "
+                                  "256-multiples, see fast_corr._fft_size)")
     h = m // 2
     # columns kx = h+1 .. m-1 come from src_x = m-kx = h-1 .. 1
     src = Xh[..., :, 1:h]                                  # kx = 1..h-1
