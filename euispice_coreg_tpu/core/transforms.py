@@ -18,6 +18,7 @@ import jax.numpy as jnp
 
 from ..utils import timeutils
 from . import wcs as wcs2d
+from .resample import interpol2d  # parity: utils/rectify.py:22-56 re-export
 
 
 class BaseTransform:

@@ -254,6 +254,52 @@ class AlignmentResults:
         )
         return header
 
+    def savefig(self, filename: str, **kwargs):
+        """Save the correlation figure to ``filename``.
+
+        The reference declares this but leaves it unimplemented
+        (``AlignmentResults.py:178-179`` raises NotImplementedError); here it
+        delegates to :meth:`plot_correlation`."""
+        return self.plot_correlation(path_save_figure=filename, **kwargs)
+
+    def saveyaml(self, filename: str, window=0, path_to_l2_input: str | None = None):
+        """Write the corrected pointing keywords plus the fitted shift as
+        YAML.  The reference declares this but leaves it unimplemented
+        (``AlignmentResults.py:181-184``)."""
+        hdr = self.return_corrected_header(window, path_to_l2_input)
+        doc = {
+            "shift_arcsec": {
+                k: float(v) for k, v in zip(
+                    ("crval1", "crval2", "cdelt1", "cdelt2", "crota"),
+                    self.shift_arcsec)
+            },
+            "corrected_header": {
+                k: (float(hdr[k]) if isinstance(hdr[k], (int, float, np.floating,
+                                                         np.integer))
+                    else str(hdr[k])) for k in
+                ("CRVAL1", "CRVAL2", "CRPIX1", "CRPIX2", "CDELT1", "CDELT2",
+                 "PC1_1", "PC1_2", "PC2_1", "PC2_2", "CROTA")
+                if k in hdr
+            },
+            "max_correlation": float(np.nanmax(self.corr)),
+        }
+        try:
+            import yaml
+
+            text = yaml.safe_dump(doc, sort_keys=False)
+        except ImportError:  # minimal hand-rolled fallback
+            lines = []
+            for k, v in doc.items():
+                if isinstance(v, dict):
+                    lines.append(f"{k}:")
+                    lines.extend(f"  {kk}: {vv!r}" for kk, vv in v.items())
+                else:
+                    lines.append(f"{k}: {v!r}")
+            text = "\n".join(lines) + "\n"
+        with open(filename, "w") as f:
+            f.write(text)
+        return filename
+
     # ------------------------------------------------------------------
     def plot_correlation(self, path_save_figure=None, show=False, fig=None, ax=None):
         from ..plot import plot

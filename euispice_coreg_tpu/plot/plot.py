@@ -407,3 +407,31 @@ def plot_fov_rectangle(data, slc=None, path_save=None, show=False,
     if path_save is not None:
         fig.savefig(path_save)
     return fig, ax
+
+
+# re-export for drop-in parity with the reference's plot namespace
+# (/root/reference/euispice_coreg/plot/plot.py:23-51 defines its own
+# interpol2d copy; one canonical implementation lives in core/resample)
+from ..core.resample import interpol2d  # noqa: E402,F401
+
+
+class PlotFunctions:
+    """Namespace-class parity surface for the reference's ``PlotFunctions``
+    (``/root/reference/euispice_coreg/plot/plot.py:54``, staticmethod-only).
+    The implementations are this module's functions; ``simple_plot_sunpy``
+    raises (no sunpy dependency, see README compatibility notes)."""
+
+    plot_correlation = staticmethod(plot_correlation)
+    plot_fov = staticmethod(plot_fov)
+    plot_fov_rectangle = staticmethod(plot_fov_rectangle)
+    simple_plot = staticmethod(simple_plot)
+    contour_plot = staticmethod(contour_plot)
+    compare_plot = staticmethod(compare_plot)
+    successive_plot = staticmethod(successive_plot)
+    plot_co_alignment = staticmethod(plot_co_alignment)
+
+    @staticmethod
+    def simple_plot_sunpy(*args, **kwargs):
+        raise NotImplementedError(
+            "sunpy-backed plotting is not provided (no sunpy dependency); "
+            "use simple_plot")

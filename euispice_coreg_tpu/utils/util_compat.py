@@ -200,6 +200,44 @@ class AlignSpiceUtil:
         raise ValueError(return_type)
 
     @staticmethod
+    def extract_spice_coordinates_l3(hdr, return_type="xy"):
+        """Spatial (and time) world coordinates of a SPICE L3 header
+        (Util.py:485-512): the 4-D fitted-coefficient WCS reduced to the
+        celestial pair after decoupling the time axis, lon/lat in degrees,
+        time in epoch seconds."""
+        w = NDWCS.from_header(hdr)
+        pair = w.celestial_pair()
+        nx = int(hdr[f"NAXIS{pair[0] + 1}"])
+        ny = int(hdr[f"NAXIS{pair[1] + 1}"])
+
+        w_xy = w.copy()
+        drop = [i for i in range(w_xy.n) if i not in pair]
+        for d in sorted(drop, reverse=True):
+            for j in range(w_xy.n):
+                if j != d:
+                    w_xy.set_pc(d, j, 0.0)
+                    w_xy.set_pc(j, d, 0.0)
+            w_xy = w_xy.dropaxis(d)
+        from ..core import wcs as wcs2d
+
+        p = header_mod.wcs_params_from_header(w_xy.to_header())
+        x, y = coords.pixel_grid(nx, ny)
+        lon, lat = wcs2d.pixel_to_world(p.as_dict(), x, y, kind=p.kind, xp=np)
+        lon = units.ang2pipi_deg(lon)
+        lat = units.ang2pipi_deg(lat)
+        if return_type == "xy":
+            return lon, lat
+        if return_type == "xyt":
+            it = w.axis_index("UTC")
+            qx = np.arange(nx) + 1.0 - w.crpix[pair[0]]
+            qt = 1.0 - w.crpix[it]
+            tsec = (w.crval[it] + w.cdelt[it]
+                    * (w.pc[it, pair[0]] * qx + w.pc[it, it] * qt))
+            utc = w.time_origin_seconds() + tsec
+            return lon, lat, np.broadcast_to(utc, lon.shape)
+        raise ValueError(return_type)
+
+    @staticmethod
     def extract_l3_data(path_spice, line: dict, index_line: int, window=0):
         """Named L3 coefficient planes with missing-value masking
         (Util.py:594-614)."""
@@ -268,6 +306,12 @@ class PlotFits:
         from ..plot import plot
 
         return plot.plot_fov(*args, **kwargs)
+
+    @staticmethod
+    def plot_fov_rectangle(*args, **kwargs):
+        from ..plot import plot
+
+        return plot.plot_fov_rectangle(*args, **kwargs)
 
     @staticmethod
     def simple_plot(*args, **kwargs):

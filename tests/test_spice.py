@@ -1,4 +1,5 @@
 """AlignmentSpice (L2 cube prep + search) and synras map builder tests."""
+import os
 import numpy as np
 import pytest
 
@@ -228,3 +229,53 @@ def test_synras_keep_original_imager_pixel_size(tmp_path):
     assert hdul[0].data.shape[1] == len(np.arange(0, 48, 12.0 / 4.0))
     assert hdul[0].header["CDELT1"] == pytest.approx(12.0 / 3600.0)
     assert hdul[0].header["CRPIX1"] == (hdul[0].data.shape[1] + 1) / 2
+
+
+def test_extract_spice_coordinates_l3_matches_l2():
+    """The L3 extractor (Util.py:485-512) reduces the 4-D WCS to the same
+    celestial pair as the L2 extractor when time/lambda couplings are cut."""
+    from euispice_coreg_tpu.utils.util_compat import AlignSpiceUtil
+
+    hdr = fx.make_spice_l2_header(nx=24, ny=32, crota_deg=1.5)
+    lon2, lat2 = AlignSpiceUtil.extract_spice_coordinates_l2(hdr, "xy")
+    lon3, lat3 = AlignSpiceUtil.extract_spice_coordinates_l3(hdr, "xy")
+    np.testing.assert_allclose(lon3, lon2, atol=1e-12)
+    np.testing.assert_allclose(lat3, lat2, atol=1e-12)
+
+    lon3t, lat3t, utc = AlignSpiceUtil.extract_spice_coordinates_l3(hdr, "xyt")
+    np.testing.assert_allclose(lon3t, lon3, atol=1e-12)
+    assert utc.shape == lon3.shape
+    # raster time increases along x by dt_per_step seconds per column
+    dt = np.diff(utc[0])
+    np.testing.assert_allclose(dt, 5.0, atol=1e-9)
+
+
+def test_results_savefig_saveyaml(tmp_path):
+    """savefig/saveyaml are NotImplementedError stubs in the reference
+    (AlignmentResults.py:178-184); here they must produce real files."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from euispice_coreg_tpu.core.header import Header
+    from euispice_coreg_tpu.hdrshift.results import AlignmentResults
+    from euispice_coreg_tpu.io import fits as tfits
+
+    lag = np.arange(-2.0, 3.0)
+    corr = np.zeros((5, 5, 1, 1, 1))
+    corr[3, 2, 0, 0, 0] = 1.0
+    hdr = fx.make_header(naxis=(16, 16))
+    p = str(tmp_path / "in.fits")
+    tfits.write(p, [tfits.PrimaryHDU(
+        data=np.zeros((16, 16), dtype=np.float32), header=hdr)])
+    res = AlignmentResults(
+        corr=corr, lag_crval1=lag, lag_crval2=lag,
+        lag_cdelt1=[0.0], lag_cdelt2=[0.0], lag_crota=[0.0],
+        unit_lag="arcsec", image_to_align_path=p,
+    )
+    fp = str(tmp_path / "corr.pdf")
+    res.savefig(fp)
+    assert os.path.getsize(fp) > 0
+    yp = str(tmp_path / "res.yaml")
+    res.saveyaml(yp, window=0)
+    text = open(yp).read()
+    assert "CRVAL1" in text and "shift_arcsec" in text
