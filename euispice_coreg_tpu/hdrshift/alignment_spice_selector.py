@@ -18,7 +18,7 @@ from .alignment_spice import AlignmentSpice
 class AlignmentSpiceSelector(AlignmentSpice):
     def __init__(
         self,
-        small_fov_to_correct: str,
+        small_fov_to_correct: str | None = None,
         lag_crval1=None,
         lag_crval2=None,
         lag_cdelt1=None,
@@ -32,11 +32,26 @@ class AlignmentSpiceSelector(AlignmentSpice):
         time_margin: float = 300.0,
         folder_path_synras: str = ".",
         selector=None,
+        path_to_spice_fits: str | None = None,
+        window_spice=None,
         **kwargs,
     ):
         """``threshold_time``/``time_margin`` in seconds.  ``selector`` can be
-        injected (e.g. a stub) for offline use; defaults to SelectorEui."""
+        injected (e.g. a stub) for offline use; defaults to SelectorEui.
+
+        ``path_to_spice_fits``/``window_spice`` are accepted as aliases of
+        ``small_fov_to_correct``/``small_fov_window`` for drop-in parity with
+        the reference's constructor
+        (``alignment_spice_selector.py:12-17``)."""
         from ..io import fits
+
+        if path_to_spice_fits is not None:
+            small_fov_to_correct = path_to_spice_fits
+        if small_fov_to_correct is None:
+            raise ValueError("small_fov_to_correct (or path_to_spice_fits) "
+                             "is required")
+        if window_spice is not None:
+            small_fov_window = window_spice
 
         hdul = fits.open(small_fov_to_correct)
         hdr = hdul[small_fov_window].header
