@@ -47,6 +47,68 @@ DIFF_ROT_COEFFS = {
 RAT_WAVE = {"171": "171", "193": "195", "211": "195", "131": "171",
             "304": "304", "335": "304", "94": "171", "174": "171"}
 
+# sidereal rotation rate of the Carrington frame, deg/day
+SIDEREAL_CARRINGTON_RATE = 14.1844
+
+# surface rotation models (A + B sin^2(lat) + C sin^4(lat), deg/day,
+# sidereal) as used by sunpy's ``propagate_with_solar_surface`` (default
+# 'howard', Howard et al. 1990) — for the native equivalent of the
+# reference's sunpy reprojection branch (alignment.py:939-985)
+SURFACE_ROT_MODELS = {
+    "howard": (14.713, -2.396, -1.787),
+    "snodgrass": (14.71, -2.39, -1.78),
+    "allen": (14.44, -3.0, 0.0),
+    "rigid": (SIDEREAL_CARRINGTON_RATE, 0.0, 0.0),
+}
+
+
+def surface_rotation_drift_deg(lat_deg, delta_t_days, model="howard"):
+    """Carrington-longitude drift of a solar-surface feature over
+    ``delta_t_days`` (positive eastward), relative to the Carrington frame."""
+    a, b, c = SURFACE_ROT_MODELS[model]
+    siny2 = np.sin(np.radians(lat_deg)) ** 2
+    rate = a + siny2 * (b + c * siny2)
+    return (rate - SIDEREAL_CARRINGTON_RATE) * delta_t_days
+
+
+def reproject_solar_surface(data, hdr_src, hdr_dst, *, d_solar_r=1.0,
+                            order=2, rot_model="howard",
+                            compute_dtype=jnp.float32):
+    """Reproject ``data`` (WCS ``hdr_src``) onto ``hdr_dst``'s pixel grid,
+    assuming emission corotates with the differentially-rotating solar
+    surface between the two observation times.
+
+    Native equivalent of the reference's
+    ``Map.reproject_to(wcs, ...)`` under sunpy's
+    ``propagate_with_solar_surface`` (``alignment.py:939-985``): each
+    destination pixel's line of sight is intersected with the sphere of
+    radius ``d_solar_r * R_sun`` (sunpy's ``rsun_ref`` override, 943-948),
+    the Carrington longitude is drifted by the surface rotation model over
+    (t_src - t_dst), and the point is projected through the source
+    observer's geometry.  Off-sphere destination pixels are NaN.
+    """
+    from ..utils import timeutils
+
+    sc_s = header_spherical_scalars(hdr_src, d_solar_r)
+    sc_d = header_spherical_scalars(hdr_dst, d_solar_r)
+    nx1 = int(hdr_dst.get("ZNAXIS1", hdr_dst.get("NAXIS1")))
+    nx2 = int(hdr_dst.get("ZNAXIS2", hdr_dst.get("NAXIS2")))
+    px, py = np.meshgrid(np.arange(nx1, dtype=np.float64),
+                         np.arange(nx2, dtype=np.float64))
+    lon_d, lat_d = spherical_unproject(px, py, sc_d)
+    dt_days = timeutils.time_diff_days(str(hdr_src["DATE-OBS"]),
+                                       str(hdr_dst["DATE-OBS"]))
+    lon_s = lon_d + surface_rotation_drift_deg(lat_d, dt_days, rot_model)
+    x3, yy, zz = observer_geometry(lon_s, lat_d, sc_s["obs_lon"],
+                                   sc_s["obs_lat"])
+    x0, y0 = _pixel_origin(sc_s["crval1_arcsec"], sc_s["crval2_arcsec"],
+                           sc_s["crpix1"], sc_s["crpix2"], sc_s["roll"],
+                           sc_s["cdelt1_arcsec"], sc_s["cdelt2_arcsec"], xp=np)
+    sx, sy = spherical_project(x3, yy, zz, sc_s["dist"], sc_s["roll"], x0, y0,
+                               sc_s["cdelt1_arcsec"], sc_s["cdelt2_arcsec"],
+                               xp=np)
+    return _sample_np(data, sx, sy, order, compute_dtype)
+
 
 def diff_rot_shift_deg(lat_deg, delta_t_days, rate_wave: str | None):
     """Longitude shift (deg) accumulated over ``delta_t_days`` relative to
@@ -249,13 +311,23 @@ def evaluate_lag_grid_carrington(
     batch_size=8,
     mesh=None,
     allow_fast=True,
+    lag_mode="auto",
 ):
     """Score the lag hypercube in the Carrington frame; returns
     (n1, n2, n3, n4, n5) float64 numpy.
 
     ``ref_img`` must already be on the Carrington grid (see
-    :func:`reproject_to_carrington`)."""
+    :func:`reproject_to_carrington`).
+
+    ``lag_mode`` mirrors ``Alignment(lag_search_mode=...)``: ``"exact"``
+    forces the per-lag gather engine, ``"pallas"`` prefers the fused
+    quadratic-displacement kernel (engine/pallas_quad.py) inside the select
+    path, ``"auto"`` picks pallas on TPU backends and the XLA select
+    evaluator on CPU, ``"fast"`` keeps the XLA select evaluator."""
     from ..utils import timeutils
+
+    if lag_mode == "exact":
+        allow_fast = False
 
     sc = header_spherical_scalars(hdr_small, d_solar_r)
     lon, lat = carrington_grid(lonlims, latlims, shape)
@@ -289,13 +361,19 @@ def evaluate_lag_grid_carrington(
                     "linearized select path")
 
     if allow_fast and order in (0, 1, 2):
+        if lag_mode == "pallas":
+            use_pallas = True
+        elif lag_mode == "auto":
+            use_pallas = jax.default_backend() != "cpu"
+        else:
+            use_pallas = False
         fast = _carrington_select(
             small_img, ref_img, sc, lon, lat,
             delta_t=delta_t, rate_wave=rate_wave,
             x3=x3, yy=yy, zz=zz, lonlims=lonlims, latlims=latlims, shape=shape,
             l1=l1, l2=l2, l3=l3, l4=l4, l5=l5,
             order=order, method=method, compute_dtype=compute_dtype,
-            batch_size=batch_size,
+            batch_size=batch_size, use_pallas=use_pallas,
         )
         if fast is not None:
             logger.info("engine path: carrington linearized select")
@@ -378,7 +456,8 @@ def _eval_select_carr(coeffs, shifts, warped_padded, ref_img, order, method,
 def _carrington_select(small_img, ref_img, sc, lon, lat, delta_t, rate_wave,
                        x3, yy, zz, lonlims, latlims, shape,
                        l1, l2, l3, l4, l5, *, order, method, compute_dtype,
-                       batch_size, tol_px=0.05):
+                       batch_size, tol_px=0.05, use_pallas=False,
+                       pallas_interpret=None):
     """Quadratic-conjugation select path for strongly curved Carrington grids
     (where the FFT fast path's constant-displacement bound fails).
 
@@ -467,10 +546,31 @@ def _carrington_select(small_img, ref_img, sc, lon, lat, delta_t, rate_wave,
                 if int(m_l.max()) > 24:
                     return None
 
-                warped = _sample_np(small_img, nx0, ny0, order, compute_dtype)
-                warped_d = jnp.asarray(warped, dtype=compute_dtype)
+                # pre-warp stays device-resident (tunnel transfers are slow)
+                warped_d = _sample_jit(
+                    jnp.asarray(small_img, dtype=compute_dtype),
+                    jnp.asarray(nx0, dtype=compute_dtype),
+                    jnp.asarray(ny0, dtype=compute_dtype), order)
                 ref_d = jnp.asarray(ref_img, dtype=compute_dtype)
                 coeffs_np = np.asarray(coeffs, dtype=compute_dtype)
+
+                if use_pallas:
+                    from . import pallas_quad
+                    from ..utils.obs import logger as _log
+
+                    interp = pallas_interpret
+                    if interp is None:
+                        interp = jax.default_backend() == "cpu"
+                    vals_p = pallas_quad.evaluate_select_carr_pallas(
+                        coeffs, warped_d, ref_d, order=order, h=h, w=w,
+                        method=method, interpret=interp)
+                    if vals_p is not None:
+                        _log.info("carrington select: pallas quad kernel")
+                        out[:, :, i3, i4, i5] = vals_p.reshape(
+                            len(l1), len(l2))
+                        continue
+                    _log.info("carrington pallas preconditions failed, "
+                              "using XLA select evaluator")
 
                 vals = np.zeros(L)
                 buckets = [2, 3, 4, 6, 8, 12, 16, 24]

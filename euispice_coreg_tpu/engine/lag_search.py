@@ -413,6 +413,10 @@ def compute_world_grid(small_params, h, w, kind, wrap):
     return lon, lat
 
 
+world_grid_jit = jax.jit(compute_world_grid,
+                         static_argnames=("h", "w", "kind", "wrap"))
+
+
 @partial(jax.jit, static_argnames=("h", "w", "kind", "wrap", "order", "m", "pad",
                                    "h_src", "w_src"))
 def _submap_select_jit(padded_large, small_params, large_params, h, w, kind,

@@ -1,0 +1,151 @@
+"""Shared building blocks for the Pallas fused warp+score kernels.
+
+Both TPU kernels (``pallas_warp`` — per-lag WCS displacement, and
+``pallas_quad`` — per-lag quadratic displacement for the Carrington select
+path) share the same inner sampler: given a VMEM block holding the source
+pixels re-based on the tile's integer shift, sample every output pixel of the
+tile via statically-shifted windows selected by the bounded integer residual
+(the Pallas form of :func:`core.resample.sample_image_select`).
+
+Everything here runs inside a Pallas kernel body (Mosaic TPU restrictions:
+no scatter, static slice shapes, ``pltpu.roll`` for lane/sublane shifts).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+TILE = 128
+OUT_LANES = 128  # output row padded to one full lane tile
+
+
+def b2_weights(t):
+    """Quadratic B-spline weights at fractional offset ``t`` (scipy order=2,
+    prefilter=False convention; see core/resample._taps_and_weights)."""
+    return (0.5 * (0.5 - t) ** 2, 0.75 - t * t, 0.5 * (0.5 + t) ** 2)
+
+
+def order_taps(order):
+    if order == 2:
+        return 3, -1
+    if order == 1:
+        return 2, 0
+    if order == 0:
+        return 1, 0
+    raise NotImplementedError(f"order {order}")
+
+
+def fractional_parts(xs, ys, order):
+    """Integer base tap (kx, ky) and per-tap weight lists for the select
+    sampler, matching scipy's even/odd tap start conventions."""
+    if order in (0, 2):
+        kx = jnp.floor(xs + 0.5)
+        ky = jnp.floor(ys + 0.5)
+    else:
+        kx = jnp.floor(xs)
+        ky = jnp.floor(ys)
+    tx = xs - kx
+    ty = ys - ky
+    if order == 2:
+        wx_list = b2_weights(tx)
+        wy_list = b2_weights(ty)
+    elif order == 1:
+        wx_list = (1.0 - tx, tx)
+        wy_list = (1.0 - ty, ty)
+    else:
+        wx_list = (jnp.ones_like(tx),)
+        wy_list = (jnp.ones_like(ty),)
+    return kx, ky, wx_list, wy_list
+
+
+def select_mix(blk, rx, ry, wx_list, wy_list, *, m, mm_y, mm_x, order):
+    """Sample a (TILE, TILE) tile from the re-based block ``blk``.
+
+    ``blk`` is (TILE + 2*mm_y, TILE + 2*mm_x) with ``blk[mm_y + u, mm_x + v]``
+    holding the source pixel at (tile row + shift_y + u, tile col + shift_x
+    + v).  ``rx``/``ry`` are the per-pixel integer residuals (already clipped
+    to [-m, m]); ``wx_list``/``wy_list`` the spline tap weights.
+
+    Cost is O((2m + taps)^2) static window passes; each window is a lane/
+    sublane roll + aligned slice.  When the lane margin exceeds 128 the block
+    is first narrowed to TILE + 256 columns with one aligned slice so the
+    per-window rolls touch ~bw/384 less data (the residual + taps never reach
+    beyond 128 columns once the tile is re-based on its own integer shift).
+    """
+    n_taps, tap_lo = order_taps(order)
+    bh = blk.shape[0]
+
+    # narrow the lane extent once: windows only need cols
+    # [mm_x - (m+1), mm_x + TILE + m + 1), and m + 1 <= 128 always holds
+    if mm_x > 128:
+        blk = jax.lax.slice(blk, (0, mm_x - 128), (bh, mm_x + TILE + 128))
+        off_x = 128
+    else:
+        off_x = mm_x
+    bw = blk.shape[1]
+
+    zero = jnp.zeros((TILE, TILE), dtype=blk.dtype)
+
+    def col_mixed_row(r):
+        """Row band r, column-selected and x-tap-mixed.  Windows are cached
+        per distinct lane shift: consecutive ox values reuse (ox + ax)
+        windows, cutting the lane rolls ~(2m+3)/(2m+2*taps+1)x."""
+        band = jax.lax.slice(
+            pltpu.roll(blk, (bh - r) % bh, 0),
+            (mm_y, 0), (mm_y + TILE, bw))
+        wins = {}
+        for c in range(-m + tap_lo, m + tap_lo + n_taps):
+            wins[c] = jax.lax.slice(
+                pltpu.roll(band, (bw - c) % bw, 1),
+                (0, off_x), (TILE, off_x + TILE))
+        acc = zero
+        for ox in range(-m, m + 1):
+            inner = zero
+            for ax in range(n_taps):
+                inner = inner + wx_list[ax] * wins[ox + tap_lo + ax]
+            acc = jnp.where(rx == ox, inner, acc)
+        return acc
+
+    # rolling cache over row offsets: only n_taps row bands live at once
+    r_lo = -m + tap_lo
+    cache = {r: col_mixed_row(r) for r in range(r_lo, r_lo + n_taps)}
+    sampled = zero
+    for oy in range(-m, m + 1):
+        mixed = zero
+        for ay in range(n_taps):
+            r = oy + tap_lo + ay
+            if r not in cache:
+                cache[r] = col_mixed_row(r)
+            mixed = mixed + wy_list[ay] * cache[r]
+        sampled = jnp.where(ry == oy, mixed, sampled)
+        cache.pop(oy + tap_lo, None)  # lowest row no longer needed
+    return sampled
+
+
+def pearson_partial_sums(a, sampled, invalid):
+    """The 6 masked-Pearson partial sums of a tile, assembled into one
+    (1, 1, OUT_LANES) lane vector without scatter (unsupported on Mosaic)."""
+    mask = jnp.isfinite(a) & jnp.isfinite(sampled) & ~invalid
+    mf = mask.astype(jnp.float32)
+    am = jnp.where(mask, a, 0.0)
+    bm = jnp.where(mask, sampled, 0.0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, OUT_LANES), 2)
+    vals = jnp.zeros((1, 1, OUT_LANES), dtype=jnp.float32)
+    for idx, s in enumerate([
+        jnp.sum(mf), jnp.sum(am), jnp.sum(am * am),
+        jnp.sum(bm), jnp.sum(bm * bm), jnp.sum(am * bm),
+    ]):
+        vals = jnp.where(lane == idx, s, vals)
+    return vals
+
+
+def pearson_from_sums(sums):
+    """(L, >=6) raw sums -> (L,) Pearson r, float64 on host."""
+    import numpy as np
+
+    n, Sa, Saa, Sb, Sbb, Sab = (sums[:, k] for k in range(6))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        num = Sab - Sa * Sb / n
+        den = np.sqrt((Saa - Sa * Sa / n) * (Sbb - Sb * Sb / n))
+        return num / den

@@ -1,0 +1,257 @@
+"""Pallas TPU kernel: fused quadratic-displacement warp + masked Pearson.
+
+The Carrington select engine (``engine/carrington._carrington_select``) fits
+each lag's conjugated displacement field with a quadratic map in the grid
+indices — coefficients ``(L, 6, 2)`` for ``[x, y, 1, x^2, y^2, x*y] ->
+(dx, dy)``.  The XLA select evaluator materializes the quadratic field, the
+spline weights and the residual masks in HBM per lag (~1 GB of traffic per
+lag at 2048^2) and must size its select window by the residual over the
+WHOLE image (m up to ~24 for corner lags).
+
+This kernel removes both costs:
+
+* every intermediate lives in VMEM — grid = (lags, tiles_y, tiles_x), one
+  (TILE, TILE) output tile per step;
+* each tile is re-based on its own per-lag integer shift, so the select
+  radius is the *within-tile* residual (~2-3 px even for corner lags):
+  O((2m+3)^2) window passes with m ~ 2 instead of m ~ 24;
+* the integer shift itself rides in the DMA start (aligned down to the
+  (8, 128) float32 tiling; only the remainder is applied with dynamic
+  rolls), so the block margins stay small no matter how large the global
+  shift is.
+
+Numerics match ``core.resample.sample_image_select`` on the quadratic field
+(mirror taps at the image edge, NaN fill outside, residual-bound masking) —
+pinned by interpret-mode parity tests against the XLA select evaluator.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import pallas_common as pc
+from .pallas_common import OUT_LANES, TILE
+
+
+def _make_kernel(m, mm_y, mm_x, pad, hw_grid, order):
+    h, w = hw_grid
+
+    def kernel(coef_ref, shift_ref, warped_hbm, ref_tile, out_ref, block, sem):
+        ty = pl.program_id(1)
+        tx = pl.program_id(2)
+
+        sx = shift_ref[0, 0, 0, 0, 0]
+        sy = shift_ref[0, 0, 0, 0, 1]
+        # fold the aligned part of the shift into the DMA start (provably
+        # aligned to the (8, 128) f32 tiling since pad, mm_* and TILE are
+        # multiples); only the remainder is re-centered with dynamic rolls
+        remy = jnp.mod(sy, 8)     # in [0, 8) for any sign of sy
+        remx = jnp.mod(sx, 128)   # in [0, 128)
+        sy_al = sy - remy         # exact multiple of 8
+        sx_al = sx - remx         # exact multiple of 128
+        bh = TILE + 2 * mm_y
+        bw = TILE + 2 * mm_x
+        start_y = pl.multiple_of(ty * TILE + pad - mm_y + sy_al, 8)
+        start_x = pl.multiple_of(tx * TILE + pad - mm_x + sx_al, 128)
+        dma = pltpu.make_async_copy(
+            warped_hbm.at[pl.ds(start_y, bh), pl.ds(start_x, bw)],
+            block,
+            sem,
+        )
+        dma.start()
+
+        # quadratic displacement of this tile (VPU polynomial, no trig)
+        jj_i = (tx * TILE) + jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1)
+        ii_i = (ty * TILE) + jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 0)
+        jj = jj_i.astype(jnp.float32)
+        ii = ii_i.astype(jnp.float32)
+        c = coef_ref
+        dx = (c[0, 0, 0] * jj + c[0, 0, 1] * ii + c[0, 0, 2]
+              + c[0, 0, 3] * jj * jj + c[0, 0, 4] * ii * ii
+              + c[0, 0, 5] * jj * ii)
+        dy = (c[0, 0, 6] * jj + c[0, 0, 7] * ii + c[0, 0, 8]
+              + c[0, 0, 9] * jj * jj + c[0, 0, 10] * ii * ii
+              + c[0, 0, 11] * jj * ii)
+        x = jj + dx
+        y = ii + dy
+
+        invalid = (jnp.isnan(x) | jnp.isnan(y)
+                   | (x < 0) | (x > w - 1) | (y < 0) | (y > h - 1))
+        xs = jnp.where(invalid, jj, x)
+        ys = jnp.where(invalid, ii, y)
+
+        kx, ky, wx_list, wy_list = pc.fractional_parts(xs, ys, order)
+
+        rx = kx.astype(jnp.int32) - jj_i - sx
+        ry = ky.astype(jnp.int32) - ii_i - sy
+        res_ok = (jnp.abs(rx) <= m) & (jnp.abs(ry) <= m)
+        invalid = invalid | ~res_ok
+        rx = jnp.clip(rx, -m, m)
+        ry = jnp.clip(ry, -m, m)
+
+        dma.wait()
+        # re-center the remainder: after this, blk[mm_y + u, mm_x + v] is the
+        # source pixel at (tile row + sy + u, tile col + sx + v)
+        blk = pltpu.roll(block[:], jnp.mod(bh - remy, bh), 0)
+        blk = pltpu.roll(blk, jnp.mod(bw - remx, bw), 1)
+
+        sampled = pc.select_mix(blk, rx, ry, wx_list, wy_list,
+                                m=m, mm_y=mm_y, mm_x=mm_x, order=order)
+        vals = pc.pearson_partial_sums(ref_tile[:], sampled, invalid)
+
+        @pl.when((ty == 0) & (tx == 0))
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        out_ref[:] = out_ref[:] + vals
+
+    return kernel
+
+
+def _build_eval(m, mm_y, mm_x, pad, hw_grid, order, n_ty, n_tx, interpret):
+    """One jitted evaluator instance; reused across lag chunks so the
+    compiled program is cached (a fresh kernel closure per chunk would
+    recompile every call)."""
+    kernel = _make_kernel(m, mm_y, mm_x, pad, hw_grid, order)
+
+    def run(coeffs12, shifts, canvas, ref_canvas):
+        L = coeffs12.shape[0]
+        out = pl.pallas_call(
+            kernel,
+            grid=(L, n_ty, n_tx),
+            in_specs=[
+                pl.BlockSpec((1, 1, 12), lambda l, ty, tx: (l, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, 1, 1, 2), lambda l, ty, tx: (l, ty, tx, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((TILE, TILE), lambda l, ty, tx: (ty, tx),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 1, OUT_LANES), lambda l, ty, tx: (l, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((L, 1, OUT_LANES), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((TILE + 2 * mm_y, TILE + 2 * mm_x), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+            interpret=interpret,
+        )(coeffs12, shifts, canvas, ref_canvas)
+        return out.reshape(L, OUT_LANES)
+
+    return jax.jit(run)
+
+
+def _tile_shifts(coeffs, h, w, n_ty, n_tx, lag_block=4096):
+    """Per-lag per-tile integer shifts + global residual bound.
+
+    Probes the quadratic at 3x3 points per tile (corners/edge-mids/center,
+    clipped into the image) and adds the analytic curvature slack
+    ``(|cxx| + |cyy| + |cxy|) * (TILE/2)^2`` covering intra-tile extrema the
+    probes can miss, so the bound is rigorous for a quadratic field.
+    """
+    L = coeffs.shape[0]
+
+    def axis_probes(n_t, n):
+        pts = np.zeros((n_t, 3), dtype=np.int64)
+        for t in range(n_t):
+            pts[t] = (min(t * TILE + TILE // 2, n - 1),
+                      min(t * TILE, n - 1),
+                      min((t + 1) * TILE - 1, n - 1))
+        return pts
+
+    py = axis_probes(n_ty, h)
+    px = axis_probes(n_tx, w)
+    pyg, pxg = np.meshgrid(py.ravel(), px.ravel(), indexing="ij")
+    pxf = pxg.ravel().astype(np.float64)
+    pyf = pyg.ravel().astype(np.float64)
+    design = np.stack([pxf, pyf, np.ones_like(pxf),
+                       pxf * pxf, pyf * pyf, pxf * pyf], axis=-1)  # (P, 6)
+
+    shifts = np.zeros((L, n_ty, n_tx, 2), dtype=np.int32)
+    spread = 0.0
+    for s in range(0, L, lag_block):
+        e = min(s + lag_block, L)
+        disp = np.einsum("pq,lqk->lpk", design, coeffs[s:e])  # (l, P, 2)
+        disp = disp.reshape(e - s, n_ty, 3, n_tx, 3, 2)
+        center = disp[:, :, 0, :, 0, :]
+        shifts[s:e] = np.floor(center + 0.5).astype(np.int32)
+        spread = max(spread, float(np.max(np.abs(
+            disp - center[:, :, None, :, None, :]))))
+
+    slack = float(np.max(
+        np.sum(np.abs(coeffs[:, 3:6, :]), axis=1))) * (TILE / 2) ** 2
+    m = int(np.ceil(spread + slack)) + 1
+    g_bound = int(np.max(np.abs(shifts))) if shifts.size else 0
+    return shifts, m, g_bound
+
+
+def evaluate_select_carr_pallas(coeffs, warped, ref_img, *, order, h, w,
+                                method="correlation", interpret=False,
+                                max_m=6, chunk=1024):
+    """Score ``L`` quadratic-displacement lags against ``ref_img``.
+
+    Args:
+      coeffs: (L, 6, 2) float64 quadratic map ``[x, y, 1, x^2, y^2, x*y] ->
+        (dx, dy)`` in grid pixels (the ``_carrington_select`` fit).
+      warped: (h, w) pre-warped image sampled per lag (device or host array).
+      ref_img: (h, w) reference on the same grid.
+
+    Returns (L,) float64 Pearson r, or None when preconditions fail
+    (within-tile residual bound exceeded, unsupported method/order, shifts
+    larger than the image).
+    """
+    if method != "correlation" or order not in (0, 1, 2):
+        return None
+    coeffs = np.asarray(coeffs, dtype=np.float64)
+    L = coeffs.shape[0]
+    n_ty = -(-h // TILE)
+    n_tx = -(-w // TILE)
+    ht, wt = n_ty * TILE, n_tx * TILE
+
+    shifts, m, g_bound = _tile_shifts(coeffs, h, w, n_ty, n_tx)
+    if m > max_m or g_bound > min(h, w):
+        return None
+
+    mm_y = -(-(m + 9) // 8) * 8
+    mm_x = -(-(m + 129) // 128) * 128
+    pad = -(-(mm_x + g_bound + 127) // 128) * 128
+
+    # canvas assembled ON DEVICE (never ship the padded field through the
+    # host tunnel): NaN outside, image mirror-padded 2 px about its real
+    # region (order<=2 taps reach at most 1 px past an in-range coordinate)
+    pe = min(2, h - 1, w - 1)
+    warped_d = jnp.asarray(warped, dtype=jnp.float32)
+    ref_d = jnp.asarray(ref_img, dtype=jnp.float32)
+
+    @jax.jit
+    def build_canvases(wp, rf):
+        amean = jnp.nanmean(rf)
+        bmean = jnp.nanmean(wp)
+        refl = jnp.pad(wp - bmean, pe, mode="reflect")
+        canvas = jnp.full((ht + 2 * pad, wt + 2 * pad), jnp.nan, jnp.float32)
+        canvas = canvas.at[pad - pe: pad + h + pe,
+                           pad - pe: pad + w + pe].set(refl)
+        ref_canvas = jnp.full((ht, wt), jnp.nan, jnp.float32)
+        ref_canvas = ref_canvas.at[:h, :w].set(rf - amean)
+        return canvas, ref_canvas
+
+    canvas, ref_canvas = build_canvases(warped_d, ref_d)
+
+    cf = coeffs.astype(np.float32)
+    coeffs12 = np.concatenate([cf[:, :, 0], cf[:, :, 1]],
+                              axis=1).reshape(L, 1, 12)
+    shifts_k = shifts.reshape(L, n_ty, n_tx, 1, 2)
+
+    fn = _build_eval(m, mm_y, mm_x, pad, (h, w), order, n_ty, n_tx, interpret)
+
+    from . import lag_search
+
+    sums = lag_search.run_chunked(
+        lambda c12, sh: fn(c12, sh, canvas, ref_canvas),
+        [coeffs12, shifts_k], L, min(chunk, max(L, 1)),
+        label=f"carrington pallas lag search (m={m})")
+    return pc.pearson_from_sums(np.asarray(sums, dtype=np.float64))

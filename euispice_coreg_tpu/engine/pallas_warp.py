@@ -14,6 +14,11 @@ own integer displacement, shrinking the radius to the within-tile residual
             blocks (VPU trig), sample via static-slice select, and accumulate
             the 6 masked-Pearson sums for the lag.
 
+The per-tile integer shift rides in the DMA start (aligned down to the
+(8, 128) float32 tiling; only the remainder is re-centered with dynamic
+rolls), so the block margins are set by the within-tile residual alone — the
+global shift bound only grows the HBM canvas padding, not the per-step DMA.
+
 Host wrapper: :func:`evaluate_lag_grid_pallas` (same contract as the other
 engine evaluators; exact sample_image semantics incl. mirror taps).
 """
@@ -26,25 +31,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core import wcs
-
-TILE = 128
-OUT_LANES = 128  # output row padded to one full lane tile
-
-
-def _b2_weights(t):
-    return (0.5 * (0.5 - t) ** 2, 0.75 - t * t, 0.5 * (0.5 + t) ** 2)
+from . import pallas_common as pc
+from .pallas_common import OUT_LANES, TILE
 
 
-def _make_kernel(m, tile, mm_y, mm_x, hw_img, order, kind, pad):
+def _make_kernel(m, mm_y, mm_x, pad, hw_img, order, kind):
     h_img, w_img = hw_img
-    if order == 2:
-        n_taps, tap_lo = 3, -1
-    elif order == 1:
-        n_taps, tap_lo = 2, 0
-    elif order == 0:
-        n_taps, tap_lo = 1, 0
-    else:
-        raise NotImplementedError(f"order {order}")
 
     def kernel(lag_ref, shift_ref, base_ref, small_hbm, ref_tile, lon_tile,
                lat_tile, out_ref, block, sem):
@@ -53,15 +45,17 @@ def _make_kernel(m, tile, mm_y, mm_x, hw_img, order, kind, pad):
 
         sx = shift_ref[0, 0, 0, 0, 0]
         sy = shift_ref[0, 0, 0, 0, 1]
-
-        # DMA start must be provably aligned to the (8, 128) tiling: align
-        # the per-tile shift down and re-center with a dynamic roll after
-        # fully static DMA window: the margins absorb the whole per-tile
-        # shift; the shift itself is applied afterwards with dynamic rolls
-        bh = tile + 2 * mm_y
-        bw = tile + 2 * mm_x
-        start_y = pl.multiple_of(ty * tile - mm_y + pad, 8)
-        start_x = pl.multiple_of(tx * tile - mm_x + pad, 128)
+        # fold the aligned part of the per-tile shift into the DMA start
+        # (provably aligned to the (8, 128) f32 tiling since pad, mm_* and
+        # TILE are multiples); re-center the remainder with dynamic rolls
+        remy = jnp.mod(sy, 8)     # in [0, 8) for any sign of sy
+        remx = jnp.mod(sx, 128)   # in [0, 128)
+        sy_al = sy - remy
+        sx_al = sx - remx
+        bh = TILE + 2 * mm_y
+        bw = TILE + 2 * mm_x
+        start_y = pl.multiple_of(ty * TILE + pad - mm_y + sy_al, 8)
+        start_x = pl.multiple_of(tx * TILE + pad - mm_x + sx_al, 128)
         dma = pltpu.make_async_copy(
             small_hbm.at[pl.ds(start_y, bh), pl.ds(start_x, bw)],
             block,
@@ -91,8 +85,8 @@ def _make_kernel(m, tile, mm_y, mm_x, hw_img, order, kind, pad):
         }
         x, y = wcs.world_to_pixel(params, lon_tile[:], lat_tile[:], kind=kind)
 
-        jj_i = (tx * tile) + jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 1)
-        ii_i = (ty * tile) + jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 0)
+        jj_i = (tx * TILE) + jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1)
+        ii_i = (ty * TILE) + jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 0)
         jj = jj_i.astype(jnp.float32)
         ii = ii_i.astype(jnp.float32)
 
@@ -101,23 +95,7 @@ def _make_kernel(m, tile, mm_y, mm_x, hw_img, order, kind, pad):
         xs = jnp.where(invalid, jj, x)
         ys = jnp.where(invalid, ii, y)
 
-        if order in (0, 2):
-            kx = jnp.floor(xs + 0.5)
-            ky = jnp.floor(ys + 0.5)
-        else:
-            kx = jnp.floor(xs)
-            ky = jnp.floor(ys)
-        tx_f = xs - kx
-        ty_f = ys - ky
-        if order == 2:
-            wx_list = _b2_weights(tx_f)
-            wy_list = _b2_weights(ty_f)
-        elif order == 1:
-            wx_list = (1.0 - tx_f, tx_f)
-            wy_list = (1.0 - ty_f, ty_f)
-        else:
-            wx_list = (jnp.ones_like(tx_f),)
-            wy_list = (jnp.ones_like(ty_f),)
+        kx, ky, wx_list, wy_list = pc.fractional_parts(xs, ys, order)
 
         rx = kx.astype(jnp.int32) - jj_i - sx
         ry = ky.astype(jnp.int32) - ii_i - sy
@@ -127,62 +105,14 @@ def _make_kernel(m, tile, mm_y, mm_x, hw_img, order, kind, pad):
         ry = jnp.clip(ry, -m, m)
 
         dma.wait()
-        # re-center: after this, blk[mm_y + u, mm_x + v] is the source pixel
-        # at (tile row + sy + u, tile col + sx + v)
-        blk = pltpu.roll(block[:], jnp.mod(bh - sy, bh), 0)
-        blk = pltpu.roll(blk, jnp.mod(bw - sx, bw), 1)
+        # re-center the remainder: after this, blk[mm_y + u, mm_x + v] is the
+        # source pixel at (tile row + sy + u, tile col + sx + v)
+        blk = pltpu.roll(block[:], jnp.mod(bh - remy, bh), 0)
+        blk = pltpu.roll(blk, jnp.mod(bw - remx, bw), 1)
 
-        zero = jnp.zeros((tile, tile), dtype=jnp.float32)
-
-        def col_mixed_row(r):
-            """Row band r, column-selected and x-tap-mixed.  Windows are
-            cached per distinct lane shift: consecutive ox values reuse
-            (ox + ax) windows, cutting the lane rolls ~2.5x."""
-            band = jax.lax.slice(
-                pltpu.roll(blk, (bh - r) % bh, 0),
-                (mm_y, 0), (mm_y + tile, bw))
-            wins = {}
-            for c in range(-m + tap_lo, m + tap_lo + n_taps):
-                wins[c] = jax.lax.slice(
-                    pltpu.roll(band, (bw - c) % bw, 1),
-                    (0, mm_x), (tile, mm_x + tile))
-            acc = zero
-            for ox in range(-m, m + 1):
-                inner = zero
-                for ax in range(n_taps):
-                    inner = inner + wx_list[ax] * wins[ox + tap_lo + ax]
-                acc = jnp.where(rx == ox, inner, acc)
-            return acc
-
-        # rolling cache over row offsets: only n_taps row bands live at once
-        r_lo = -m + tap_lo
-        cache = {r: col_mixed_row(r) for r in range(r_lo, r_lo + n_taps)}
-        sampled = zero
-        for oy in range(-m, m + 1):
-            mixed = zero
-            for ay in range(n_taps):
-                r = oy + tap_lo + ay
-                if r not in cache:
-                    cache[r] = col_mixed_row(r)
-                mixed = mixed + wy_list[ay] * cache[r]
-            sampled = jnp.where(ry == oy, mixed, sampled)
-            cache.pop(oy + tap_lo, None)  # lowest row no longer needed
-
-        a = ref_tile[:]
-        mask = jnp.isfinite(a) & jnp.isfinite(sampled) & ~invalid
-        mf = mask.astype(jnp.float32)
-        am = jnp.where(mask, a, 0.0)
-        bm = jnp.where(mask, sampled, 0.0)
-
-        # assemble the 6 sums into one lane-vector without scatter
-        # (unsupported in the Mosaic TPU lowering)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, OUT_LANES), 2)
-        vals = jnp.zeros((1, 1, OUT_LANES), dtype=jnp.float32)
-        for idx, s in enumerate([
-            jnp.sum(mf), jnp.sum(am), jnp.sum(am * am),
-            jnp.sum(bm), jnp.sum(bm * bm), jnp.sum(am * bm),
-        ]):
-            vals = jnp.where(lane == idx, s, vals)
+        sampled = pc.select_mix(blk, rx, ry, wx_list, wy_list,
+                                m=m, mm_y=mm_y, mm_x=mm_x, order=order)
+        vals = pc.pearson_partial_sums(ref_tile[:], sampled, invalid)
 
         @pl.when((ty == 0) & (tx == 0))
         def _():
@@ -194,19 +124,18 @@ def _make_kernel(m, tile, mm_y, mm_x, hw_img, order, kind, pad):
 
 
 def warp_score_sums(small_padded, ref_img, lon, lat, base_vec, lags, shifts,
-                    *, m, g_bound, pad, hw_img, order=2, kind="tan",
+                    *, m, pad, hw_img, order=2, kind="tan",
                     interpret=False):
     """(L, OUT_LANES) raw masked sums [n, Sa, Saa, Sb, Sbb, Sab, ...] per lag."""
     ht, wt = ref_img.shape
     n_ty, n_tx = ht // TILE, wt // TILE
     L = lags.shape[0]
-    # margins cover the full per-tile shift + residual + spline taps and are
-    # aligned to the (8, 128) float32 tiling so the static DMA windows are
-    # provably aligned
-    mm_y = -(-(g_bound + m + 2) // 8) * 8
-    mm_x = -(-(g_bound + m + 2) // 128) * 128
+    # margins cover the within-tile residual + spline taps + the sub-tiling
+    # remainder of the shift (the aligned part rides in the DMA start)
+    mm_y = -(-(m + 9) // 8) * 8
+    mm_x = -(-(m + 129) // 128) * 128
 
-    kernel = _make_kernel(m, TILE, mm_y, mm_x, hw_img, order, kind, pad)
+    kernel = _make_kernel(m, mm_y, mm_x, pad, hw_img, order, kind)
 
     out = pl.pallas_call(
         kernel,
@@ -242,16 +171,20 @@ def warp_score_sums(small_padded, ref_img, lon, lat, base_vec, lags, shifts,
 def evaluate_lag_grid_pallas(
     small_img, ref_img, lon, lat, base_params,
     lag_crval1, lag_crval2, lag_cdelt1, lag_cdelt2, lag_crota,
-    *, order=2, method="correlation", kind="tan", interpret=False,
+    *, order=2, method="correlation", kind="tan", interpret=None,
     max_residual=8,
 ):
     """Engine-compatible evaluator backed by the Pallas kernel.
 
     Returns the (n1..n5) float64 hypercube, or None when preconditions fail
     (residual bound exceeded, unsupported method/order, mismatched shapes).
+    ``interpret=None`` auto-selects interpret mode on CPU backends so
+    ``lag_search_mode="pallas"`` works (slowly) without a TPU.
     """
     if method != "correlation" or order not in (0, 1, 2):
         return None
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     l1 = np.asarray(lag_crval1, dtype=np.float64)
     l2 = np.asarray(lag_crval2, dtype=np.float64)
     l3 = np.asarray(lag_cdelt1, dtype=np.float64)
@@ -300,20 +233,21 @@ def evaluate_lag_grid_pallas(
         return None
     shifts = np.floor(center + 0.5).astype(np.int32)
     g_bound = int(np.max(np.abs(shifts)))
-    mm = -(-(g_bound + m + 2) // 128) * 128  # largest (lane) margin
-    # DMA window must stay inside the padded array for every tile; multiple
-    # of 128 so the static DMA window offsets stay provably aligned
-    pad = -(-(mm + 1) // 128) * 128
-    if pad >= min(h, w) - 1:
+    if g_bound > min(h, w):
         return None
+    mm_x = -(-(m + 129) // 128) * 128
+    # HBM canvas padding covers the farthest DMA reach (aligned shift +
+    # margins); multiple of 128 so the DMA starts stay provably aligned
+    pad = -(-(mm_x + g_bound + 127) // 128) * 128
 
     # canvas padded to tile multiples (NaN outside the field), then
-    # mirror-padded around the REAL image region like scipy's tap extension
-    pey, pex = min(pad, h - 1), min(pad, w - 1)
+    # mirror-padded 2 px around the REAL image region (order<=2 spline taps
+    # reach at most 1 px past an in-range coordinate; scipy mirror rule)
+    pe = min(2, h - 1, w - 1)
     refl = np.pad(np.asarray(small_img, dtype=np.float32),
-                  ((pey, pey), (pex, pex)), mode="reflect")
+                  ((pe, pe), (pe, pe)), mode="reflect")
     padded = np.full((ht + 2 * pad, wt + 2 * pad), np.nan, dtype=np.float32)
-    padded[pad - pey: pad + h + pey, pad - pex: pad + w + pex] = refl
+    padded[pad - pe: pad + h + pe, pad - pe: pad + w + pe] = refl
 
     ref32 = np.full((ht, wt), np.nan, dtype=np.float32)
     ref32[:h, :w] = np.asarray(ref_img, dtype=np.float32)
@@ -341,15 +275,11 @@ def evaluate_lag_grid_pallas(
         jnp.asarray(padded), jnp.asarray(ref32), jnp.asarray(lon32),
         jnp.asarray(lat32), jnp.asarray(base_vec),
         jnp.asarray(lags, dtype=np.float32), jnp.asarray(shifts),
-        m=m, g_bound=g_bound, pad=pad, hw_img=(h, w), order=order, kind=kind,
+        m=m, pad=pad, hw_img=(h, w), order=order, kind=kind,
         interpret=interpret,
     ), dtype=np.float64)
 
-    n, Sa, Saa, Sb, Sbb, Sab = (sums[:, k] for k in range(6))
-    with np.errstate(invalid="ignore", divide="ignore"):
-        num = Sab - Sa * Sb / n
-        den = np.sqrt((Saa - Sa * Sa / n) * (Sbb - Sb * Sb / n))
-        r = num / den
+    r = pc.pearson_from_sums(sums)
     return r.reshape(shape5)
 
 

@@ -350,14 +350,7 @@ class Alignment:
         l1, l2, l3, l4, l5 = self._lags_deg(wrap=wrap)
         base = {**small_params.as_dict(), "crota": get_crota(self.hdr_small)}
         n_lags = len(l1) * len(l2) * len(l3) * len(l4) * len(l5)
-        if self.lag_search_mode == "exact":
-            allow_fast = False
-        elif self.lag_search_mode == "pallas":
-            allow_fast = "pallas"
-        elif self.lag_search_mode == "fast":
-            allow_fast = "block"
-        else:  # auto
-            allow_fast = "block" if n_lags > 2000 else True
+        allow_fast = self._allow_fast_mode(n_lags)
         logger.info("lag search: %d candidates, mode=%s, order=%d",
                     n_lags * len(self.lag_solar_r), self.lag_search_mode, self.order)
         with timed(f"lag-grid search ({n_lags} candidates)"):
@@ -365,6 +358,57 @@ class Alignment:
                                    allow_fast, ref_img)
         # helioprojective ignores lag_solar_r: replicate across the 6th axis
         return np.repeat(corr5[..., np.newaxis], len(self.lag_solar_r), axis=-1)
+
+    def _allow_fast_mode(self, n_lags):
+        """Map ``lag_search_mode`` to the engine's ``allow_fast`` knob."""
+        if self.lag_search_mode == "exact":
+            return False
+        if self.lag_search_mode == "pallas":
+            return "pallas"
+        if self.lag_search_mode == "fast":
+            return "block"
+        return "block" if n_lags > 2000 else True  # auto
+
+    def _run_solar_surface_search(self):
+        """Native equivalent of the reference's sunpy reprojection branch
+        (``alignment.py:939-985``): the reference image is reprojected ONCE
+        onto the small image's own WCS assuming solar-surface corotation
+        (``engine.carrington.reproject_solar_surface``); the per-lag
+        reprojection — shifted small WCS onto the original small WCS at
+        equal obstime — is then plain WCS resampling, i.e. the standard
+        projected-frame engine, so every helioprojective fast path applies.
+        """
+        import jax.numpy as jnp
+
+        from ..utils.obs import logger, timed
+
+        small_params = wcs_params_from_header(self.hdr_small)
+        kind = small_params.kind
+        h, w = self.data_small.shape
+        sp = {k: jnp.asarray(v, dtype=self.compute_dtype)
+              for k, v in small_params.as_dict().items()}
+        lon, lat = lag_search.world_grid_jit(sp, h, w, kind, False)
+        base = {**small_params.as_dict(), "crota": get_crota(self.hdr_small)}
+
+        l1, l2, l3, l4, l5 = self._lags_deg(wrap=True)
+        n_lags = len(l1) * len(l2) * len(l3) * len(l4) * len(l5)
+        allow_fast = self._allow_fast_mode(n_lags)
+        logger.info("solar-surface (sunpy-equivalent) search: %d candidates, "
+                    "mode=%s", n_lags * len(self.lag_solar_r),
+                    self.lag_search_mode)
+
+        corr_parts = []
+        for d_solar_r in self.lag_solar_r:
+            with timed("solar-surface reprojection (reference -> small WCS)"):
+                ref_img = carr_engine.reproject_solar_surface(
+                    self.data_large, self.hdr_large, self.hdr_small,
+                    d_solar_r=float(d_solar_r), order=self.order,
+                    compute_dtype=self.compute_dtype)
+            with timed(f"lag-grid search ({n_lags} candidates)"):
+                corr5 = self._evaluate(lon, lat, base, l1, l2, l3, l4, l5,
+                                       kind, allow_fast, ref_img)
+            corr_parts.append(corr5)
+        return np.stack(corr_parts, axis=-1)
 
     def _evaluate(self, lon, lat, base, l1, l2, l3, l4, l5, kind, allow_fast,
                   ref_img):
@@ -397,13 +441,18 @@ class Alignment:
     ):
         """Lag search on a user Carrington lon/lat grid (alignment.py:144-261).
 
-        Only the "fa" reprojection is supported (the "sunpy" variant requires
-        sunpy, which is not a dependency of this framework).
+        ``method_carrington_reprojection="fa"`` searches on an explicit
+        Carrington lon/lat grid.  ``"sunpy"`` reproduces the reference's
+        sunpy branch natively (no sunpy dependency): the reference image is
+        reprojected once onto the small image's own WCS assuming solar-
+        surface corotation (``alignment.py:939-985``), and the per-lag
+        search then runs in the small image's projected frame (lonlims/
+        latlims/shape/reference_date are not required, matching the
+        reference docstring).
         """
-        if method_carrington_reprojection != "fa":
-            raise NotImplementedError(
-                "method_carrington_reprojection='sunpy' requires sunpy; "
-                "this framework implements the 'fa' path natively"
+        if method_carrington_reprojection not in ("fa", "sunpy"):
+            raise ValueError(
+                "method_carrington_reprojection must be either 'fa' or 'sunpy'"
             )
         self.method = method
         self.coordinate_frame = "final_carrington"
@@ -412,6 +461,12 @@ class Alignment:
         self._apply_thresholds()
         if np.all(np.isnan(self.data_small)):
             raise ValueError("minimum or maximum value have set all small FOV to nan")
+
+        if method_carrington_reprojection == "sunpy":
+            corr = self._run_solar_surface_search()
+            if return_type == "corr":
+                return corr
+            return self._make_results(corr)
 
         if reference_date is None:
             if "DATE-AVG" not in self.hdr_large:
@@ -475,6 +530,7 @@ class Alignment:
                 compute_dtype=self.compute_dtype,
                 batch_size=self.batch_size_lags,
                 mesh=self.mesh,
+                lag_mode=self.lag_search_mode,
             )
             corr_parts.append(corr5)
         corr = np.stack(corr_parts, axis=-1)

@@ -1,0 +1,140 @@
+"""Pallas quadratic-displacement warp+score kernel (engine/pallas_quad.py)
+vs the reference-exact gather sampler (interpret mode on CPU)."""
+import numpy as np
+import pytest
+
+import fixtures as fx
+from euispice_coreg_tpu.core import resample, score
+from euispice_coreg_tpu.engine import pallas_quad
+
+
+def quad_field(cf, h, w):
+    jj, ii = np.meshgrid(np.arange(w, dtype=np.float64),
+                         np.arange(h, dtype=np.float64))
+    dx = (cf[0, 0] * jj + cf[1, 0] * ii + cf[2, 0]
+          + cf[3, 0] * jj * jj + cf[4, 0] * ii * ii + cf[5, 0] * jj * ii)
+    dy = (cf[0, 1] * jj + cf[1, 1] * ii + cf[2, 1]
+          + cf[3, 1] * jj * jj + cf[4, 1] * ii * ii + cf[5, 1] * jj * ii)
+    return jj + dx, ii + dy
+
+
+def expected_scores(coeffs, warped, ref, order):
+    """Reference values via the plain gather sampler + masked Pearson."""
+    import jax.numpy as jnp
+
+    vals = []
+    for cf in coeffs:
+        x, y = quad_field(cf, *warped.shape)
+        sampled = resample.sample_image(
+            jnp.asarray(warped, dtype=jnp.float32),
+            jnp.asarray(x, dtype=jnp.float32),
+            jnp.asarray(y, dtype=jnp.float32), order=order)
+        vals.append(float(score.masked_pearson(
+            jnp.asarray(ref, dtype=jnp.float32), sampled)))
+    return np.array(vals)
+
+
+def make_scene(h=256, w=200, seed=0, with_nans=False):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    warped = (np.sin(xx / 9.0) * np.cos(yy / 13.0)
+              + 0.1 * rng.standard_normal((h, w)))
+    ref = np.roll(warped, (3, -5), axis=(0, 1)) + 0.05 * rng.standard_normal((h, w))
+    if with_nans:
+        warped = warped.copy()
+        warped[40:55, 20:60] = np.nan
+        ref = ref.copy()
+        ref[100:120, 150:190] = np.nan
+    return warped, ref
+
+
+@pytest.mark.parametrize("order", [0, 1, 2])
+def test_quad_kernel_matches_gather(order):
+    """Translations large enough to exercise the aligned-DMA shift folding,
+    plus genuinely quadratic fields, on a non-tile-multiple image."""
+    warped, ref = make_scene()
+    h, w = warped.shape
+    coeffs = np.zeros((4, 6, 2))
+    coeffs[0, 2] = (37.0 + 0.3, -141.0 + 0.6)      # large shift, both signs
+    coeffs[1, 2] = (-129.4, 8.2)
+    # affine + quadratic curvature (within-tile residual ~1-2 px)
+    coeffs[2, 2] = (5.3, -2.1)
+    coeffs[2, 0, 0] = 4e-3
+    coeffs[2, 1, 1] = -6e-3
+    coeffs[2, 3, 0] = 3e-6
+    coeffs[2, 4, 1] = -4e-6
+    coeffs[3, 2] = (0.0, 0.0)
+    coeffs[3, 5] = (2e-6, -1.5e-6)
+
+    got = pallas_quad.evaluate_select_carr_pallas(
+        coeffs, warped, ref, order=order, h=h, w=w, interpret=True)
+    assert got is not None
+    want = expected_scores(coeffs, warped, ref, order)
+    np.testing.assert_allclose(got, want, atol=3e-4)
+
+
+def test_quad_kernel_with_nans():
+    warped, ref = make_scene(with_nans=True)
+    h, w = warped.shape
+    coeffs = np.zeros((2, 6, 2))
+    coeffs[0, 2] = (17.3, -4.6)
+    coeffs[1, 2] = (-3.1, 9.9)
+    coeffs[1, 0, 0] = -3e-3
+    coeffs[1, 4, 1] = 5e-6
+    got = pallas_quad.evaluate_select_carr_pallas(
+        coeffs, warped, ref, order=2, h=h, w=w, interpret=True)
+    want = expected_scores(coeffs, warped, ref, order=2)
+    np.testing.assert_allclose(got, want, atol=3e-4)
+
+
+def test_quad_kernel_gating():
+    warped, ref = make_scene(h=128, w=128)
+    # within-tile residual bound exceeded -> None
+    coeffs = np.zeros((1, 6, 2))
+    coeffs[0, 0, 0] = 0.5   # dx = 0.5 * x: 64 px spread inside one tile
+    out = pallas_quad.evaluate_select_carr_pallas(
+        coeffs, warped, ref, order=2, h=128, w=128, interpret=True)
+    assert out is None
+    # unsupported method -> None
+    coeffs = np.zeros((1, 6, 2))
+    out = pallas_quad.evaluate_select_carr_pallas(
+        coeffs, warped, ref, order=2, h=128, w=128, method="residus",
+        interpret=True)
+    assert out is None
+
+
+def test_carrington_select_pallas_matches_xla():
+    """The Carrington select path with use_pallas=True vs the XLA select
+    evaluator (same quadratic fit, different executor)."""
+    from euispice_coreg_tpu.engine import carrington as carr
+    from euispice_coreg_tpu.utils import timeutils
+
+    dl, hl, ds, hs = fx.make_carrington_pair(true_shift_arcsec=(20.0, -10.0))
+    lonlims, latlims, shape = (115.0, 125.0), (-2.0, 8.0), (128, 128)
+    ref_img = carr.reproject_to_carrington(
+        dl, hl, lonlims, latlims, shape, d_solar_r=1.004,
+        reference_date=hl["DATE-OBS"], rate_wave="171",
+        compute_dtype="float32")
+    l1 = np.arange(0.0, 41.0, 10.0) / 3600.0
+    l2 = np.arange(-30.0, 11.0, 10.0) / 3600.0
+
+    sc = carr.header_spherical_scalars(hs, 1.004)
+    lon, lat = carr.carrington_grid(lonlims, latlims, shape)
+    delta_t = timeutils.time_diff_days(str(hs["DATE-OBS"]), str(hl["DATE-OBS"]))
+    lon_rot = lon - carr.diff_rot_shift_deg(lat, delta_t, "171")
+    x3, yy, zz = carr.observer_geometry(lon_rot, lat, sc["obs_lon"], sc["obs_lat"])
+    common = dict(
+        delta_t=delta_t, rate_wave="171", x3=x3, yy=yy, zz=zz,
+        lonlims=lonlims, latlims=latlims, shape=shape,
+        l1=l1, l2=l2, l3=np.array([0.0]), l4=np.array([0.0]),
+        l5=np.array([0.0]), order=2, method="correlation",
+        compute_dtype="float32", batch_size=4)
+    xla = carr._carrington_select(ds, ref_img, sc, lon, lat,
+                                  use_pallas=False, **common)
+    pal = carr._carrington_select(ds, ref_img, sc, lon, lat,
+                                  use_pallas=True, pallas_interpret=True,
+                                  **common)
+    assert xla is not None and pal is not None
+    np.testing.assert_allclose(pal, xla, atol=5e-4)
+    assert np.unravel_index(np.nanargmax(pal), pal.shape) == \
+        np.unravel_index(np.nanargmax(xla), xla.shape)
