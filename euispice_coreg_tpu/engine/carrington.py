@@ -673,6 +673,10 @@ def _carrington_block_fast(small_img, ref_img, sc, lon, lat, delta_t,
                               gy - pr[:, 0][None, :]], axis=-1)  # (L, 5, 2)
                 center = c[:, 0, :]
                 spread = float(np.max(np.abs(c - center[:, None, :])))
+                # bail BEFORE paying for the device warp (strongly curved
+                # grids always land here; the warp costs seconds at 2048^2)
+                if spread > fast_corr.MAX_DISPLACEMENT_SPREAD_PX:
+                    return None
 
                 warped = _sample_np(small_img, nx0, ny0, order, compute_dtype)
                 r = fast_corr.evaluate_from_displacements(

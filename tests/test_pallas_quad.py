@@ -87,6 +87,29 @@ def test_quad_kernel_with_nans():
     np.testing.assert_allclose(got, want, atol=3e-4)
 
 
+def test_tile_shifts_bound_is_rigorous():
+    """The closed-form gradient+curvature bound must cover the true
+    within-tile deviation from the tile-center shift for random quadratics."""
+    rng = np.random.default_rng(3)
+    h, w = 300, 260
+    n_ty, n_tx = -(-h // 128), -(-w // 128)
+    jj, ii = np.meshgrid(np.arange(w, dtype=float), np.arange(h, dtype=float))
+    for _ in range(20):
+        coeffs = np.zeros((1, 6, 2))
+        coeffs[0, 0:2] = rng.uniform(-6e-3, 6e-3, (2, 2))
+        coeffs[0, 2] = rng.uniform(-80, 80, 2)
+        coeffs[0, 3:6] = rng.uniform(-8e-6, 8e-6, (3, 2))
+        shifts, m, _ = pallas_quad._tile_shifts(coeffs, h, w, n_ty, n_tx)
+        x, y = quad_field(coeffs[0], h, w)
+        for ty in range(n_ty):
+            for tx in range(n_tx):
+                sl = np.s_[ty * 128: min((ty + 1) * 128, h),
+                           tx * 128: min((tx + 1) * 128, w)]
+                rx = np.abs((x - jj)[sl] - shifts[0, ty, tx, 0])
+                ry = np.abs((y - ii)[sl] - shifts[0, ty, tx, 1])
+                assert max(rx.max(), ry.max()) <= m - 0.5 + 1e-9
+
+
 def test_quad_kernel_gating():
     warped, ref = make_scene(h=128, w=128)
     # within-tile residual bound exceeded -> None
