@@ -558,12 +558,9 @@ def _carrington_select(small_img, ref_img, sc, lon, lat, delta_t, rate_wave,
                     from . import pallas_quad
                     from ..utils.obs import logger as _log
 
-                    interp = pallas_interpret
-                    if interp is None:
-                        interp = jax.default_backend() == "cpu"
                     vals_p = pallas_quad.evaluate_select_carr_pallas(
                         coeffs, warped_d, ref_d, order=order, h=h, w=w,
-                        method=method, interpret=interp)
+                        method=method, interpret=pallas_interpret)
                     if vals_p is not None:
                         _log.info("carrington select: pallas quad kernel")
                         out[:, :, i3, i4, i5] = vals_p.reshape(

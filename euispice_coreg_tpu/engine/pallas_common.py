@@ -59,25 +59,30 @@ def fractional_parts(xs, ys, order):
     return kx, ky, wx_list, wy_list
 
 
-def select_mix(blk, rx, ry, wx_list, wy_list, *, m, mm_y, mm_x, order):
+def select_mix(blk, rx, ry, wx_list, wy_list, *, mx, my, mm_y, mm_x, order,
+               direct_slices=True):
     """Sample a (TILE, TILE) tile from the re-based block ``blk``.
 
     ``blk`` is (TILE + 2*mm_y, TILE + 2*mm_x) with ``blk[mm_y + u, mm_x + v]``
     holding the source pixel at (tile row + shift_y + u, tile col + shift_x
     + v).  ``rx``/``ry`` are the per-pixel integer residuals (already clipped
-    to [-m, m]); ``wx_list``/``wy_list`` the spline tap weights.
+    to [-mx, mx] / [-my, my]); ``wx_list``/``wy_list`` the spline tap
+    weights.  The residual bound is per-axis: cost is O((2*my + taps) *
+    (2*mx + taps)) static window passes.
 
-    Cost is O((2m + taps)^2) static window passes; each window is a lane/
-    sublane roll + aligned slice.  When the lane margin exceeds 128 the block
-    is first narrowed to TILE + 256 columns with one aligned slice so the
-    per-window rolls touch ~bw/384 less data (the residual + taps never reach
-    beyond 128 columns once the tile is re-based on its own integer shift).
+    With ``direct_slices`` each window is one static (unaligned) TILE-wide
+    slice; otherwise a lane roll of the full band + aligned slice (the
+    conservative pattern — kept as a fallback in case a Mosaic version
+    rejects unaligned lane slices; measured equal speed on v5e).  When the
+    lane margin exceeds 128 the block is first narrowed to TILE + 256
+    columns with one aligned slice (the residual + taps never reach beyond
+    128 columns once the tile is re-based on its own integer shift).
     """
     n_taps, tap_lo = order_taps(order)
     bh = blk.shape[0]
 
     # narrow the lane extent once: windows only need cols
-    # [mm_x - (m+1), mm_x + TILE + m + 1), and m + 1 <= 128 always holds
+    # [mm_x - (mx+1), mm_x + TILE + mx + 1), and mx + 1 <= 128 always holds
     if mm_x > 128:
         blk = jax.lax.slice(blk, (0, mm_x - 128), (bh, mm_x + TILE + 128))
         off_x = 128
@@ -87,20 +92,25 @@ def select_mix(blk, rx, ry, wx_list, wy_list, *, m, mm_y, mm_x, order):
 
     zero = jnp.zeros((TILE, TILE), dtype=blk.dtype)
 
+    def window(band, c):
+        if direct_slices:
+            return jax.lax.slice(band, (0, off_x + c), (TILE, off_x + c + TILE))
+        return jax.lax.slice(
+            pltpu.roll(band, (bw - c) % bw, 1),
+            (0, off_x), (TILE, off_x + TILE))
+
     def col_mixed_row(r):
         """Row band r, column-selected and x-tap-mixed.  Windows are cached
         per distinct lane shift: consecutive ox values reuse (ox + ax)
-        windows, cutting the lane rolls ~(2m+3)/(2m+2*taps+1)x."""
+        windows."""
         band = jax.lax.slice(
             pltpu.roll(blk, (bh - r) % bh, 0),
             (mm_y, 0), (mm_y + TILE, bw))
         wins = {}
-        for c in range(-m + tap_lo, m + tap_lo + n_taps):
-            wins[c] = jax.lax.slice(
-                pltpu.roll(band, (bw - c) % bw, 1),
-                (0, off_x), (TILE, off_x + TILE))
+        for c in range(-mx + tap_lo, mx + tap_lo + n_taps):
+            wins[c] = window(band, c)
         acc = zero
-        for ox in range(-m, m + 1):
+        for ox in range(-mx, mx + 1):
             inner = zero
             for ax in range(n_taps):
                 inner = inner + wx_list[ax] * wins[ox + tap_lo + ax]
@@ -108,10 +118,10 @@ def select_mix(blk, rx, ry, wx_list, wy_list, *, m, mm_y, mm_x, order):
         return acc
 
     # rolling cache over row offsets: only n_taps row bands live at once
-    r_lo = -m + tap_lo
+    r_lo = -my + tap_lo
     cache = {r: col_mixed_row(r) for r in range(r_lo, r_lo + n_taps)}
     sampled = zero
-    for oy in range(-m, m + 1):
+    for oy in range(-my, my + 1):
         mixed = zero
         for ay in range(n_taps):
             r = oy + tap_lo + ay

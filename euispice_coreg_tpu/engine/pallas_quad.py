@@ -36,7 +36,7 @@ from . import pallas_common as pc
 from .pallas_common import OUT_LANES, TILE
 
 
-def _make_kernel(m, mm_y, mm_x, pad, hw_grid, order):
+def _make_kernel(mx, my, mm_y, mm_x, pad, hw_grid, order):
     h, w = hw_grid
 
     def kernel(coef_ref, shift_ref, warped_hbm, ref_tile, out_ref, block, sem):
@@ -87,10 +87,10 @@ def _make_kernel(m, mm_y, mm_x, pad, hw_grid, order):
 
         rx = kx.astype(jnp.int32) - jj_i - sx
         ry = ky.astype(jnp.int32) - ii_i - sy
-        res_ok = (jnp.abs(rx) <= m) & (jnp.abs(ry) <= m)
+        res_ok = (jnp.abs(rx) <= mx) & (jnp.abs(ry) <= my)
         invalid = invalid | ~res_ok
-        rx = jnp.clip(rx, -m, m)
-        ry = jnp.clip(ry, -m, m)
+        rx = jnp.clip(rx, -mx, mx)
+        ry = jnp.clip(ry, -my, my)
 
         dma.wait()
         # re-center the remainder: after this, blk[mm_y + u, mm_x + v] is the
@@ -99,7 +99,8 @@ def _make_kernel(m, mm_y, mm_x, pad, hw_grid, order):
         blk = pltpu.roll(blk, jnp.mod(bw - remx, bw), 1)
 
         sampled = pc.select_mix(blk, rx, ry, wx_list, wy_list,
-                                m=m, mm_y=mm_y, mm_x=mm_x, order=order)
+                                mx=mx, my=my, mm_y=mm_y, mm_x=mm_x,
+                                order=order)
         vals = pc.pearson_partial_sums(ref_tile[:], sampled, invalid)
 
         @pl.when((ty == 0) & (tx == 0))
@@ -111,11 +112,11 @@ def _make_kernel(m, mm_y, mm_x, pad, hw_grid, order):
     return kernel
 
 
-def _build_eval(m, mm_y, mm_x, pad, hw_grid, order, n_ty, n_tx, interpret):
+def _build_eval(mx, my, mm_y, mm_x, pad, hw_grid, order, n_ty, n_tx, interpret):
     """One jitted evaluator instance; reused across lag chunks so the
     compiled program is cached (a fresh kernel closure per chunk would
     recompile every call)."""
-    kernel = _make_kernel(m, mm_y, mm_x, pad, hw_grid, order)
+    kernel = _make_kernel(mx, my, mm_y, mm_x, pad, hw_grid, order)
 
     def run(coeffs12, shifts, canvas, ref_canvas):
         L = coeffs12.shape[0]
@@ -166,7 +167,7 @@ def _tile_shifts(coeffs, h, w, n_ty, n_tx):
     hy = (0.5 * (y_hi - y_lo))[None, :, None]
 
     shifts = np.empty((L, n_ty, n_tx, 2), dtype=np.int32)
-    bound = 0.0
+    bounds = [0.0, 0.0]
     for k in range(2):
         c0, c1, c2, c3, c4, c5 = (coeffs[:, q, k][:, None, None]
                                   for q in range(6))
@@ -178,15 +179,14 @@ def _tile_shifts(coeffs, h, w, n_ty, n_tx):
         dev = (np.abs(gu) * hx + np.abs(gv) * hy
                + np.abs(c3) * hx * hx + np.abs(c4) * hy * hy
                + np.abs(c5) * hx * hy)
-        bound = max(bound, float(np.max(dev)))
+        bounds[k] = float(np.max(dev))
 
-    m = int(np.ceil(bound)) + 1
     g_bound = int(np.max(np.abs(shifts))) if shifts.size else 0
-    return shifts, m, g_bound
+    return shifts, bounds[0], bounds[1], g_bound
 
 
 def evaluate_select_carr_pallas(coeffs, warped, ref_img, *, order, h, w,
-                                method="correlation", interpret=False,
+                                method="correlation", interpret=None,
                                 max_m=6, chunk=1024):
     """Score ``L`` quadratic-displacement lags against ``ref_img``.
 
@@ -198,22 +198,33 @@ def evaluate_select_carr_pallas(coeffs, warped, ref_img, *, order, h, w,
 
     Returns (L,) float64 Pearson r, or None when preconditions fail
     (within-tile residual bound exceeded, unsupported method/order, shifts
-    larger than the image).
+    larger than the image).  ``interpret=None`` auto-selects interpret mode
+    on CPU backends.
     """
     if method != "correlation" or order not in (0, 1, 2):
         return None
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     coeffs = np.asarray(coeffs, dtype=np.float64)
     L = coeffs.shape[0]
     n_ty = -(-h // TILE)
     n_tx = -(-w // TILE)
     ht, wt = n_ty * TILE, n_tx * TILE
 
-    shifts, m, g_bound = _tile_shifts(coeffs, h, w, n_ty, n_tx)
-    if m > max_m or g_bound > min(h, w):
+    shifts, dev_x, dev_y, g_bound = _tile_shifts(coeffs, h, w, n_ty, n_tx)
+    # integer residual bound: for order 0/2 the sample tap anchor
+    # floor(.+0.5) matches the shift's rounding, so |k - shift| <=
+    # ceil(dev); order 1 anchors at floor(.) half a pixel off, costing one
+    # more (1e-3 covers f32 in-kernel polynomial evaluation vs the f64
+    # host bound)
+    extra = 1 if order == 1 else 0
+    mx = max(1, int(np.ceil(dev_x + 1e-3)) + extra)
+    my = max(1, int(np.ceil(dev_y + 1e-3)) + extra)
+    if max(mx, my) > max_m or g_bound > min(h, w):
         return None
 
-    mm_y = -(-(m + 9) // 8) * 8
-    mm_x = -(-(m + 129) // 128) * 128
+    mm_y = -(-(my + 9) // 8) * 8
+    mm_x = -(-(mx + 129) // 128) * 128
     pad = -(-(mm_x + g_bound + 127) // 128) * 128
 
     # canvas assembled ON DEVICE (never ship the padded field through the
@@ -242,12 +253,13 @@ def evaluate_select_carr_pallas(coeffs, warped, ref_img, *, order, h, w,
                               axis=1).reshape(L, 1, 12)
     shifts_k = shifts.reshape(L, n_ty, n_tx, 1, 2)
 
-    fn = _build_eval(m, mm_y, mm_x, pad, (h, w), order, n_ty, n_tx, interpret)
+    fn = _build_eval(mx, my, mm_y, mm_x, pad, (h, w), order, n_ty, n_tx,
+                     interpret)
 
     from . import lag_search
 
     sums = lag_search.run_chunked(
         lambda c12, sh: fn(c12, sh, canvas, ref_canvas),
         [coeffs12, shifts_k], L, min(chunk, max(L, 1)),
-        label=f"carrington pallas lag search (m={m})")
+        label=f"carrington pallas lag search (mx={mx}, my={my})")
     return pc.pearson_from_sums(np.asarray(sums, dtype=np.float64))

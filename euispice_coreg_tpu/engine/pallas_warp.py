@@ -35,7 +35,7 @@ from . import pallas_common as pc
 from .pallas_common import OUT_LANES, TILE
 
 
-def _make_kernel(m, mm_y, mm_x, pad, hw_img, order, kind):
+def _make_kernel(mx, my, mm_y, mm_x, pad, hw_img, order, kind):
     h_img, w_img = hw_img
 
     def kernel(lag_ref, shift_ref, base_ref, small_hbm, ref_tile, lon_tile,
@@ -99,10 +99,10 @@ def _make_kernel(m, mm_y, mm_x, pad, hw_img, order, kind):
 
         rx = kx.astype(jnp.int32) - jj_i - sx
         ry = ky.astype(jnp.int32) - ii_i - sy
-        res_ok = (jnp.abs(rx) <= m) & (jnp.abs(ry) <= m)
+        res_ok = (jnp.abs(rx) <= mx) & (jnp.abs(ry) <= my)
         invalid = invalid | ~res_ok
-        rx = jnp.clip(rx, -m, m)
-        ry = jnp.clip(ry, -m, m)
+        rx = jnp.clip(rx, -mx, mx)
+        ry = jnp.clip(ry, -my, my)
 
         dma.wait()
         # re-center the remainder: after this, blk[mm_y + u, mm_x + v] is the
@@ -111,7 +111,8 @@ def _make_kernel(m, mm_y, mm_x, pad, hw_img, order, kind):
         blk = pltpu.roll(blk, jnp.mod(bw - remx, bw), 1)
 
         sampled = pc.select_mix(blk, rx, ry, wx_list, wy_list,
-                                m=m, mm_y=mm_y, mm_x=mm_x, order=order)
+                                mx=mx, my=my, mm_y=mm_y, mm_x=mm_x,
+                                order=order)
         vals = pc.pearson_partial_sums(ref_tile[:], sampled, invalid)
 
         @pl.when((ty == 0) & (tx == 0))
@@ -124,7 +125,7 @@ def _make_kernel(m, mm_y, mm_x, pad, hw_img, order, kind):
 
 
 def warp_score_sums(small_padded, ref_img, lon, lat, base_vec, lags, shifts,
-                    *, m, pad, hw_img, order=2, kind="tan",
+                    *, mx, my, pad, hw_img, order=2, kind="tan",
                     interpret=False):
     """(L, OUT_LANES) raw masked sums [n, Sa, Saa, Sb, Sbb, Sab, ...] per lag."""
     ht, wt = ref_img.shape
@@ -132,10 +133,10 @@ def warp_score_sums(small_padded, ref_img, lon, lat, base_vec, lags, shifts,
     L = lags.shape[0]
     # margins cover the within-tile residual + spline taps + the sub-tiling
     # remainder of the shift (the aligned part rides in the DMA start)
-    mm_y = -(-(m + 9) // 8) * 8
-    mm_x = -(-(m + 129) // 128) * 128
+    mm_y = -(-(my + 9) // 8) * 8
+    mm_x = -(-(mx + 129) // 128) * 128
 
-    kernel = _make_kernel(m, mm_y, mm_x, pad, hw_img, order, kind)
+    kernel = _make_kernel(mx, my, mm_y, mm_x, pad, hw_img, order, kind)
 
     out = pl.pallas_call(
         kernel,
@@ -227,15 +228,17 @@ def evaluate_lag_grid_pallas(
     center = disp[:, :, 0, :, 0, :]  # (L, n_ty, n_tx, 2)
     if not np.isfinite(disp).all():
         return None
-    spread = float(np.max(np.abs(disp - center[:, :, None, :, None, :])))
-    m = int(np.ceil(spread)) + 1
-    if m > max_residual:
+    # per-axis within-tile spreads (probe-based; +1 covers probe gaps)
+    dev = np.abs(disp - center[:, :, None, :, None, :])
+    mx = int(np.ceil(float(np.max(dev[..., 0])))) + 1
+    my = int(np.ceil(float(np.max(dev[..., 1])))) + 1
+    if max(mx, my) > max_residual:
         return None
     shifts = np.floor(center + 0.5).astype(np.int32)
     g_bound = int(np.max(np.abs(shifts)))
     if g_bound > min(h, w):
         return None
-    mm_x = -(-(m + 129) // 128) * 128
+    mm_x = -(-(mx + 129) // 128) * 128
     # HBM canvas padding covers the farthest DMA reach (aligned shift +
     # margins); multiple of 128 so the DMA starts stay provably aligned
     pad = -(-(mm_x + g_bound + 127) // 128) * 128
@@ -275,7 +278,7 @@ def evaluate_lag_grid_pallas(
         jnp.asarray(padded), jnp.asarray(ref32), jnp.asarray(lon32),
         jnp.asarray(lat32), jnp.asarray(base_vec),
         jnp.asarray(lags, dtype=np.float32), jnp.asarray(shifts),
-        m=m, pad=pad, hw_img=(h, w), order=order, kind=kind,
+        mx=mx, my=my, pad=pad, hw_img=(h, w), order=order, kind=kind,
         interpret=interpret,
     ), dtype=np.float64)
 

@@ -89,7 +89,9 @@ def test_quad_kernel_with_nans():
 
 def test_tile_shifts_bound_is_rigorous():
     """The closed-form gradient+curvature bound must cover the true
-    within-tile deviation from the tile-center shift for random quadratics."""
+    within-tile deviation, and for the order-0/2 tap anchor (floor(.+0.5),
+    matching the shift rounding) the integer residual must stay within
+    ceil(dev) — the kernel's residual-mask window."""
     rng = np.random.default_rng(3)
     h, w = 300, 260
     n_ty, n_tx = -(-h // 128), -(-w // 128)
@@ -99,15 +101,29 @@ def test_tile_shifts_bound_is_rigorous():
         coeffs[0, 0:2] = rng.uniform(-6e-3, 6e-3, (2, 2))
         coeffs[0, 2] = rng.uniform(-80, 80, 2)
         coeffs[0, 3:6] = rng.uniform(-8e-6, 8e-6, (3, 2))
-        shifts, m, _ = pallas_quad._tile_shifts(coeffs, h, w, n_ty, n_tx)
+        shifts, dev_x, dev_y, _ = pallas_quad._tile_shifts(
+            coeffs, h, w, n_ty, n_tx)
+        mx = max(1, int(np.ceil(dev_x + 1e-3)))
+        my = max(1, int(np.ceil(dev_y + 1e-3)))
         x, y = quad_field(coeffs[0], h, w)
         for ty in range(n_ty):
             for tx in range(n_tx):
                 sl = np.s_[ty * 128: min((ty + 1) * 128, h),
                            tx * 128: min((tx + 1) * 128, w)]
-                rx = np.abs((x - jj)[sl] - shifts[0, ty, tx, 0])
-                ry = np.abs((y - ii)[sl] - shifts[0, ty, tx, 1])
-                assert max(rx.max(), ry.max()) <= m - 0.5 + 1e-9
+                dx = (x - jj)[sl]
+                dy = (y - ii)[sl]
+                uc = 0.5 * (tx * 128 + min((tx + 1) * 128 - 1, w - 1))
+                vc = 0.5 * (ty * 128 + min((ty + 1) * 128 - 1, h - 1))
+                cf = coeffs[0]
+                cdx, cdy = (cf[0, k] * uc + cf[1, k] * vc + cf[2, k]
+                            + cf[3, k] * uc * uc + cf[4, k] * vc * vc
+                            + cf[5, k] * uc * vc for k in (0, 1))
+                assert np.max(np.abs(dx - cdx)) <= dev_x + 1e-9
+                assert np.max(np.abs(dy - cdy)) <= dev_y + 1e-9
+                rx = np.floor(dx + 0.5) - shifts[0, ty, tx, 0]
+                ry = np.floor(dy + 0.5) - shifts[0, ty, tx, 1]
+                assert np.max(np.abs(rx)) <= mx
+                assert np.max(np.abs(ry)) <= my
 
 
 def test_quad_kernel_gating():
