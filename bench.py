@@ -22,7 +22,7 @@ N_SMALL = 2048
 N_REF = 2048
 GRID = 121
 CPU_BASELINE_PROCS = 20
-CPU_PROBE_LAGS = 3
+CPU_PROBE_LAGS = 5
 
 
 def synthesize_pair():
@@ -89,12 +89,15 @@ def run_tpu(small_img, ref_img, lon, lat, base):
         )
 
     corr = run()  # compile + warm
-    t0 = time.perf_counter()
-    corr = run()
-    t1 = time.perf_counter()
+    t_best = None
+    for _ in range(2):  # best-of-2: tunnel/host load noise is +-30%
+        t0 = time.perf_counter()
+        corr = run()
+        dt = time.perf_counter() - t0
+        t_best = dt if t_best is None else min(t_best, dt)
     mi = np.unravel_index(np.nanargmax(corr), corr.shape)
     assert abs(lag1[mi[0]] * 3600.0 - 8.0) < 1.0, f"argmax off: {lag1[mi[0]]*3600}"
-    return t1 - t0, corr
+    return t_best, corr
 
 
 def cpu_reference_per_lag(small_img, ref_img, lon, lat, base):
@@ -165,12 +168,15 @@ def run_full_api(tmp_dir, small_img, ref_img, base):
         return A.align_using_helioprojective(return_type="corr")
 
     corr = run()  # warm compile
-    t0 = time.perf_counter()
-    corr = run()
-    t1 = time.perf_counter()
+    t_best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        corr = run()
+        dt = time.perf_counter() - t0
+        t_best = dt if t_best is None else min(t_best, dt)
     mi = np.unravel_index(np.nanargmax(corr), corr.shape)
     assert abs(lag[mi[0]] - 8.0) < 1.0, f"API argmax off: {lag[mi[0]]}"
-    return t1 - t0
+    return t_best
 
 
 def run_carrington(lon, lat):
@@ -224,10 +230,14 @@ def run_carrington(lon, lat):
             order=2, compute_dtype="float32",
         )
 
-    corr = run()
-    t0 = time.perf_counter()
-    corr = run()
-    return time.perf_counter() - t0
+    corr = run()  # warm compile
+    t_best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        corr = run()
+        dt = time.perf_counter() - t0
+        t_best = dt if t_best is None else min(t_best, dt)
+    return t_best
 
 
 def main():

@@ -373,7 +373,7 @@ def evaluate_lag_grid_carrington(
             x3=x3, yy=yy, zz=zz, lonlims=lonlims, latlims=latlims, shape=shape,
             l1=l1, l2=l2, l3=l3, l4=l4, l5=l5,
             order=order, method=method, compute_dtype=compute_dtype,
-            batch_size=batch_size, use_pallas=use_pallas,
+            batch_size=batch_size, use_pallas=use_pallas, mesh=mesh,
         )
         if fast is not None:
             logger.info("engine path: carrington linearized select")
@@ -457,7 +457,7 @@ def _carrington_select(small_img, ref_img, sc, lon, lat, delta_t, rate_wave,
                        x3, yy, zz, lonlims, latlims, shape,
                        l1, l2, l3, l4, l5, *, order, method, compute_dtype,
                        batch_size, tol_px=0.05, use_pallas=False,
-                       pallas_interpret=None):
+                       pallas_interpret=None, mesh=None):
     """Quadratic-conjugation select path for strongly curved Carrington grids
     (where the FFT fast path's constant-displacement bound fails).
 
@@ -560,7 +560,7 @@ def _carrington_select(small_img, ref_img, sc, lon, lat, delta_t, rate_wave,
 
                     vals_p = pallas_quad.evaluate_select_carr_pallas(
                         coeffs, warped_d, ref_d, order=order, h=h, w=w,
-                        method=method, interpret=pallas_interpret)
+                        method=method, interpret=pallas_interpret, mesh=mesh)
                     if vals_p is not None:
                         _log.info("carrington select: pallas quad kernel")
                         out[:, :, i3, i4, i5] = vals_p.reshape(

@@ -112,10 +112,14 @@ def _make_kernel(mx, my, mm_y, mm_x, pad, hw_grid, order):
     return kernel
 
 
-def _build_eval(mx, my, mm_y, mm_x, pad, hw_grid, order, n_ty, n_tx, interpret):
+def _build_eval(mx, my, mm_y, mm_x, pad, hw_grid, order, n_ty, n_tx,
+                interpret, mesh=None):
     """One jitted evaluator instance; reused across lag chunks so the
     compiled program is cached (a fresh kernel closure per chunk would
-    recompile every call)."""
+    recompile every call).  With ``mesh`` the lag axis is sharded across the
+    devices with ``shard_map`` (canvases replicated in every chip's HBM;
+    each device runs the kernel on its lag sub-grid — the TPU-native form
+    of the reference's process fan-out, alignment.py:634-756)."""
     kernel = _make_kernel(mx, my, mm_y, mm_x, pad, hw_grid, order)
 
     def run(coeffs12, shifts, canvas, ref_canvas):
@@ -143,7 +147,18 @@ def _build_eval(mx, my, mm_y, mm_x, pad, hw_grid, order, n_ty, n_tx, interpret):
         )(coeffs12, shifts, canvas, ref_canvas)
         return out.reshape(L, OUT_LANES)
 
-    return jax.jit(run)
+    if mesh is None:
+        return jax.jit(run)
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    return jax.jit(shard_map(
+        run, mesh=mesh,
+        in_specs=(P("lags"), P("lags"), P(), P()),
+        out_specs=P("lags"),
+        # pallas_call's out_shape carries no varying-mesh-axes annotation
+        check_vma=False))
 
 
 def _tile_shifts(coeffs, h, w, n_ty, n_tx):
@@ -187,7 +202,7 @@ def _tile_shifts(coeffs, h, w, n_ty, n_tx):
 
 def evaluate_select_carr_pallas(coeffs, warped, ref_img, *, order, h, w,
                                 method="correlation", interpret=None,
-                                max_m=6, chunk=1024):
+                                max_m=6, chunk=1024, mesh=None):
     """Score ``L`` quadratic-displacement lags against ``ref_img``.
 
     Args:
@@ -253,8 +268,11 @@ def evaluate_select_carr_pallas(coeffs, warped, ref_img, *, order, h, w,
                               axis=1).reshape(L, 1, 12)
     shifts_k = shifts.reshape(L, n_ty, n_tx, 1, 2)
 
+    if mesh is not None:
+        ndev = mesh.devices.size
+        chunk = -(-chunk // ndev) * ndev  # chunks split evenly over devices
     fn = _build_eval(mx, my, mm_y, mm_x, pad, (h, w), order, n_ty, n_tx,
-                     interpret)
+                     interpret, mesh=mesh)
 
     from . import lag_search
 
@@ -262,4 +280,6 @@ def evaluate_select_carr_pallas(coeffs, warped, ref_img, *, order, h, w,
         lambda c12, sh: fn(c12, sh, canvas, ref_canvas),
         [coeffs12, shifts_k], L, min(chunk, max(L, 1)),
         label=f"carrington pallas lag search (mx={mx}, my={my})")
+    # (run_chunked pads the tail chunk, so sharded runs always see full
+    # per-device slices)
     return pc.pearson_from_sums(np.asarray(sums, dtype=np.float64))

@@ -126,6 +126,26 @@ def test_tile_shifts_bound_is_rigorous():
                 assert np.max(np.abs(ry)) <= my
 
 
+def test_quad_kernel_sharded_matches_single_device():
+    """Lag axis sharded over the 8-device mesh (shard_map around the
+    pallas_call) must reproduce the single-device scores exactly."""
+    from euispice_coreg_tpu.engine import lag_search
+
+    mesh = lag_search.default_mesh()
+    assert mesh is not None and mesh.devices.size == 8
+    warped, ref = make_scene(h=256, w=256)
+    coeffs = np.zeros((16, 6, 2))
+    coeffs[:, 2, 0] = np.linspace(-20, 20, 16)
+    coeffs[:, 2, 1] = np.linspace(12, -12, 16)
+    coeffs[:, 0, 0] = 2e-3
+    single = pallas_quad.evaluate_select_carr_pallas(
+        coeffs, warped, ref, order=2, h=256, w=256, interpret=True)
+    sharded = pallas_quad.evaluate_select_carr_pallas(
+        coeffs, warped, ref, order=2, h=256, w=256, interpret=True,
+        mesh=mesh)
+    np.testing.assert_allclose(sharded, single, rtol=1e-6, atol=1e-7)
+
+
 def test_quad_kernel_gating():
     warped, ref = make_scene(h=128, w=128)
     # within-tile residual bound exceeded -> None
