@@ -110,11 +110,11 @@ def reproject_solar_surface(data, hdr_src, hdr_dst, *, d_solar_r=1.0,
     return _sample_np(data, sx, sy, order, compute_dtype)
 
 
-def diff_rot_shift_deg(lat_deg, delta_t_days, rate_wave: str | None):
+def diff_rot_shift_deg(lat_deg, delta_t_days, rate_wave: str | None, xp=np):
     """Longitude shift (deg) accumulated over ``delta_t_days`` relative to
     rigid Carrington rotation (rectify.py:304-311)."""
     coeffs = DIFF_ROT_COEFFS.get(rate_wave, (CARRINGTON_RATE, 0.0, 0.0))
-    siny2 = np.sin(np.radians(lat_deg)) ** 2
+    siny2 = xp.sin(lat_deg * wcs.RAD_PER_DEG) ** 2
     return delta_t_days * (
         coeffs[0] + siny2 * (coeffs[1] + coeffs[2] * siny2) - CARRINGTON_RATE
     )
@@ -130,20 +130,20 @@ def carrington_grid(lonlims, latlims, shape):
     return np.meshgrid(lon1d, lat1d)
 
 
-def observer_geometry(lon_rot_deg, lat_deg, obs_lon_deg, obs_lat_deg):
+def observer_geometry(lon_rot_deg, lat_deg, obs_lon_deg, obs_lat_deg, xp=np):
     """Lag-independent part of SphericalTransform.forward (rectify.py:340-351).
 
     Returns (x3, yy, zz): unit-sphere coordinates in the observer frame
     before roll; ``zz`` is the line-of-sight depth used for z-clipping.
     """
-    lon = np.radians(lon_rot_deg) - np.radians(obs_lon_deg)
-    lat = np.radians(lat_deg)
-    x3 = np.cos(lat) * np.sin(lon)
-    y3 = np.sin(lat)
-    z3 = np.cos(lat) * np.cos(lon)
-    obs_lat = np.radians(obs_lat_deg)
-    zz = z3 * np.cos(obs_lat) + y3 * np.sin(obs_lat)
-    yy = y3 * np.cos(obs_lat) - z3 * np.sin(obs_lat)
+    lon = (lon_rot_deg - obs_lon_deg) * wcs.RAD_PER_DEG
+    lat = lat_deg * wcs.RAD_PER_DEG
+    x3 = xp.cos(lat) * xp.sin(lon)
+    y3 = xp.sin(lat)
+    z3 = xp.cos(lat) * xp.cos(lon)
+    obs_lat = obs_lat_deg * wcs.RAD_PER_DEG
+    zz = z3 * xp.cos(obs_lat) + y3 * xp.sin(obs_lat)
+    yy = y3 * xp.cos(obs_lat) - z3 * xp.sin(obs_lat)
     return x3, yy, zz
 
 
@@ -246,26 +246,82 @@ def reproject_to_carrington(data, hdr, lonlims, latlims, shape, *,
     from ..utils import timeutils
 
     sc = header_spherical_scalars(hdr, d_solar_r)
-    lon, lat = carrington_grid(lonlims, latlims, shape)
     delta_t = 0.0
     if reference_date is not None:
         delta_t = timeutils.time_diff_days(str(hdr["DATE-OBS"]), str(reference_date))
-    lon_rot = lon - diff_rot_shift_deg(lat, delta_t, rate_wave)
-    x3, yy, zz = observer_geometry(lon_rot, lat, sc["obs_lon"], sc["obs_lat"])
-    x0, y0 = _pixel_origin(sc["crval1_arcsec"], sc["crval2_arcsec"],
-                           sc["crpix1"], sc["crpix2"], sc["roll"],
-                           sc["cdelt1_arcsec"], sc["cdelt2_arcsec"], xp=np)
-    nx, ny = spherical_project(x3, yy, zz, sc["dist"], sc["roll"], x0, y0,
-                               sc["cdelt1_arcsec"], sc["cdelt2_arcsec"], xp=np)
-    out = _sample_jit(jnp.asarray(data, dtype=compute_dtype),
-                      jnp.asarray(nx, dtype=compute_dtype),
-                      jnp.asarray(ny, dtype=compute_dtype), order)
+    out = _warp_to_grid(jnp.asarray(data, dtype=compute_dtype), sc,
+                        lonlims, latlims, shape, delta_t, rate_wave, order,
+                        compute_dtype)
     return np.asarray(out, dtype=np.float64)
 
 
 @partial(jax.jit, static_argnames=("order",))
 def _sample_jit(img, x, y, order):
     return resample.sample_image(img, x, y, order=order, cval=jnp.nan)
+
+
+@partial(jax.jit, static_argnames=("h", "w", "order", "rate_wave"))
+def _warp_to_grid_jit(small, scal, delta_t, h, w, order, rate_wave):
+    """Full device-side Carrington warp: grid from iota, differential
+    rotation, observer geometry, spherical projection, spline sample — one
+    fused XLA program, so no 2048^2 coordinate field is ever computed on the
+    host or shipped through the tunnel (host trig + transfers were ~2.5 s
+    per call at 2048^2).  ``scal`` carries the per-combo spherical scalars
+    as traced values (same compiled program for every (cdelt, crota) combo
+    and ``d_solar_r``)."""
+    dt = small.dtype
+    j = jax.lax.broadcasted_iota(dt, (h, w), 1)
+    i = jax.lax.broadcasted_iota(dt, (h, w), 0)
+    lon = scal["lon0"] + j * scal["dlon"]
+    lat = scal["lat0"] + i * scal["dlat"]
+    lon_rot = lon - diff_rot_shift_deg(lat, delta_t, rate_wave, xp=jnp)
+    x3, yy, zz = observer_geometry(lon_rot, lat, scal["obs_lon"],
+                                   scal["obs_lat"], xp=jnp)
+    nx, ny = spherical_project(x3, yy, zz, scal["dist"], scal["roll"],
+                               scal["x0"], scal["y0"],
+                               scal["cdelt1"], scal["cdelt2"])
+    return resample.sample_image(small, nx, ny, order=order, cval=jnp.nan)
+
+
+def _warp_to_grid(small_d, combo, lonlims, latlims, shape, delta_t,
+                  rate_wave, order, compute_dtype):
+    """Device warp of the detector image onto the Carrington grid for one
+    (cdelt, crota) combo; ``small_d`` must already live on device."""
+    x0, y0 = _pixel_origin(combo["crval1_arcsec"], combo["crval2_arcsec"],
+                           combo["crpix1"], combo["crpix2"], combo["roll"],
+                           combo["cdelt1_arcsec"], combo["cdelt2_arcsec"],
+                           xp=np)
+    scal = {
+        "lon0": lonlims[0],
+        "dlon": (lonlims[1] - lonlims[0]) / (shape[0] - 1),
+        "lat0": latlims[0],
+        "dlat": (latlims[1] - latlims[0]) / (shape[1] - 1),
+        "obs_lon": combo["obs_lon"], "obs_lat": combo["obs_lat"],
+        "dist": combo["dist"], "roll": combo["roll"],
+        "x0": x0, "y0": y0,
+        "cdelt1": combo["cdelt1_arcsec"], "cdelt2": combo["cdelt2_arcsec"],
+    }
+    scal = {k: jnp.asarray(v, dtype=compute_dtype) for k, v in scal.items()}
+    return _warp_to_grid_jit(small_d, scal,
+                             jnp.asarray(delta_t, dtype=compute_dtype),
+                             shape[1], shape[0], order, rate_wave)
+
+
+def _probe_projection(combo, lon, lat, delta_t, rate_wave, py_idx, px_idx):
+    """Exact float64 host projection at probe points only (feeds the
+    conjugation fits; the full-grid version lives on device)."""
+    lon_p = lon[py_idx, px_idx]
+    lat_p = lat[py_idx, px_idx]
+    lon_rot_p = lon_p - diff_rot_shift_deg(lat_p, delta_t, rate_wave)
+    x3p, yyp, zzp = observer_geometry(lon_rot_p, lat_p, combo["obs_lon"],
+                                      combo["obs_lat"])
+    x0, y0 = _pixel_origin(combo["crval1_arcsec"], combo["crval2_arcsec"],
+                           combo["crpix1"], combo["crpix2"], combo["roll"],
+                           combo["cdelt1_arcsec"], combo["cdelt2_arcsec"],
+                           xp=np)
+    return spherical_project(x3p, yyp, zzp, combo["dist"], combo["roll"],
+                             x0, y0, combo["cdelt1_arcsec"],
+                             combo["cdelt2_arcsec"], xp=np)
 
 
 def _score_one_lag_carr(d, small_img, ref_img, geom, base, order, method):
@@ -334,8 +390,6 @@ def evaluate_lag_grid_carrington(
     delta_t = 0.0
     if reference_date is not None:
         delta_t = timeutils.time_diff_days(str(hdr_small["DATE-OBS"]), str(reference_date))
-    lon_rot = lon - diff_rot_shift_deg(lat, delta_t, rate_wave)
-    x3, yy, zz = observer_geometry(lon_rot, lat, sc["obs_lon"], sc["obs_lat"])
 
     l1 = np.asarray(lag_crval1_deg, dtype=np.float64)
     l2 = np.asarray(lag_crval2_deg, dtype=np.float64)
@@ -350,9 +404,9 @@ def evaluate_lag_grid_carrington(
         fast = _carrington_block_fast(
             small_img, ref_img, sc, lon, lat,
             delta_t=delta_t, rate_wave=rate_wave,
-            x3=x3, yy=yy, zz=zz, lonlims=lonlims, latlims=latlims, shape=shape,
+            lonlims=lonlims, latlims=latlims, shape=shape,
             l1=l1, l2=l2, l3=l3, l4=l4, l5=l5,
-            order=order, compute_dtype=compute_dtype,
+            order=order, compute_dtype=compute_dtype, mesh=mesh,
         )
         if fast is not None:
             logger.info("engine path: carrington FFT fast")
@@ -370,7 +424,7 @@ def evaluate_lag_grid_carrington(
         fast = _carrington_select(
             small_img, ref_img, sc, lon, lat,
             delta_t=delta_t, rate_wave=rate_wave,
-            x3=x3, yy=yy, zz=zz, lonlims=lonlims, latlims=latlims, shape=shape,
+            lonlims=lonlims, latlims=latlims, shape=shape,
             l1=l1, l2=l2, l3=l3, l4=l4, l5=l5,
             order=order, method=method, compute_dtype=compute_dtype,
             batch_size=batch_size, use_pallas=use_pallas, mesh=mesh,
@@ -385,6 +439,10 @@ def evaluate_lag_grid_carrington(
     lags = np.stack([g.ravel() for g in grids], axis=-1)
     n_lags = lags.shape[0]
 
+    # gather fallback: full-grid observer geometry (host, f64 — this branch
+    # is the reference-exact path, so keep its numerics on the host)
+    lon_rot = lon - diff_rot_shift_deg(lat, delta_t, rate_wave)
+    x3, yy, zz = observer_geometry(lon_rot, lat, sc["obs_lon"], sc["obs_lat"])
     geom = {
         "x3": jnp.asarray(x3, dtype=compute_dtype),
         "yy": jnp.asarray(yy, dtype=compute_dtype),
@@ -454,7 +512,7 @@ def _eval_select_carr(coeffs, shifts, warped_padded, ref_img, order, method,
 
 
 def _carrington_select(small_img, ref_img, sc, lon, lat, delta_t, rate_wave,
-                       x3, yy, zz, lonlims, latlims, shape,
+                       lonlims, latlims, shape,
                        l1, l2, l3, l4, l5, *, order, method, compute_dtype,
                        batch_size, tol_px=0.05, use_pallas=False,
                        pallas_interpret=None, mesh=None):
@@ -490,6 +548,7 @@ def _carrington_select(small_img, ref_img, sc, lon, lat, delta_t, rate_wave,
     pinv = np.linalg.pinv(design)  # (6, 16)
 
     out = np.zeros((len(l1), len(l2), len(l3), len(l4), len(l5)))
+    small_d = jnp.asarray(small_img, dtype=compute_dtype)  # uploaded once
     for i3, d3 in enumerate(l3):
         for i4, d4 in enumerate(l4):
             for i5, d5 in enumerate(l5):
@@ -498,13 +557,11 @@ def _carrington_select(small_img, ref_img, sc, lon, lat, delta_t, rate_wave,
                 combo["cdelt2_arcsec"] = sc["cdelt2_arcsec"] + d4 * 3600.0
                 combo["roll"] = sc["roll"] + d5
 
-                x0, y0 = _pixel_origin(
-                    combo["crval1_arcsec"], combo["crval2_arcsec"],
-                    combo["crpix1"], combo["crpix2"], combo["roll"],
-                    combo["cdelt1_arcsec"], combo["cdelt2_arcsec"], xp=np)
-                nx0, ny0 = spherical_project(
-                    x3, yy, zz, combo["dist"], combo["roll"], x0, y0,
-                    combo["cdelt1_arcsec"], combo["cdelt2_arcsec"], xp=np)
+                # exact f64 projection at the probe points only (the
+                # full-grid projection runs fused on device in the warp)
+                nx0p, ny0p = _probe_projection(
+                    combo, lon, lat, delta_t, rate_wave,
+                    pyg.ravel(), pxg.ravel())
 
                 # constant per-lag displacement in DETECTOR pixels
                 roll_r = np.radians(combo["roll"])
@@ -513,8 +570,8 @@ def _carrington_select(small_img, ref_img, sc, lon, lat, delta_t, rate_wave,
                 csy = -(-sin_r * dc1 + cos_r * dc2) / combo["cdelt2_arcsec"]
 
                 # exact conjugated displacement at the probe grid
-                px = nx0[pyg.ravel(), pxg.ravel()][None, :] + csx[:, None]
-                py = ny0[pyg.ravel(), pxg.ravel()][None, :] + csy[:, None]
+                px = nx0p[None, :] + csx[:, None]
+                py = ny0p[None, :] + csy[:, None]
                 if not np.isfinite(px).all():
                     return None
                 lon_r2, lat2 = spherical_unproject(px, py, combo)
@@ -546,11 +603,10 @@ def _carrington_select(small_img, ref_img, sc, lon, lat, delta_t, rate_wave,
                 if int(m_l.max()) > 24:
                     return None
 
-                # pre-warp stays device-resident (tunnel transfers are slow)
-                warped_d = _sample_jit(
-                    jnp.asarray(small_img, dtype=compute_dtype),
-                    jnp.asarray(nx0, dtype=compute_dtype),
-                    jnp.asarray(ny0, dtype=compute_dtype), order)
+                # pre-warp fully on device (no coordinate-field transfers)
+                warped_d = _warp_to_grid(
+                    small_d, combo, lonlims, latlims, shape, delta_t,
+                    rate_wave, order, compute_dtype)
                 ref_d = jnp.asarray(ref_img, dtype=compute_dtype)
                 coeffs_np = np.asarray(coeffs, dtype=compute_dtype)
 
@@ -606,8 +662,9 @@ def _carrington_select(small_img, ref_img, sc, lon, lat, delta_t, rate_wave,
 
 
 def _carrington_block_fast(small_img, ref_img, sc, lon, lat, delta_t,
-                           rate_wave, x3, yy, zz, lonlims, latlims, shape,
-                           l1, l2, l3, l4, l5, *, order, compute_dtype):
+                           rate_wave, lonlims, latlims, shape,
+                           l1, l2, l3, l4, l5, *, order, compute_dtype,
+                           mesh=None):
     """FFT fast path in the Carrington frame.
 
     For each (cdelt1, cdelt2, crota) combo the small image is warped onto the
@@ -634,6 +691,7 @@ def _carrington_block_fast(small_img, ref_img, sc, lon, lat, delta_t,
     dc2 = g2.ravel() * 3600.0
     L = dc1.size
 
+    small_d = jnp.asarray(small_img, dtype=compute_dtype)  # uploaded once
     for i3, d3 in enumerate(l3):
         for i4, d4 in enumerate(l4):
             for i5, d5 in enumerate(l5):
@@ -642,13 +700,9 @@ def _carrington_block_fast(small_img, ref_img, sc, lon, lat, delta_t,
                 combo["cdelt2_arcsec"] = sc["cdelt2_arcsec"] + d4 * 3600.0
                 combo["roll"] = sc["roll"] + d5
 
-                x0, y0 = _pixel_origin(
-                    combo["crval1_arcsec"], combo["crval2_arcsec"],
-                    combo["crpix1"], combo["crpix2"], combo["roll"],
-                    combo["cdelt1_arcsec"], combo["cdelt2_arcsec"], xp=np)
-                nx0, ny0 = spherical_project(
-                    x3, yy, zz, combo["dist"], combo["roll"], x0, y0,
-                    combo["cdelt1_arcsec"], combo["cdelt2_arcsec"], xp=np)
+                # exact f64 projection at the 5 probe points only
+                nx0p, ny0p = _probe_projection(
+                    combo, lon, lat, delta_t, rate_wave, pr[:, 0], pr[:, 1])
 
                 # exact constant displacement in small-pixel space per lag
                 roll_r = np.radians(combo["roll"])
@@ -657,8 +711,8 @@ def _carrington_block_fast(small_img, ref_img, sc, lon, lat, delta_t,
                 csy = -(-sin_r * dc1 + cos_r * dc2) / combo["cdelt2_arcsec"]
 
                 # conjugate to grid space at the probe points
-                px = nx0[pr[:, 0], pr[:, 1]][None, :] + csx[:, None]  # (L, 5)
-                py = ny0[pr[:, 0], pr[:, 1]][None, :] + csy[:, None]
+                px = nx0p[None, :] + csx[:, None]  # (L, 5)
+                py = ny0p[None, :] + csy[:, None]
                 if not np.isfinite(px).all():
                     return None
                 lon_r2, lat2 = spherical_unproject(px, py, combo)
@@ -675,10 +729,13 @@ def _carrington_block_fast(small_img, ref_img, sc, lon, lat, delta_t,
                 if spread > fast_corr.MAX_DISPLACEMENT_SPREAD_PX:
                     return None
 
-                warped = _sample_np(small_img, nx0, ny0, order, compute_dtype)
+                # pre-warp fully on device (no coordinate-field transfers)
+                warped_d = _warp_to_grid(
+                    small_d, combo, lonlims, latlims, shape, delta_t,
+                    rate_wave, order, compute_dtype)
                 r = fast_corr.evaluate_from_displacements(
-                    warped, ref_img, center, spread,
-                    order=order, compute_dtype=compute_dtype)
+                    warped_d, ref_img, center, spread,
+                    order=order, compute_dtype=compute_dtype, mesh=mesh)
                 if r is None:
                     return None
                 out[:, :, i3, i4, i5] = r.reshape(len(l1), len(l2))

@@ -236,11 +236,9 @@ def test_carrington_select_matches_general():
     sc = carr.header_spherical_scalars(hs, 1.004)
     lon, lat = carr.carrington_grid(lonlims, latlims, shape)
     delta_t = timeutils.time_diff_days(str(hs["DATE-OBS"]), str(hl["DATE-OBS"]))
-    lon_rot = lon - carr.diff_rot_shift_deg(lat, delta_t, "171")
-    x3, yy, zz = carr.observer_geometry(lon_rot, lat, sc["obs_lon"], sc["obs_lat"])
     sel = carr._carrington_select(
         ds, ref_img, sc, lon, lat, delta_t=delta_t, rate_wave="171",
-        x3=x3, yy=yy, zz=zz, lonlims=lonlims, latlims=latlims, shape=shape,
+        lonlims=lonlims, latlims=latlims, shape=shape,
         l1=l1, l2=l2, l3=np.array([0.0]), l4=np.array([0.0]),
         l5=np.array([0.0]), order=2, method="correlation",
         compute_dtype="float64", batch_size=4)
