@@ -133,6 +133,34 @@ def select_mix(blk, rx, ry, wx_list, wy_list, *, mx, my, mm_y, mm_x, order,
     return sampled
 
 
+def residus_partial_sums(a, sampled, invalid):
+    """Masked partial sums of d = (a - sampled)/sqrt(a) for the
+    'residus_masked' score (core/score.residus_masked): lanes [n, Sd, Sdd].
+    (The reference's raw 'residus' lets NaN fill poison the std —
+    alignment.py:544-548 — which on padded grids is always NaN; only the
+    masked variant is meaningful for a tiled kernel.)"""
+    d = (a - sampled) * jax.lax.rsqrt(a)
+    mask = jnp.isfinite(d) & ~invalid
+    mf = mask.astype(jnp.float32)
+    dm = jnp.where(mask, d, 0.0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, OUT_LANES), 2)
+    vals = jnp.zeros((1, 1, OUT_LANES), dtype=jnp.float32)
+    for idx, s in enumerate([jnp.sum(mf), jnp.sum(dm), jnp.sum(dm * dm)]):
+        vals = jnp.where(lane == idx, s, vals)
+    return vals
+
+
+def residus_from_sums(sums):
+    """(L, >=3) raw sums -> (L,) masked residue std, float64 on host."""
+    import numpy as np
+
+    n, Sd, Sdd = (sums[:, k] for k in range(3))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mean = Sd / n
+        var = Sdd / n - mean * mean
+        return np.sqrt(np.maximum(var, 0.0))
+
+
 def pearson_partial_sums(a, sampled, invalid):
     """The 6 masked-Pearson partial sums of a tile, assembled into one
     (1, 1, OUT_LANES) lane vector without scatter (unsupported on Mosaic)."""

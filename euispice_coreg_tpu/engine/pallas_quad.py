@@ -36,7 +36,7 @@ from . import pallas_common as pc
 from .pallas_common import OUT_LANES, TILE
 
 
-def _make_kernel(mx, my, mm_y, mm_x, pad, hw_grid, order):
+def _make_kernel(mx, my, mm_y, mm_x, pad, hw_grid, order, method):
     h, w = hw_grid
 
     def kernel(coef_ref, shift_ref, warped_hbm, ref_tile, out_ref, block, sem):
@@ -101,7 +101,10 @@ def _make_kernel(mx, my, mm_y, mm_x, pad, hw_grid, order):
         sampled = pc.select_mix(blk, rx, ry, wx_list, wy_list,
                                 mx=mx, my=my, mm_y=mm_y, mm_x=mm_x,
                                 order=order)
-        vals = pc.pearson_partial_sums(ref_tile[:], sampled, invalid)
+        if method == "correlation":
+            vals = pc.pearson_partial_sums(ref_tile[:], sampled, invalid)
+        else:  # residus_masked
+            vals = pc.residus_partial_sums(ref_tile[:], sampled, invalid)
 
         @pl.when((ty == 0) & (tx == 0))
         def _():
@@ -112,7 +115,7 @@ def _make_kernel(mx, my, mm_y, mm_x, pad, hw_grid, order):
     return kernel
 
 
-def _build_eval(mx, my, mm_y, mm_x, pad, hw_grid, order, n_ty, n_tx,
+def _build_eval(mx, my, mm_y, mm_x, pad, hw_grid, order, method, n_ty, n_tx,
                 interpret, mesh=None):
     """One jitted evaluator instance; reused across lag chunks so the
     compiled program is cached (a fresh kernel closure per chunk would
@@ -120,7 +123,7 @@ def _build_eval(mx, my, mm_y, mm_x, pad, hw_grid, order, n_ty, n_tx,
     devices with ``shard_map`` (canvases replicated in every chip's HBM;
     each device runs the kernel on its lag sub-grid — the TPU-native form
     of the reference's process fan-out, alignment.py:634-756)."""
-    kernel = _make_kernel(mx, my, mm_y, mm_x, pad, hw_grid, order)
+    kernel = _make_kernel(mx, my, mm_y, mm_x, pad, hw_grid, order, method)
 
     def run(coeffs12, shifts, canvas, ref_canvas):
         L = coeffs12.shape[0]
@@ -216,7 +219,7 @@ def evaluate_select_carr_pallas(coeffs, warped, ref_img, *, order, h, w,
     larger than the image).  ``interpret=None`` auto-selects interpret mode
     on CPU backends.
     """
-    if method != "correlation" or order not in (0, 1, 2):
+    if method not in ("correlation", "residus_masked") or order not in (0, 1, 2):
         return None
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -249,10 +252,15 @@ def evaluate_select_carr_pallas(coeffs, warped, ref_img, *, order, h, w,
     warped_d = jnp.asarray(warped, dtype=jnp.float32)
     ref_d = jnp.asarray(ref_img, dtype=jnp.float32)
 
+    # pre-centering is exact for Pearson (and avoids f32 cancellation in
+    # the raw sums) but must NOT be applied for residue scores, which need
+    # the raw values in (a - b)/sqrt(a)
+    center = method == "correlation"
+
     @jax.jit
     def build_canvases(wp, rf):
-        amean = jnp.nanmean(rf)
-        bmean = jnp.nanmean(wp)
+        amean = jnp.nanmean(rf) if center else jnp.float32(0.0)
+        bmean = jnp.nanmean(wp) if center else jnp.float32(0.0)
         refl = jnp.pad(wp - bmean, pe, mode="reflect")
         canvas = jnp.full((ht + 2 * pad, wt + 2 * pad), jnp.nan, jnp.float32)
         canvas = canvas.at[pad - pe: pad + h + pe,
@@ -271,8 +279,8 @@ def evaluate_select_carr_pallas(coeffs, warped, ref_img, *, order, h, w,
     if mesh is not None:
         ndev = mesh.devices.size
         chunk = -(-chunk // ndev) * ndev  # chunks split evenly over devices
-    fn = _build_eval(mx, my, mm_y, mm_x, pad, (h, w), order, n_ty, n_tx,
-                     interpret, mesh=mesh)
+    fn = _build_eval(mx, my, mm_y, mm_x, pad, (h, w), order, method, n_ty,
+                     n_tx, interpret, mesh=mesh)
 
     from . import lag_search
 
@@ -282,4 +290,7 @@ def evaluate_select_carr_pallas(coeffs, warped, ref_img, *, order, h, w,
         label=f"carrington pallas lag search (mx={mx}, my={my})")
     # (run_chunked pads the tail chunk, so sharded runs always see full
     # per-device slices)
-    return pc.pearson_from_sums(np.asarray(sums, dtype=np.float64))
+    sums = np.asarray(sums, dtype=np.float64)
+    if method == "correlation":
+        return pc.pearson_from_sums(sums)
+    return pc.residus_from_sums(sums)

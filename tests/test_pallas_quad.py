@@ -87,6 +87,37 @@ def test_quad_kernel_with_nans():
     np.testing.assert_allclose(got, want, atol=3e-4)
 
 
+def test_quad_kernel_residus_masked():
+    """The residue score accumulates different partial sums in the same
+    kernel; compare against the gather sampler + score.residus_masked."""
+    import jax.numpy as jnp
+
+    warped, ref = make_scene(with_nans=True)
+    # residus divides by sqrt(ref): keep it positive like real intensities
+    ref = np.abs(ref) + 50.0
+    warped = np.abs(warped) + 50.0
+    h, w = warped.shape
+    coeffs = np.zeros((3, 6, 2))
+    coeffs[0, 2] = (7.3, -24.6)
+    coeffs[1, 2] = (-3.1, 9.9)
+    coeffs[1, 0, 0] = -3e-3
+    coeffs[2, 2] = (140.8, 33.2)
+    got = pallas_quad.evaluate_select_carr_pallas(
+        coeffs, warped, ref, order=2, h=h, w=w, method="residus_masked",
+        interpret=True)
+    assert got is not None
+    want = []
+    for cf in coeffs:
+        x, y = quad_field(cf, h, w)
+        sampled = resample.sample_image(
+            jnp.asarray(warped, dtype=jnp.float32),
+            jnp.asarray(x, dtype=jnp.float32),
+            jnp.asarray(y, dtype=jnp.float32), order=2)
+        want.append(float(score.residus_masked(
+            jnp.asarray(ref, dtype=jnp.float32), sampled)))
+    np.testing.assert_allclose(got, np.array(want), rtol=2e-3, atol=1e-5)
+
+
 def test_tile_shifts_bound_is_rigorous():
     """The closed-form gradient+curvature bound must cover the true
     within-tile deviation, and for the order-0/2 tap anchor (floor(.+0.5),
