@@ -109,3 +109,7 @@ SCORE_FUNCTIONS = {
     "residus": residus,
     "residus_masked": residus_masked,
 }
+
+
+# reference spelling (hdrshift/c_correlate.py:9: ``c_correlate3D``)
+c_correlate3D = c_correlate3d

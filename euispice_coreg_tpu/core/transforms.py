@@ -70,6 +70,10 @@ class LinearTransform(Transform):
         ny = matrix[1, 0] * x + matrix[1, 1] * y + matrix[1, 2]
         return nx, ny
 
+    def transform(self, matrix, x=None, y=None):
+        """Reference-named matrix application (rectify.py:190-194)."""
+        return self._apply(np.asarray(matrix), x, y, np)
+
     def forward(self, x=None, y=None, xp=jnp):
         return self._apply(self._fmatrix, x, y, xp)
 
@@ -394,3 +398,340 @@ def rotationmatrix(angle, axis):
     if axis == 2:
         return np.array([[1, 0, 0], [0, c, -s], [0, s, c]])
     raise ValueError("axis must be 0 (z), 1 (y) or 2 (x)")
+
+
+def polyval(x, y, coefficients):
+    """Bivariate polynomial sum c[i, j] x^i y^j, Horner over both axes
+    (behavioural port of the nested ``polyval`` in
+    rectify.py:483-499)."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    degree = coefficients.shape[0] - 1
+    poly = np.zeros_like(x)
+    for j in range(degree, -1, -1):
+        dum = np.full_like(x, coefficients[degree, j])
+        for i in range(degree - 1, -1, -1):
+            dum *= x
+            dum += coefficients[i, j]
+        poly *= y
+        poly += dum
+    return poly
+
+
+def reform_poly(items, axis, scale):
+    """Decode one axis' polynomial from a distortion .ini section: the
+    stored coefficients encode only the distortion, the mean plate scale is
+    added back into the linear term (rectify.py:505-519)."""
+    degree = int(float(items[axis + "degree"]))
+    d = np.asarray(items["d" + axis + "k"].split(),
+                   dtype=np.float32).reshape((degree + 1, degree + 1))
+    if axis == "x":
+        d[1, 0] += scale
+    elif axis == "y":
+        d[0, 1] += scale
+    else:
+        raise ValueError("Invalid axis")
+    return d
+
+
+class DistortionMatrix(Transform):
+    """FSI optical-distortion transform, behavioural port of the reference's
+    Zemax machinery (rectify.py:426-839) with the astropy/Zemax IO replaced
+    by this framework's FITS reader and plain-text parsing.
+
+    ``file`` is either a distortion-polynomials .ini (sections ``gen`` /
+    ``field2pos`` / ``pos2field``) or, with ``rebuild=True`` or a ``.fits``
+    extension, a Zemax chief-ray grid to fit/interpolate directly.
+
+    The reference's ``DistortionPolynomial.write`` and
+    ``ZemaxData.write_polynomials`` crash (configparser misuse,
+    rectify.py:535-537, 660-695); here both are implemented working with the
+    same on-disk format.
+    """
+
+    class DistortionPolynomial:
+        """Bivariate distortion polynomials, one per output axis
+        (rectify.py:438-537)."""
+
+        def __init__(self, file=None, direction=None, coefficients=None):
+            if file is not None and coefficients is not None:
+                raise ValueError("file and coefficients are exclusive")
+            if file is not None:
+                if direction is None:
+                    raise ValueError("direction required with file")
+                import os
+
+                if not os.path.isfile(file):
+                    raise FileNotFoundError(file)
+                self.file = file
+                self.scale = None
+                self.coefficients = None
+                self.read(direction)
+            elif coefficients is not None:
+                self.scale = coefficients[0]
+                self.coefficients = coefficients[1]
+
+        def __call__(self, x, y):
+            return (polyval(x, y, self.coefficients[0]),
+                    polyval(x, y, self.coefficients[1]))
+
+        def read(self, direction):
+            import configparser
+
+            config = configparser.ConfigParser()
+            config.read(self.file)
+            items = dict(config.items(direction))
+            self.scale = np.float32(items["scale"])
+            self.coefficients = (reform_poly(items, "x", self.scale),
+                                 reform_poly(items, "y", self.scale))
+
+        def write(self, direction, file=None, config=None):
+            """Serialize into ``[direction]`` (inverse of :meth:`read`:
+            the scale is removed from the linear term before storing)."""
+            import configparser
+
+            own = config is None
+            if own:
+                config = configparser.ConfigParser()
+            cx = np.array(self.coefficients[0], dtype=np.float64)
+            cy = np.array(self.coefficients[1], dtype=np.float64)
+            cx[1, 0] -= self.scale
+            cy[0, 1] -= self.scale
+            config[direction] = {
+                "scale": repr(float(self.scale)),
+                "xdegree": str(cx.shape[0] - 1),
+                "dxk": " ".join(repr(float(v)) for v in cx.ravel()),
+                "ydegree": str(cy.shape[0] - 1),
+                "dyk": " ".join(repr(float(v)) for v in cy.ravel()),
+            }
+            if own:
+                with open(file or self.file, "w") as fh:
+                    config.write(fh)
+            return config
+
+    class ZemaxData:
+        """Zemax chief-ray distortion grids (rectify.py:539-712): field
+        angles (deg) vs chief-ray detector positions (mm)."""
+
+        def __init__(self, file):
+            import os
+
+            if not os.path.isfile(file):
+                raise FileNotFoundError(file)
+            self.file = file
+            self.xchief = self.ychief = None
+            self.xfield = self.yfield = None
+            self.maxfield = self.nsamples = self.step = None
+            if file.endswith(".txt"):
+                self.read_txt()
+            elif file.endswith(".fits"):
+                self.read_fits()
+            else:
+                raise ValueError("Invalid file extension")
+
+        def read_fits(self):
+            from ..io import fits as _fits
+
+            hdul = _fits.open(self.file)
+            self.maxfield = float(hdul[0].header["MAXFIELD"])
+            self.step = float(hdul[0].header["STEPSIZE"])
+            self.nsamples = int(hdul[1].header["NAXIS1"])
+            self.xchief = np.asarray(hdul[1].data, dtype=np.float64)
+            self.ychief = np.asarray(hdul[2].data, dtype=np.float64)
+            grid = np.linspace(-self.maxfield + self.step / 2,
+                               self.maxfield - self.step / 2, self.nsamples)
+            self.xfield, self.yfield = np.meshgrid(grid, grid)
+
+        def read_txt(self):
+            """Zemax macro ASCII output: ';'-comment lines (the last of
+            which carry maxfield and nsamples), then whitespace-separated
+            columns xchief ychief hx hy (rectify.py:581-614)."""
+            comments, rows = [], []
+            with open(self.file) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    if line.startswith(";"):
+                        comments.append(line.lstrip("; ").rstrip())
+                    else:
+                        rows.append([float(v) for v in line.split()])
+            if not rows:
+                raise IOError(f"no data rows in {self.file}")
+            data = np.asarray(rows, dtype=np.float64)
+            self.maxfield = float(comments[-5].split()[-1])
+            self.nsamples = int(float(comments[-4].split()[-1]))
+            self.step = 2 * self.maxfield / self.nsamples
+            shape = (self.nsamples, self.nsamples)
+            self.xchief = data[:, 0].reshape(shape)
+            self.ychief = data[:, 1].reshape(shape)
+            self.xfield = data[:, 2].reshape(shape) * self.maxfield
+            self.yfield = data[:, 3].reshape(shape) * self.maxfield
+
+        def write_fits(self, outfile=None):
+            """Working version of the reference's stub (rectify.py:617-637),
+            laid out so :meth:`read_fits` round-trips."""
+            from ..io import fits as _fits
+
+            outfile = outfile or self.file.replace(".txt", ".fits")
+            primary = _fits.PrimaryHDU()
+            primary.header["MAXFIELD"] = self.maxfield
+            primary.header["STEPSIZE"] = 2 * self.maxfield / self.nsamples
+            primary.header["UNITS"] = "degrees"
+            _fits.write(outfile, [
+                primary,
+                _fits.ImageHDU(data=np.asarray(self.xchief, dtype=np.float64)),
+                _fits.ImageHDU(data=np.asarray(self.ychief, dtype=np.float64)),
+            ])
+            return outfile
+
+        def fit(self, direction):
+            """Polynomial fit of the grids: x-axis degree 5 with combined-
+            degree cap, y-axis degree 3 (rectify.py:639-665)."""
+            if direction == "pos2field":
+                x, y = self.xchief, self.ychief
+                f1, f2 = self.xfield, self.yfield
+            elif direction == "field2pos":
+                x, y = self.xfield, self.yfield
+                f1, f2 = self.xchief, self.ychief
+            else:
+                raise ValueError(direction)
+            c1 = polyfit2d(x, y, f1, 5, maxdegree=True)
+            c2 = polyfit2d(x, y, f2, 3, maxdegree=False)
+            return (c1, c2)
+
+        def write_polynomials(self, outfile, phys_pix_size=0.01,
+                              ref_x_pix=1536, ref_y_pix=1536):
+            """Working version of rectify.py:660-695: fit both directions
+            and store them with the instrument constants."""
+            import configparser
+
+            config = configparser.ConfigParser()
+            config["gen"] = {"phys_pix_size": repr(phys_pix_size),
+                             "ref_x_pix": repr(ref_x_pix),
+                             "ref_y_pix": repr(ref_y_pix)}
+            for direction in ("field2pos", "pos2field"):
+                poly = DistortionMatrix.DistortionPolynomial(
+                    coefficients=(np.float32(0.0), self.fit(direction)))
+                poly.write(direction, config=config)
+            with open(outfile, "w") as fh:
+                config.write(fh)
+            return outfile
+
+        def field2pos(self, x, y):
+            from . import resample
+
+            # the reference omits the -0.5 (rectify.py:697-699), putting its
+            # exact-mode lookup half a grid cell off its own pixel-center
+            # grid convention (read_fits:577-578) — fixed here
+            nx = self.nsamples * (np.asarray(x) / self.maxfield + 1) / 2 - 0.5
+            ny = self.nsamples * (np.asarray(y) / self.maxfield + 1) / 2 - 0.5
+            xo = np.asarray(resample.interpol2d(self.xchief, nx, ny))
+            yo = np.asarray(resample.interpol2d(self.ychief, nx, ny))
+            return xo, yo
+
+        def pos2field(self, x, y):
+            import scipy.interpolate
+
+            from . import resample
+
+            xidx, yidx = np.indices(self.xchief.shape)
+            points = np.stack((self.xchief.ravel(), self.ychief.ravel()),
+                              axis=1)
+            nx = scipy.interpolate.griddata(points, xidx.ravel(), (x, y),
+                                            method="nearest")
+            ny = scipy.interpolate.griddata(points, yidx.ravel(), (x, y),
+                                            method="nearest")
+            xo = np.asarray(resample.interpol2d(self.xfield, nx, ny))
+            yo = np.asarray(resample.interpol2d(self.yfield, nx, ny))
+            return xo, yo
+
+    def __init__(self, file, rebuild=False, flip=False, direction="forward"):
+        import configparser
+        import os
+
+        super().__init__(direction=direction)
+        self.exact = file.endswith(".fits")
+        if not rebuild:
+            if not os.path.isfile(file):
+                raise FileNotFoundError(file)
+            self.file = file
+            if self.exact:
+                self.phys_pix_size = 0.01
+                self.ref_x_pix = 1535.5
+                self.ref_y_pix = 1535.5
+                data = self.ZemaxData(file)
+                self.pos2field = data.pos2field
+                self.field2pos = data.field2pos
+            else:
+                config = configparser.ConfigParser()
+                config.read(self.file)
+                items = dict(config.items("gen"))
+                self.phys_pix_size = np.float32(items["phys_pix_size"])
+                self.ref_x_pix = np.float32(items["ref_x_pix"])
+                self.ref_y_pix = np.float32(items["ref_y_pix"])
+                self.pos2field = self.DistortionPolynomial(file, "pos2field")
+                self.field2pos = self.DistortionPolynomial(file, "field2pos")
+        else:
+            self.phys_pix_size = np.float32(0.01)
+            self.ref_x_pix = np.float32(1535.5)
+            self.ref_y_pix = np.float32(1535.5)
+            self.zemax_data = self.ZemaxData(file)
+            self.pos2field = self.DistortionPolynomial(
+                coefficients=(0, self.zemax_data.fit("pos2field")))
+            self.field2pos = self.DistortionPolynomial(
+                coefficients=(0, self.zemax_data.fit("field2pos")))
+        self.flipped_images = flip
+
+    def forward(self, x=None, y=None, xp=np):
+        """Field angles (deg) -> detector pixels (rectify.py:760-775)."""
+        if self.flipped_images:
+            y, x = self.field2pos(-np.asarray(y), np.asarray(x))
+            y = -y
+        else:
+            x, y = self.field2pos(x, y)
+        x = x / self.phys_pix_size + self.ref_x_pix
+        y = y / self.phys_pix_size + self.ref_y_pix
+        return x, y
+
+    def inverse(self, x=None, y=None, xp=np):
+        """Detector pixels -> field angles (rectify.py:777-792)."""
+        x = (np.asarray(x, dtype=np.float64) - self.ref_x_pix) * self.phys_pix_size
+        y = (np.asarray(y, dtype=np.float64) - self.ref_y_pix) * self.phys_pix_size
+        if self.flipped_images:
+            y, x = self.pos2field(-y, x)
+            y = -y
+        else:
+            x, y = self.pos2field(x, y)
+        return x, y
+
+    def plot(self, s=10):
+        """Distortion quiver figure (rectify.py:794-839): blue = undistorted
+        grid, red = distorted, vectors magnified by ``s``."""
+        from matplotlib import collections as mcol
+        from matplotlib import pyplot as plt
+
+        scale = self.pos2field.scale
+        x = np.linspace(-3072 / 2 + 1, 3072 / 2, 48) * self.phys_pix_size
+        y = np.linspace(-3072 / 2 + 1, 3072 / 2, 48) * self.phys_pix_size
+        ox, oy = np.meshgrid(x, y)
+        nx, ny = self.field2pos(ox * scale, oy * scale)
+        dx = nx - ox
+        dy = ny - oy
+
+        fig, ax = plt.subplots()
+        ax.quiver(x, y, s * dx, s * dy, angles="xy", scale_units="xy",
+                  scale=1, linewidth=0.25)
+        for gx, gy, color in ((ox, oy, (0, 0, 1, 1)),
+                              (ox + s * dx, oy + s * dy, (1, 0, 0, 1))):
+            for a, b in ((gx, gy), (gx.T, gy.T)):
+                ax.add_collection(mcol.LineCollection(
+                    np.stack((a, b), axis=2), colors=color, linewidth=0.25))
+        ax.set_xlabel("Position on detector (mm)")
+        ax.set_ylabel("Position on detector (mm)")
+        ax.set_aspect("equal")
+        return fig
+
+
+# explicit 2-D name for the bivariate evaluator
+polyval2d = polyval

@@ -29,6 +29,8 @@ TPU mesh).
 """
 from __future__ import annotations
 
+import os
+import sys
 import warnings
 
 import numpy as np
@@ -39,6 +41,25 @@ from ..engine import carrington as carr_engine
 from ..engine import lag_search
 from ..utils import coords, units
 from .results import AlignmentResults
+
+
+class HiddenPrints:
+    """Context manager silencing stdout (alignment.py:29-36); the reference
+    wraps sunpy reprojection chatter with it."""
+
+    def __enter__(self):
+        self._original_stdout = sys.stdout
+        sys.stdout = open(os.devnull, "w")
+
+    def __exit__(self, exc_type, exc_val, exc_tb):
+        sys.stdout.close()
+        sys.stdout = self._original_stdout
+
+
+def divide_chunks(l, n):  # noqa: E741 - reference signature
+    """Yield successive n-sized chunks of l (alignment.py:39-42)."""
+    for i in range(0, len(l), n):
+        yield l[i:i + n]
 
 
 class Alignment:

@@ -338,7 +338,56 @@ def plot_co_alignment(
             ref.header, data_ref, hdr_before, hdr_after, data_al,
             path_save=path_save_figure, show=show, levels=levels,
         )
+    if type_plot == "sunpy":
+        return _solar_surface_pages(
+            ref.header, data_ref, hdr_before, hdr_after, data_al,
+            path_save=path_save_figure, show=show,
+        )
     raise NotImplementedError(f"type_plot={type_plot!r}")
+
+
+def _solar_surface_pages(hdr_ref, data_ref, hdr_before, hdr_after, data_al,
+                         path_save=None, show=False):
+    """Native stand-in for the reference's ``type_plot="sunpy"`` branch
+    (plot.py:887-925): a multi-page figure set where the reference image,
+    the shifted image and the unshifted image are each reprojected onto the
+    image-to-align's WCS assuming solar-surface corotation, then shown with
+    :func:`simple_plot` semantics.  Requires the solar observer keywords
+    (DSUN_OBS/CRLN_OBS/CRLT_OBS/DATE-OBS) in both headers."""
+    from matplotlib import pyplot as plt
+
+    from ..engine.carrington import reproject_solar_surface
+
+    figs = []
+    pdf = None
+    if path_save is not None and str(path_save).lower().endswith(".pdf"):
+        from matplotlib.backends.backend_pdf import PdfPages
+
+        pdf = PdfPages(path_save)
+    try:
+        pages = [
+            (data_ref, hdr_ref, "Reference image"),
+            (data_al, hdr_after, "to align image shifted"),
+            (data_al, hdr_before, "to align not Shifted"),
+        ]
+        for k, (data, hdr, title) in enumerate(pages):
+            rep = reproject_solar_surface(data, hdr, hdr_before, order=1)
+            fig, ax = plt.subplots(figsize=(6, 6))
+            simple_plot(hdr_before, rep, fig=fig, ax=ax, show=False)
+            ax.set_title(title)
+            figs.append(fig)
+            if pdf is not None:
+                pdf.savefig(fig)
+            elif path_save is not None:
+                root, dot, ext = str(path_save).rpartition(".")
+                fig.savefig(f"{root}_{k}{dot}{ext}" if dot else
+                            f"{path_save}_{k}")
+            if show:
+                fig.show()
+    finally:
+        if pdf is not None:
+            pdf.close()
+    return figs
 
 
 def successive_plot(hdr_ref, data_ref, hdr_before, hdr_after, data_al,

@@ -16,7 +16,15 @@ from ..utils import timeutils
 
 class Selector:
     def __init__(self, release_url_basis: str):
-        self.release_url_basis = release_url_basis
+        self._release_url_basis = release_url_basis
+
+    @property
+    def release_url_basis(self):
+        return self._release_url_basis
+
+    @release_url_basis.setter
+    def release_url_basis(self, value):
+        self._release_url_basis = value
 
     # ------------------------------------------------------------------
     @staticmethod

@@ -90,6 +90,48 @@ class AlignCommonUtil:
         return idx, float(delta[idx])
 
     @staticmethod
+    def find_closest_time(list_to_find, list_ref, window_to_find=-1,
+                          window_ref=-1, time_delay=True,
+                          maximal_threshold=15.0):
+        """Index of the closest-in-time reference file for each input file,
+        by DATE-AVG with optional light-travel correction between the two
+        observer distances.
+
+        Working replacement for the reference's dead code (Util.py:44-74:
+        ``np.arr`` NameError, and the threshold compared against indices):
+        ``maximal_threshold`` is in seconds and is checked against the
+        minimal time difference.  Returns an int array of indices into
+        ``list_ref``.
+        """
+        from ..io import fits
+
+        C_M_S = 299792458.0
+
+        def _meta(path, window):
+            hdul = fits.open(path)
+            hdr = hdul[window].header
+            t = timeutils.parse_fits_time(str(hdr["DATE-AVG"]))
+            d = float(hdr.get("DSUN_OBS", 0.0))
+            return t, d
+
+        refs = [_meta(p, window_ref) for p in list_ref]
+        out = []
+        for path in list_to_find:
+            t_find, d_find = _meta(path, window_to_find)
+            diffs = []
+            for t_ref, d_ref in refs:
+                if time_delay:
+                    t_ref = t_ref + (d_find - d_ref) / C_M_S
+                diffs.append(abs(t_find - t_ref))
+            best = int(np.argmin(diffs))
+            if diffs[best] > float(maximal_threshold):
+                raise ValueError(
+                    "Threshold delta time of %i s attained"
+                    % int(float(maximal_threshold)))
+            out.append(best)
+        return np.asarray(out, dtype=int)
+
+    @staticmethod
     def align_pixels_shift(delta_pix1, delta_pix2, windows, large_fov_fits_path,
                            large_fov_window, small_fov_path):
         """Re-anchor a small-FOV header onto the large FOV center plus a pixel
@@ -330,3 +372,37 @@ class PlotFits:
         from ..plot import plot
 
         return plot.compare_plot(*args, **kwargs)
+
+
+class MpUtils:
+    """Shared-memory helpers (Util.py:948-967).
+
+    The TPU engine itself never uses shared memory (the lag fan-out lives on
+    device, PARITY.md #13); ``gen_shmm`` is provided for users who relied on
+    it as a general utility.  The caller owns the segment lifetime
+    (``shmm.close()`` / ``shmm.unlink()``).
+    """
+
+    @staticmethod
+    def gen_shmm(create=False, name=None, ndarray=None, size=0, shape=None,
+                 dtype=None):
+        """Create (from ``ndarray``/``size``) or attach (by ``name``) a POSIX
+        shared-memory block; returns (shmm, ndarray view)."""
+        from multiprocessing.shared_memory import SharedMemory
+
+        if ndarray is None and size == 0 and name is None:
+            raise ValueError("provide ndarray, size or name")
+        if ndarray is None and shape is None:
+            raise ValueError("provide ndarray or shape")
+        if dtype is None:
+            if not create or ndarray is None:
+                raise ValueError("dtype must be set")
+            dtype = ndarray.dtype
+        size = size if ndarray is None else ndarray.nbytes
+        shmm = SharedMemory(create=create, size=size, name=name)
+        shmm_data = np.ndarray(
+            shape=shape if ndarray is None else ndarray.shape,
+            buffer=shmm.buf, dtype=dtype)
+        if create and ndarray is not None:
+            shmm_data[...] = ndarray[...]
+        return shmm, shmm_data

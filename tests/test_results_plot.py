@@ -110,6 +110,23 @@ def test_plot_co_alignment_smoke(tmp_path):
     assert os.path.getsize(out) > 1000
 
 
+def test_plot_co_alignment_sunpy_mode_smoke(tmp_path):
+    """type_plot='sunpy' backed by the native solar-surface reprojection
+    (needs observer keywords -> Carrington pair fixture)."""
+    from euispice_coreg_tpu.plot import plot
+
+    dl, hl, ds, hs = fx.make_carrington_pair(true_shift_arcsec=(20.0, -10.0))
+    p_large, p_small = fx.write_pair_fits(tmp_path, dl, hl, ds, hs)
+    out = str(tmp_path / "coalign_ss.pdf")
+    figs = plot.plot_co_alignment(
+        p_large, 0, p_small, 0, shift_arcsec=(20.0, -10.0, 0.0, 0.0, 0.0),
+        path_save_figure=out, type_plot="sunpy")
+    import os
+
+    assert len(figs) == 3
+    assert os.path.getsize(out) > 1000
+
+
 def test_plot_fov_and_simple_plot_smoke(tmp_path):
     from euispice_coreg_tpu.plot import plot
 
