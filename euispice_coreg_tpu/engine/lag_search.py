@@ -133,13 +133,14 @@ def run_chunked(fn, per_lag_arrays, n_lags, chunk_size, label="lag chunks"):
     per-lag operand into fixed-size chunks (last chunk padded for a stable
     jit signature), calls ``fn(*chunk_arrays)`` per slice and stitches the
     results, reporting progress between device calls.
+
+    Dispatch is pipelined one chunk ahead: chunk k+1's operands are shipped
+    and its program enqueued before blocking on chunk k's result, so the
+    (slow, ~20-100 MB/s tunnel) uploads overlap device compute.
     """
     from ..utils.obs import Progress
 
-    outs = []
-    prog = Progress(total=n_lags, label=label,
-                    enabled=n_lags > chunk_size)
-    for s in range(0, n_lags, chunk_size):
+    def slice_args(s):
         e = min(s + chunk_size, n_lags)
         args = []
         for a in per_lag_arrays:
@@ -148,9 +149,22 @@ def run_chunked(fn, per_lag_arrays, n_lags, chunk_size, label="lag chunks"):
                 fill = np.repeat(part[-1:], chunk_size - (e - s), axis=0)
                 part = np.concatenate([part, fill], axis=0)
             args.append(jnp.asarray(part))
-        vals = np.asarray(fn(*args))[: e - s]
-        outs.append(vals)
-        prog.step(e - s)
+        return e - s, args
+
+    outs = []
+    prog = Progress(total=n_lags, label=label,
+                    enabled=n_lags > chunk_size)
+    starts = list(range(0, n_lags, chunk_size))
+    pending = None  # (length, async device result)
+    for i, s in enumerate(starts):
+        length, args = slice_args(s)
+        result = fn(*args)  # enqueues; does not block
+        if pending is not None:
+            outs.append(np.asarray(pending[1])[: pending[0]])
+            prog.step(pending[0])
+        pending = (length, result)
+    outs.append(np.asarray(pending[1])[: pending[0]])
+    prog.step(pending[0])
     return np.concatenate(outs)
 
 
