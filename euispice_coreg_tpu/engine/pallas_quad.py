@@ -222,7 +222,11 @@ def evaluate_select_carr_pallas(coeffs, warped, ref_img, *, order, h, w,
     if method not in ("correlation", "residus_masked") or order not in (0, 1, 2):
         return None
     if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+        if mesh is not None:
+            # a virtual CPU mesh can exist under a TPU-pinned process
+            interpret = mesh.devices.ravel()[0].platform == "cpu"
+        else:
+            interpret = jax.default_backend() == "cpu"
     coeffs = np.asarray(coeffs, dtype=np.float64)
     L = coeffs.shape[0]
     n_ty = -(-h // TILE)
