@@ -226,7 +226,12 @@ class AlignmentResults:
                     lag_crota=shift[4],
                 )
                 data = None if hdu.data is None else np.asarray(hdu.data, dtype=np.float32)
-                cls = fits.PrimaryHDU if ii == 0 else fits.ImageHDU
+                # re-wrap by input class like the reference (Util.py:143-150):
+                # compressed windows stay tile-compressed (quantized <f4)
+                if isinstance(hdu, fits.CompImageHDU):
+                    cls = fits.CompImageHDU
+                else:
+                    cls = fits.PrimaryHDU if ii == 0 else fits.ImageHDU
                 out.append(cls(data=data, header=header))
                 corrected += 1
             else:

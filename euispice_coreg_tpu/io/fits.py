@@ -71,11 +71,22 @@ class ImageHDU(HDU):
 
 
 class CompImageHDU(HDU):
-    """Tile-compressed image HDU; written as a RICE_1 binary table."""
+    """Tile-compressed image HDU (RICE_1 / GZIP_1 / GZIP_2 binary table).
 
-    def __init__(self, data=None, header=None, name=None, tile_shape=None):
+    Integer data is compressed losslessly; float data is quantized per tile
+    with ZSCALE/ZZERO columns (``quantize_level`` in background-noise sigmas,
+    ``quantize_method`` of NO_DITHER / SUBTRACTIVE_DITHER_1 / _2), matching
+    what astropy's CompImageHDU does underneath the reference."""
+
+    def __init__(self, data=None, header=None, name=None, tile_shape=None,
+                 compression_type="RICE_1", quantize_level=16.0,
+                 quantize_method="NO_DITHER", dither_seed=1):
         super().__init__(data=data, header=header, name=name)
         self.tile_shape = tile_shape
+        self.compression_type = compression_type
+        self.quantize_level = quantize_level
+        self.quantize_method = quantize_method
+        self.dither_seed = dither_seed
 
 
 class HDUList(list):
@@ -262,6 +273,15 @@ def open(path_or_url, mode: str = "readonly") -> HDUList:  # noqa: A001
             np.fromfile(os.fspath(path_or_url), dtype=np.uint8).tobytes()
         )
 
+    # transparently handle gzip-compressed whole files (*.fits.gz), like
+    # astropy.io.fits does for the reference
+    head = fobj.read(2)
+    fobj.seek(-len(head), 1)
+    if head == b"\x1f\x8b":
+        import gzip as _gzip
+
+        fobj = _io.BytesIO(_gzip.decompress(fobj.read()))
+
     hdus = HDUList()
     first = True
     while True:
@@ -388,7 +408,12 @@ def write(path, hdus, overwrite: bool = True):
             if i == 0:
                 # compressed image cannot be primary: emit empty primary first
                 blobs.append(_hdu_bytes(PrimaryHDU(), primary=True))
-            blobs.append(tile_compression.compress_hdu_bytes(hdu))
+            blobs.append(tile_compression.compress_hdu_bytes(
+                hdu,
+                quantize_level=getattr(hdu, "quantize_level", 16.0),
+                quantize_method=getattr(hdu, "quantize_method", "NO_DITHER"),
+                dither_seed=getattr(hdu, "dither_seed", 1),
+            ))
         else:
             blobs.append(_hdu_bytes(hdu, primary=(i == 0)))
     with _io.open(path, "wb") as f:

@@ -1,11 +1,23 @@
-"""Tile-compressed (RICE_1) FITS image support.
+"""Tile-compressed FITS image support (RICE_1, GZIP_1, GZIP_2, NOCOMPRESS).
 
-Decoding/encoding is done by the native C++ codec in
-``euispice_coreg_tpu/io/native/rice.cpp`` (built via ``build_native.py``),
-bound through ctypes.  This mirrors the role cfitsio's compiled RICE codec
-plays underneath astropy's ``CompImageHDU`` in the reference stack.
+This fills the role cfitsio's compiled codecs play underneath astropy's
+``CompImageHDU`` in the reference stack (the reference opens RICE-compressed
+EUI L2 files and re-wraps corrected windows as ``CompImageHDU`` with <f4 data,
+``/root/reference/euispice_coreg/utils/Util.py:143-150``).  Implements the
+FITS Tiled Image Compression Convention (White et al. 2013):
+
+- integer images: lossless RICE_1 (native C++ codec in ``io/native/rice.cpp``
+  bound through ctypes), GZIP_1, GZIP_2 (byte-plane shuffled gzip);
+- floating-point images: per-tile linear quantization with ZSCALE/ZZERO
+  table columns, ``NO_DITHER`` / ``SUBTRACTIVE_DITHER_1`` /
+  ``SUBTRACTIVE_DITHER_2`` (the cfitsio Park-Miller random sequence),
+  ZBLANK NaN encoding, and the lossless GZIP_COMPRESSED_DATA per-tile
+  fallback for tiles that cannot be quantized;
+- lossless float GZIP_1/GZIP_2 (no quantization columns).
 """
 from __future__ import annotations
+
+import zlib
 
 import numpy as np
 
@@ -14,6 +26,53 @@ from . import native
 
 BLOCK = 2880
 CARD = 80
+
+# cfitsio's integer substitute for NaN in quantized tiles (quantize.c NULL_VALUE)
+NULL_VALUE = -2147483647
+# SUBTRACTIVE_DITHER_2 reserved code for exact float zeros (ZERO_VALUE)
+ZERO_VALUE = -2147483646
+
+N_RANDOM = 10000
+
+_rand_cache = None
+
+
+def _dither_randoms() -> np.ndarray:
+    """cfitsio ``fits_init_randoms``: 10000 Park-Miller (a=16807, m=2^31-1)
+    uniforms from seed 1.  This exact sequence is mandated by the tiled-image
+    convention so any compliant reader inverts the dither bit-exactly."""
+    global _rand_cache
+    if _rand_cache is None:
+        a, m = 16807.0, 2147483647.0
+        seed = 1.0
+        vals = np.empty(N_RANDOM, dtype=np.float64)
+        for i in range(N_RANDOM):
+            temp = a * seed
+            seed = temp - m * np.floor(temp / m)
+            vals[i] = seed / m
+        _rand_cache = vals
+    return _rand_cache
+
+
+def _tile_randoms(row: int, dither0: int, npix: int) -> np.ndarray:
+    """The dither uniforms for 0-based tile ``row`` with seed ZDITHER0."""
+    rv = _dither_randoms()
+    iseed = int((dither0 - 1 + row) % N_RANDOM)
+    irand = int(rv[iseed] * 500.0)
+    out = np.empty(npix, dtype=np.float64)
+    for i in range(npix):
+        out[i] = rv[irand]
+        irand += 1
+        if irand == N_RANDOM:
+            iseed = (iseed + 1) % N_RANDOM
+            irand = int(rv[iseed] * 500.0)
+    return out
+
+
+def _nint(x: np.ndarray) -> np.ndarray:
+    """cfitsio NINT: round half away from zero (NaN -> 0; callers mask)."""
+    x = np.nan_to_num(x, nan=0.0)
+    return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(np.int64)
 
 
 def _tile_grid(hdr: Header):
@@ -26,32 +85,30 @@ def _tile_grid(hdr: Header):
     return dims, tiles
 
 
+_TFORM_SIZE = {"L": 1, "X": 1, "B": 1, "I": 2, "J": 4, "K": 8,
+               "A": 1, "E": 4, "D": 8, "C": 8, "M": 16}
+
+
 def _column_descr(hdr: Header):
-    """Locate the COMPRESSED_DATA column layout in the binary table."""
+    """Binary-table column layout: ``{TTYPE: (byte offset, kind)}``.
+
+    ``kind`` is ``"PB"``/``"QB"`` for variable-length byte arrays, otherwise
+    the TFORM type letter (fixed-size repeat)."""
     tfields = int(hdr["TFIELDS"])
     offset = 0
     cols = {}
     for i in range(1, tfields + 1):
-        tform = str(hdr[f"TFORM{i}"]).strip()
+        tform = str(hdr[f"TFORM{i}"]).strip().upper()
         ttype = str(hdr.get(f"TTYPE{i}", f"col{i}")).strip()
-        if tform.startswith("1PB") or tform.startswith("PB"):
-            size = 8  # 32-bit descriptor pair
-            kind = "PB"
-        elif tform.startswith("1QB") or tform.startswith("QB"):
-            size = 16  # 64-bit descriptor pair
-            kind = "QB"
-        elif tform.endswith("D"):
-            n = int(tform[:-1] or 1)
-            size = 8 * n
-            kind = "D"
-        elif tform.endswith("E"):
-            n = int(tform[:-1] or 1)
-            size = 4 * n
-            kind = "E"
-        elif tform.endswith("J"):
-            n = int(tform[:-1] or 1)
-            size = 4 * n
-            kind = "J"
+        base = tform.lstrip("0123456789")
+        rep = tform[: len(tform) - len(base)]
+        rep = int(rep) if rep else 1
+        if base.startswith("PB"):
+            size, kind = 8 * rep, "PB"  # 32-bit (count, offset) pair
+        elif base.startswith("QB"):
+            size, kind = 16 * rep, "QB"  # 64-bit pair
+        elif base and base[0] in _TFORM_SIZE:
+            size, kind = _TFORM_SIZE[base[0]] * rep, base[0]
         else:
             raise NotImplementedError(f"TFORM {tform!r} in compressed HDU")
         cols[ttype.upper()] = (offset, kind)
@@ -59,26 +116,103 @@ def _column_descr(hdr: Header):
     return cols, offset
 
 
+def _read_heap_bytes(rows, heap, row, col):
+    off, kind = col
+    if kind == "PB":
+        n, hoff = np.frombuffer(rows[row, off: off + 8].tobytes(), dtype=">i4")
+    elif kind == "QB":
+        n, hoff = np.frombuffer(rows[row, off: off + 16].tobytes(), dtype=">i8")
+    else:
+        raise ValueError("not a variable-length byte column")
+    return heap[int(hoff): int(hoff) + int(n)]
+
+
+def _read_scalar(rows, row, col, dtype_letter_map={"D": ">f8", "E": ">f4",
+                                                   "J": ">i4", "K": ">i8",
+                                                   "I": ">i2"}):
+    off, kind = col
+    dt = np.dtype(dtype_letter_map[kind])
+    return np.frombuffer(rows[row, off: off + dt.itemsize].tobytes(), dtype=dt)[0]
+
+
+def _gzip2_shuffle(raw_be: bytes, itemsize: int) -> bytes:
+    """GZIP_2 byte-plane shuffle: all MSBs first, then next byte, ..."""
+    a = np.frombuffer(raw_be, dtype=np.uint8).reshape(-1, itemsize)
+    return a.T.tobytes()
+
+
+def _gzip2_unshuffle(raw: bytes, itemsize: int) -> bytes:
+    a = np.frombuffer(raw, dtype=np.uint8).reshape(itemsize, -1)
+    return a.T.tobytes()
+
+
+def _gzip_compress(data: bytes) -> bytes:
+    co = zlib.compressobj(6, zlib.DEFLATED, 31)  # gzip wrapper, mtime-free
+    return co.compress(data) + co.flush()
+
+
+def _gzip_decompress(data: bytes) -> bytes:
+    return zlib.decompressobj(47).decompress(bytes(data))  # auto gzip/zlib
+
+
+_ZBITPIX_BE = {8: ">u1", 16: ">i2", 32: ">i4", 64: ">i8", -32: ">f4", -64: ">f8"}
+
+
+def _decode_tile_ints(comp, npix, zcmptype, blocksize, bytepix, zbitpix,
+                      quantized):
+    """Decode one COMPRESSED_DATA payload into integer (or raw float) pixels."""
+    if zcmptype == "RICE_1":
+        return native.rice_decode(np.frombuffer(bytes(comp), dtype=np.uint8),
+                                  npix, blocksize, bytepix).astype(np.int64)
+    if zcmptype in ("GZIP_1", "GZIP_2"):
+        raw = _gzip_decompress(comp)
+        itemsize = len(raw) // npix
+        if zcmptype == "GZIP_2":
+            raw = _gzip2_unshuffle(raw, itemsize)
+        # Quantized-float tiles gzip the quantized int32 codes; lossless
+        # float tiles gzip the IEEE bytes themselves.
+        if zbitpix < 0 and not quantized:
+            dt = _ZBITPIX_BE[zbitpix]
+            return np.frombuffer(raw, dtype=dt).astype(
+                np.float32 if zbitpix == -32 else np.float64)
+        dt = {1: ">u1", 2: ">i2", 4: ">i4", 8: ">i8"}[itemsize]
+        return np.frombuffer(raw, dtype=dt).astype(np.int64)
+    if zcmptype in ("NOCOMPRESS", "NONE", ""):
+        dt = np.dtype(_ZBITPIX_BE[zbitpix])
+        return np.frombuffer(bytes(comp), dtype=dt).astype(
+            np.int64 if zbitpix > 0 else np.float64)
+    raise NotImplementedError(f"compression {zcmptype!r} not supported")
+
+
 def decompress_hdu(hdr: Header, raw: bytes) -> np.ndarray:
-    """Decode a RICE_1 tile-compressed binary-table payload to an image."""
-    zcmptype = str(hdr.get("ZCMPTYPE", "")).strip()
-    if zcmptype != "RICE_1":
-        raise NotImplementedError(f"compression {zcmptype!r} not supported (RICE_1 only)")
+    """Decode a tile-compressed binary-table payload to an image.
+
+    Covers everything astropy's CompImageHDU reader handles for 2-D images:
+    RICE_1 / GZIP_1 / GZIP_2 / NOCOMPRESS payloads, per-tile ZSCALE/ZZERO
+    quantization columns with all three ZQUANTIZ modes, ZBLANK (header card or
+    column), and the GZIP_COMPRESSED_DATA / UNCOMPRESSED_DATA fallback
+    columns for unquantizable tiles.
+    """
+    zcmptype = str(hdr.get("ZCMPTYPE", "")).strip().upper()
     dims, tiles = _tile_grid(hdr)
+    if len(dims) == 3 and dims[2] == 1:
+        dims, tiles = dims[:2], tiles[:2]
     if len(dims) != 2:
         raise NotImplementedError("only 2-D compressed images supported")
     width, height = dims[0], dims[1]
     tw, th = tiles[0], tiles[1]
 
     zbitpix = int(hdr["ZBITPIX"])
-    blocksize = 32
+    blocksize, bytepix = 32, 4
     for i in range(1, 10):
-        if str(hdr.get(f"ZNAME{i}", "")).strip() == "BLOCKSIZE":
+        zname = str(hdr.get(f"ZNAME{i}", "")).strip().upper()
+        if zname == "BLOCKSIZE":
             blocksize = int(hdr[f"ZVAL{i}"])
-    bytepix = {8: 1, 16: 2, 32: 4, -32: 4, -64: 8}[zbitpix]
-    for i in range(1, 10):
-        if str(hdr.get(f"ZNAME{i}", "")).strip() == "BYTEPIX":
+        elif zname == "BYTEPIX":
             bytepix = int(hdr[f"ZVAL{i}"])
+
+    zquantiz = str(hdr.get("ZQUANTIZ", "")).strip().upper()
+    dither0 = int(hdr.get("ZDITHER0", 1))
 
     naxis1 = int(hdr["NAXIS1"])
     nrows = int(hdr["NAXIS2"])
@@ -86,7 +220,6 @@ def decompress_hdu(hdr: Header, raw: bytes) -> np.ndarray:
     cols, rowsize = _column_descr(hdr)
     if rowsize != naxis1:
         raise ValueError("binary table row size mismatch")
-    off, kind = cols["COMPRESSED_DATA"]
 
     rows = np.frombuffer(raw[: naxis1 * nrows], dtype=np.uint8).reshape(nrows, naxis1)
     heap = raw[theap:]
@@ -96,73 +229,270 @@ def decompress_hdu(hdr: Header, raw: bytes) -> np.ndarray:
     if nrows != ntx * nty:
         raise ValueError("tile count mismatch")
 
-    out = np.empty((height, width), dtype=np.int64)
+    hdr_zscale = hdr.get("ZSCALE", hdr.get("BSCALE", 1))
+    hdr_zzero = hdr.get("ZZERO", hdr.get("BZERO", 0))
+    hdr_zblank = hdr.get("ZBLANK", hdr.get("BLANK"))
+    # float payloads carrying integer codes => quantized (per-tile columns,
+    # or legacy whole-image ZSCALE/ZZERO cards, or a RICE payload which is
+    # integer by construction)
+    quantized = zbitpix < 0 and (
+        "ZSCALE" in cols or "ZZERO" in cols
+        or "ZSCALE" in hdr or "ZZERO" in hdr or zcmptype == "RICE_1"
+    )
+
+    if zbitpix == -32:
+        out = np.empty((height, width), dtype=np.float32)
+    elif zbitpix == -64 or quantized or hdr_zscale != 1 or hdr_zzero != 0 \
+            or hdr_zblank is not None:
+        out = np.empty((height, width), dtype=np.float64)
+    else:
+        out = np.empty((height, width), dtype=np.int64)
+
+    c_comp = cols.get("COMPRESSED_DATA")
+    c_gzfb = cols.get("GZIP_COMPRESSED_DATA")
+    c_unc = cols.get("UNCOMPRESSED_DATA")
+
     for r in range(nrows):
-        if kind == "PB":
-            n, hoff = np.frombuffer(rows[r, off : off + 8].tobytes(), dtype=">i4")
-        else:
-            n, hoff = np.frombuffer(rows[r, off : off + 16].tobytes(), dtype=">i8")
-        comp = np.frombuffer(heap[hoff : hoff + n], dtype=np.uint8)
         ty, tx = divmod(r, ntx)
         cur_w = min(tw, width - tx * tw)
         cur_h = min(th, height - ty * th)
         npix = cur_w * cur_h
-        tile = native.rice_decode(comp, npix, blocksize, bytepix)
-        out[ty * th : ty * th + cur_h, tx * tw : tx * tw + cur_w] = tile.reshape(cur_h, cur_w)
 
-    bscale = hdr.get("ZSCALE", hdr.get("BSCALE", 1))
-    bzero = hdr.get("ZZERO", hdr.get("BZERO", 0))
-    blank = hdr.get("ZBLANK", hdr.get("BLANK"))
-    if zbitpix < 0 or bscale != 1 or bzero != 0 or blank is not None:
-        outf = out.astype(np.float64) * bscale + bzero
-        if blank is not None:
-            outf[out == blank] = np.nan
-        return outf
-    return out.astype({8: np.uint8, 16: np.int16, 32: np.int32}[zbitpix])
+        comp = _read_heap_bytes(rows, heap, r, c_comp) if c_comp else b""
+        if len(comp):
+            vals = _decode_tile_ints(comp, npix, zcmptype, blocksize,
+                                     bytepix, zbitpix, quantized)
+        elif c_gzfb is not None and len(pay := _read_heap_bytes(rows, heap, r, c_gzfb)):
+            # lossless fallback tile: gzip of the IEEE bytes, no quantization
+            rawt = _gzip_decompress(pay)
+            dt = np.dtype(_ZBITPIX_BE[zbitpix])
+            if len(rawt) != npix * dt.itemsize:  # GZIP_2-style shuffled variant
+                raise ValueError("fallback tile size mismatch")
+            tile = np.frombuffer(rawt, dtype=dt).astype(out.dtype)
+            out[ty * th: ty * th + cur_h, tx * tw: tx * tw + cur_w] = \
+                tile.reshape(cur_h, cur_w)
+            continue
+        elif c_unc is not None and len(pay := _read_heap_bytes(rows, heap, r, c_unc)):
+            dt = np.dtype(_ZBITPIX_BE[zbitpix])
+            tile = np.frombuffer(bytes(pay), dtype=dt).astype(out.dtype)
+            out[ty * th: ty * th + cur_h, tx * tw: tx * tw + cur_w] = \
+                tile.reshape(cur_h, cur_w)
+            continue
+        else:
+            raise ValueError(f"tile {r}: no compressed payload")
+
+        if quantized:
+            zscale = float(_read_scalar(rows, r, cols["ZSCALE"])) \
+                if "ZSCALE" in cols else float(hdr_zscale)
+            zzero = float(_read_scalar(rows, r, cols["ZZERO"])) \
+                if "ZZERO" in cols else float(hdr_zzero)
+            zblank = int(_read_scalar(rows, r, cols["ZBLANK"])) \
+                if "ZBLANK" in cols else (int(hdr_zblank)
+                                          if hdr_zblank is not None else NULL_VALUE)
+            ints = vals.astype(np.int64)
+            if zquantiz in ("SUBTRACTIVE_DITHER_1", "SUBTRACTIVE_DITHER_2"):
+                rand = _tile_randoms(r, dither0, npix)
+                ftile = (ints.astype(np.float64) - rand + 0.5) * zscale + zzero
+            else:  # NO_DITHER / legacy linear scaling
+                ftile = ints.astype(np.float64) * zscale + zzero
+            ftile = np.where(ints == zblank, np.nan, ftile)
+            if zquantiz == "SUBTRACTIVE_DITHER_2":
+                ftile = np.where(ints == ZERO_VALUE, 0.0, ftile)
+            out[ty * th: ty * th + cur_h, tx * tw: tx * tw + cur_w] = \
+                ftile.reshape(cur_h, cur_w).astype(out.dtype)
+        elif zbitpix < 0:
+            out[ty * th: ty * th + cur_h, tx * tw: tx * tw + cur_w] = \
+                vals.reshape(cur_h, cur_w).astype(out.dtype)
+        else:
+            tile = vals.astype(np.float64) if out.dtype.kind == "f" else vals
+            if out.dtype.kind == "f":
+                tile = tile * float(hdr_zscale) + float(hdr_zzero)
+                if hdr_zblank is not None:
+                    tile[vals == int(hdr_zblank)] = np.nan
+            out[ty * th: ty * th + cur_h, tx * tw: tx * tw + cur_w] = \
+                tile.reshape(cur_h, cur_w)
+
+    if out.dtype.kind == "f":
+        return out
+    return out.astype({8: np.uint8, 16: np.int16, 32: np.int32, 64: np.int64}[zbitpix])
 
 
-def compress_hdu_bytes(hdu) -> bytes:
-    """Serialize a CompImageHDU as a RICE_1 tile-compressed BINTABLE."""
+# ---------------------------------------------------------------------------
+# writing
+# ---------------------------------------------------------------------------
+
+def _encode_tile_ints(arr_i4: np.ndarray, zcmptype: str, blocksize: int,
+                      bytepix: int) -> bytes:
+    if zcmptype == "RICE_1":
+        return native.rice_encode(arr_i4.ravel(), blocksize, bytepix).tobytes()
+    if zcmptype == "GZIP_1":
+        return _gzip_compress(arr_i4.astype(">i4").tobytes())
+    if zcmptype == "GZIP_2":
+        return _gzip_compress(_gzip2_shuffle(arr_i4.astype(">i4").tobytes(), 4))
+    raise NotImplementedError(f"compression {zcmptype!r} for writing")
+
+
+def _quantize_tile(tile: np.ndarray, row: int, quantize_level: float,
+                   zquantiz: str, dither0: int):
+    """Per-tile linear quantization following cfitsio ``fits_quantize_float``.
+
+    Returns ``(ints, zscale, zzero)`` or ``None`` when the tile cannot be
+    represented in the 32-bit integer range at the requested level (callers
+    fall back to the lossless GZIP_COMPRESSED_DATA column, as cfitsio does).
+    """
+    flat = tile.ravel().astype(np.float64)
+    finite = np.isfinite(flat)
+    if not finite.any():
+        return np.full(flat.shape, NULL_VALUE, dtype=np.int64), 1.0, 0.0
+    vals = flat[finite]
+    if quantize_level < 0:
+        zscale = -float(quantize_level)
+    else:
+        # cfitsio noise3: sigma of the background from median absolute
+        # third-order differences (FnNoise3 in quantize.c), over the tile.
+        if vals.size >= 5:
+            d = np.abs(2.0 * vals[2:-2] - vals[:-4] - vals[4:])
+            noise3 = 0.6052697 * np.median(d)
+        else:
+            noise3 = 0.0
+        if noise3 == 0.0:
+            return None  # flat/noiseless tile: don't quantize (lossless path)
+        zscale = noise3 / float(quantize_level)
+
+    vmin, vmax = vals.min(), vals.max()
+    if zquantiz == "SUBTRACTIVE_DITHER_2":
+        nonzero = vals[vals != 0.0]
+        if nonzero.size == 0:
+            ints = np.full(flat.shape, ZERO_VALUE, dtype=np.int64)
+            ints[~finite] = NULL_VALUE
+            return ints, 1.0, 0.0
+        vmin, vmax = nonzero.min(), nonzero.max()
+
+    # anchor the integer range at the bottom of int32 like cfitsio
+    # (N_RESERVED_VALUES = 10 codes below it kept for NULL/ZERO markers)
+    if (vmax - vmin) / zscale > 4294967283.0:
+        return None
+    zzero = vmin - zscale * (NULL_VALUE + 10)  # q(vmin) = NULL_VALUE + 10
+
+    q = (flat - zzero) / zscale
+    if zquantiz in ("SUBTRACTIVE_DITHER_1", "SUBTRACTIVE_DITHER_2"):
+        rand = _tile_randoms(row, dither0, flat.size)
+        q = q + rand - 0.5
+    ints = _nint(q)
+    if zquantiz == "SUBTRACTIVE_DITHER_2":
+        ints = np.where(flat == 0.0, ZERO_VALUE, ints)
+    ints = np.where(finite, ints, NULL_VALUE)
+    used = ints[finite & (ints != ZERO_VALUE)]
+    if used.size and (used.min() < -2147483645 or used.max() > 2147483646):
+        return None
+    return ints, float(zscale), float(zzero)
+
+
+def compress_hdu_bytes(hdu, compression_type: str | None = None,
+                       quantize_level: float = 16.0,
+                       quantize_method: str = "NO_DITHER",
+                       dither_seed: int = 1) -> bytes:
+    """Serialize a CompImageHDU as a tile-compressed BINTABLE.
+
+    Integer data is stored losslessly (RICE_1 by default).  Floating-point
+    data is quantized per tile with ZSCALE/ZZERO columns exactly as astropy
+    writes the reference's corrected CompImageHDU windows
+    (``/root/reference/euispice_coreg/utils/Util.py:143-150``); tiles that
+    cannot be quantized (flat/noiseless) fall back to the lossless
+    GZIP_COMPRESSED_DATA column.  ``quantize_method`` is one of
+    ``NO_DITHER`` / ``SUBTRACTIVE_DITHER_1`` / ``SUBTRACTIVE_DITHER_2``.
+    """
     from . import fits as fitsio
 
     data = np.asarray(hdu.data)
     if data.ndim != 2:
         raise NotImplementedError("only 2-D compressed images supported")
-    if data.dtype.kind == "f":
-        raise NotImplementedError(
-            "lossless RICE applies to integer images; quantized float "
-            "compression is not implemented — write an uncompressed HDU"
-        )
-    arr = data.astype(np.int32)
-    height, width = arr.shape
-    th = getattr(hdu, "tile_shape", None)
-    tile_h = th[0] if th else 1
-    tile_w = th[1] if th else width
+    zcmptype = (compression_type or getattr(hdu, "compression_type", None)
+                or "RICE_1").upper()
+    is_float = data.dtype.kind == "f"
+    zbitpix = (-32 if data.dtype.itemsize <= 4 else -64) if is_float else 32
+
+    height, width = data.shape
+    th_opt = getattr(hdu, "tile_shape", None)
+    tile_h = th_opt[0] if th_opt else 1
+    tile_w = th_opt[1] if th_opt else width
     blocksize, bytepix = 32, 4
+    zquantiz = quantize_method.upper()
+    if zquantiz not in ("NO_DITHER", "SUBTRACTIVE_DITHER_1",
+                        "SUBTRACTIVE_DITHER_2"):
+        raise ValueError(f"quantize_method {quantize_method!r}")
 
     ntx = -(-width // tile_w)
     nty = -(-height // tile_h)
-    descs = []
+    comp_descs, gzfb_descs = [], []
+    zscales, zzeros = [], []
     heap = bytearray()
+    any_fallback = False
     for r in range(ntx * nty):
         ty, tx = divmod(r, ntx)
-        tile = arr[ty * tile_h : min((ty + 1) * tile_h, height),
-                   tx * tile_w : min((tx + 1) * tile_w, width)]
-        comp = native.rice_encode(tile.ravel(), blocksize, bytepix)
-        descs.append((len(comp), len(heap)))
-        heap.extend(comp.tobytes())
+        tile = data[ty * tile_h: min((ty + 1) * tile_h, height),
+                    tx * tile_w: min((tx + 1) * tile_w, width)]
+        if is_float:
+            qres = _quantize_tile(tile, r, quantize_level, zquantiz,
+                                  dither_seed)
+            if qres is None:
+                be = tile.astype(">f4" if zbitpix == -32 else ">f8").tobytes()
+                payload = _gzip_compress(be)
+                gzfb_descs.append((len(payload), len(heap)))
+                comp_descs.append((0, 0))
+                zscales.append(1.0)
+                zzeros.append(0.0)
+                any_fallback = True
+                heap.extend(payload)
+                continue
+            ints, zs, zz = qres
+            zscales.append(zs)
+            zzeros.append(zz)
+            arr_i4 = ints.astype(np.int32)
+        else:
+            arr_i4 = tile.astype(np.int32).ravel()
+        payload = _encode_tile_ints(arr_i4, zcmptype, blocksize, bytepix)
+        comp_descs.append((len(payload), len(heap)))
+        gzfb_descs.append((0, 0))
+        heap.extend(payload)
 
-    naxis1 = 8  # one 1PB column
-    nrows = len(descs)
+    # row layout: COMPRESSED_DATA 1PB [, GZIP_COMPRESSED_DATA 1PB]
+    #             [, ZSCALE 1D, ZZERO 1D]  (quantized float only)
+    fields = [("COMPRESSED_DATA", "1PB")]
+    if is_float and any_fallback:
+        fields.append(("GZIP_COMPRESSED_DATA", "1PB"))
+    if is_float:
+        fields += [("ZSCALE", "1D"), ("ZZERO", "1D")]
+    naxis1 = 8 * len(fields)  # 1PB descriptor pairs and 1D doubles: 8 bytes each
+    nrows = ntx * nty
     rows = np.zeros((nrows, naxis1), dtype=np.uint8)
-    for r, (n, off) in enumerate(descs):
-        rows[r, 0:8] = np.frombuffer(np.array([n, off], dtype=">i4").tobytes(), dtype=np.uint8)
+    for r in range(nrows):
+        off = 0
+        for name, tform in fields:
+            if name == "COMPRESSED_DATA":
+                n, ho = comp_descs[r]
+                rows[r, off: off + 8] = np.frombuffer(
+                    np.array([n, ho], dtype=">i4").tobytes(), dtype=np.uint8)
+                off += 8
+            elif name == "GZIP_COMPRESSED_DATA":
+                n, ho = gzfb_descs[r]
+                rows[r, off: off + 8] = np.frombuffer(
+                    np.array([n, ho], dtype=">i4").tobytes(), dtype=np.uint8)
+                off += 8
+            elif name == "ZSCALE":
+                rows[r, off: off + 8] = np.frombuffer(
+                    np.array([zscales[r]], dtype=">f8").tobytes(), dtype=np.uint8)
+                off += 8
+            elif name == "ZZERO":
+                rows[r, off: off + 8] = np.frombuffer(
+                    np.array([zzeros[r]], dtype=">f8").tobytes(), dtype=np.uint8)
+                off += 8
 
     hdr = hdu.header
     cards_src = Header({
         "ZIMAGE": True,
-        "ZCMPTYPE": "RICE_1",
-        "ZBITPIX": 32,
+        "ZCMPTYPE": zcmptype,
+        "ZBITPIX": zbitpix,
         "ZNAXIS": 2,
         "ZNAXIS1": width,
         "ZNAXIS2": height,
@@ -172,10 +502,17 @@ def compress_hdu_bytes(hdu) -> bytes:
         "ZVAL1": blocksize,
         "ZNAME2": "BYTEPIX",
         "ZVAL2": bytepix,
-        "TFIELDS": 1,
-        "TTYPE1": "COMPRESSED_DATA",
-        "TFORM1": "1PB",
+        "TFIELDS": len(fields),
     })
+    for i, (name, tform) in enumerate(fields, start=1):
+        cards_src[f"TTYPE{i}"] = name
+        cards_src[f"TFORM{i}"] = tform
+    if is_float:
+        cards_src["ZQUANTIZ"] = zquantiz
+        if zquantiz != "NO_DITHER":
+            cards_src["ZDITHER0"] = int(dither_seed)
+        if np.isnan(np.asarray(data, dtype=np.float64)).any():
+            cards_src["ZBLANK"] = NULL_VALUE
     cards = [
         fitsio._make_card("XTENSION", "BINTABLE", "binary table extension"),
         fitsio._make_card("BITPIX", 8),
@@ -188,7 +525,13 @@ def compress_hdu_bytes(hdu) -> bytes:
     for k, v in cards_src.items():
         cards.append(fitsio._make_card(k, v))
     skip = {"XTENSION", "BITPIX", "NAXIS", "NAXIS1", "NAXIS2", "PCOUNT",
-            "GCOUNT", "SIMPLE", "EXTEND", "BSCALE", "BZERO"} | set(cards_src.keys())
+            "GCOUNT", "SIMPLE", "EXTEND", "BSCALE", "BZERO", "ZQUANTIZ",
+            "ZDITHER0", "ZBLANK", "THEAP"} | set(cards_src.keys())
+    skip |= {f"TTYPE{i}" for i in range(1, 10)} | {f"TFORM{i}" for i in range(1, 10)}
+    skip |= {f"ZNAME{i}" for i in range(1, 10)} | {f"ZVAL{i}" for i in range(1, 10)}
+    skip |= {f"ZNAXIS{i}" for i in range(1, 4)} | {f"ZTILE{i}" for i in range(1, 4)}
+    skip |= {"ZIMAGE", "ZCMPTYPE", "ZBITPIX", "ZNAXIS", "TFIELDS", "ZSCALE",
+             "ZZERO"}
     for k, v in hdr.items():
         if k in skip:
             continue

@@ -178,7 +178,7 @@ def plot_fov(data, path_save=None, show=False, fig=None, ax=None,
 
 def simple_plot(hdr_main, data_main, path_save=None, show=False, ax=None,
                 fig=None, norm=None, show_xlabel=True, show_ylabel=True,
-                plot_colorbar=True):
+                plot_colorbar=True, cmap="plasma"):
     """Image on a regular world grid (PlotFits.simple_plot, Util.py:744-786)."""
     from matplotlib import pyplot as plt
 
@@ -199,7 +199,8 @@ def simple_plot(hdr_main, data_main, path_save=None, show=False, ax=None,
         units.convert(latg[0, 0], "deg", "arcsec") - 0.5 * dlat * 3600,
         units.convert(latg[-1, -1], "deg", "arcsec") + 0.5 * dlat * 3600,
     ]
-    im = ax.imshow(img, origin="lower", interpolation="none", norm=norm, extent=ext)
+    im = ax.imshow(img, origin="lower", interpolation="none", norm=norm,
+                   extent=ext, cmap=cmap)
     if show_xlabel:
         ax.set_xlabel("Solar-X [arcsec]")
     if show_ylabel:
@@ -458,6 +459,53 @@ def plot_fov_rectangle(data, slc=None, path_save=None, show=False,
     return fig, ax
 
 
+def simple_plot_sunpy(m_main, path_save=None, show=False, ax=None, fig=None,
+                      norm=None, show_xlabel=True, show_ylabel=True,
+                      plot_colorbar=True, cmap="plasma", rsun=None):
+    """Native equivalent of the reference's sunpy-Map figure helper
+    (``/root/reference/euispice_coreg/plot/plot.py:228-257``).
+
+    Accepts any "map-like" input instead of a ``sunpy.map.Map``: an object
+    with ``.data`` and ``.meta`` (sunpy duck type), an HDU with ``.data`` and
+    ``.header``, or a ``(data, header)`` pair.  The image is rendered on a
+    regular world grid in arcsec via :func:`simple_plot` (the reference plots
+    through the Map's WCS projection; the world-grid rendering is the same
+    helioprojective frame).  ``rsun`` is accepted for signature parity but
+    unused (it only sets the assumed limb radius on the sunpy Map)."""
+    from matplotlib import pyplot as plt
+
+    from ..core.header import Header
+
+    if isinstance(m_main, (tuple, list)) and len(m_main) == 2:
+        data, meta = m_main
+    elif hasattr(m_main, "meta"):
+        data, meta = m_main.data, m_main.meta
+    elif hasattr(m_main, "header"):
+        data, meta = m_main.data, m_main.header
+    else:
+        raise TypeError(
+            "m_main must be a (data, header) pair or have .data/.meta")
+    hdr = meta if isinstance(meta, Header) else Header(dict(meta))
+    data = np.asarray(data, dtype=np.float64)
+
+    if norm is None:
+        from ..utils.util_compat import PlotFits
+
+        norm = PlotFits.get_range(data, stre=None)
+    if fig is None:
+        fig = plt.figure()
+    if ax is None:
+        ax = fig.add_subplot()
+    im = simple_plot(hdr, data, fig=fig, ax=ax, norm=norm, cmap=cmap,
+                     show_xlabel=show_xlabel, show_ylabel=show_ylabel,
+                     plot_colorbar=plot_colorbar, show=False)
+    if show:
+        fig.show()
+    if path_save is not None:
+        fig.savefig(path_save)
+    return im
+
+
 # re-export for drop-in parity with the reference's plot namespace
 # (/root/reference/euispice_coreg/plot/plot.py:23-51 defines its own
 # interpol2d copy; one canonical implementation lives in core/resample)
@@ -468,19 +516,14 @@ class PlotFunctions:
     """Namespace-class parity surface for the reference's ``PlotFunctions``
     (``/root/reference/euispice_coreg/plot/plot.py:54``, staticmethod-only).
     The implementations are this module's functions; ``simple_plot_sunpy``
-    raises (no sunpy dependency, see README compatibility notes)."""
+    takes map-like input (no sunpy dependency)."""
 
     plot_correlation = staticmethod(plot_correlation)
     plot_fov = staticmethod(plot_fov)
     plot_fov_rectangle = staticmethod(plot_fov_rectangle)
     simple_plot = staticmethod(simple_plot)
+    simple_plot_sunpy = staticmethod(simple_plot_sunpy)
     contour_plot = staticmethod(contour_plot)
     compare_plot = staticmethod(compare_plot)
     successive_plot = staticmethod(successive_plot)
     plot_co_alignment = staticmethod(plot_co_alignment)
-
-    @staticmethod
-    def simple_plot_sunpy(*args, **kwargs):
-        raise NotImplementedError(
-            "sunpy-backed plotting is not provided (no sunpy dependency); "
-            "use simple_plot")

@@ -133,3 +133,137 @@ def test_bytesio_and_bytes_input(tmp_path):
     fits.write(path, [fits.PrimaryHDU(data=d)])
     blob = open(path, "rb").read()
     np.testing.assert_array_equal(fits.open(blob)[0].data, d)
+
+
+# ---------------------------------------------------------------------------
+# extended tile-compression coverage (GZIP codecs, quantized floats, dither,
+# whole-file gzip) — what astropy/cfitsio provide underneath the reference
+# ---------------------------------------------------------------------------
+
+def _smooth_float_image(ny=37, nx=53, seed=3):
+    rng = np.random.default_rng(seed)
+    y, x = np.mgrid[0:ny, 0:nx]
+    img = (100.0 + 10.0 * np.sin(x / 7.0) * np.cos(y / 5.0)
+           + rng.normal(0, 0.5, size=(ny, nx)))
+    return img.astype(np.float32)
+
+
+def test_gzip1_gzip2_integer_roundtrip(tmp_path):
+    data = (np.arange(35 * 41).reshape(35, 41) % 251).astype(np.int32)
+    for ctype in ("GZIP_1", "GZIP_2"):
+        path = tmp_path / f"g_{ctype}.fits"
+        fits.write(path, [fits.PrimaryHDU(),
+                          fits.CompImageHDU(data=data, name="W",
+                                            compression_type=ctype,
+                                            tile_shape=(8, 16))])
+        got = fits.open(path)[1]
+        assert isinstance(got, fits.CompImageHDU)
+        np.testing.assert_array_equal(got.data, data)
+
+
+@pytest.mark.parametrize("method", ["NO_DITHER", "SUBTRACTIVE_DITHER_1",
+                                    "SUBTRACTIVE_DITHER_2"])
+def test_quantized_float_rice_roundtrip(tmp_path, method):
+    data = _smooth_float_image()
+    data[5, 7] = np.nan
+    data[20, 30] = np.nan
+    if method == "SUBTRACTIVE_DITHER_2":
+        data[3, 3] = 0.0  # exact zeros survive dither-2 bit-exactly
+    path = tmp_path / "q.fits"
+    qlevel = 32.0
+    fits.write(path, [fits.PrimaryHDU(),
+                      fits.CompImageHDU(data=data, name="W",
+                                        quantize_level=qlevel,
+                                        quantize_method=method,
+                                        dither_seed=7,
+                                        tile_shape=(4, 53))])
+    got = fits.open(path)[1].data
+    assert got.dtype == np.float32
+    assert np.isnan(got[5, 7]) and np.isnan(got[20, 30])
+    fin = np.isfinite(data)
+    # quantization error bounded by one step = noise3/qlevel (~0.5/32)
+    err = np.abs(got[fin] - data[fin])
+    assert err.max() < 0.15
+    if method == "SUBTRACTIVE_DITHER_2":
+        assert got[3, 3] == 0.0
+
+
+def test_quantized_float_gzip_tiles(tmp_path):
+    data = _smooth_float_image(seed=11)
+    path = tmp_path / "qg.fits"
+    fits.write(path, [fits.PrimaryHDU(),
+                      fits.CompImageHDU(data=data, name="W",
+                                        compression_type="GZIP_2",
+                                        quantize_level=64.0,
+                                        quantize_method="SUBTRACTIVE_DITHER_1",
+                                        tile_shape=(7, 53))])
+    got = fits.open(path)[1].data
+    assert np.abs(got - data).max() < 0.1
+
+
+def test_flat_tile_lossless_fallback(tmp_path):
+    # a constant tile has zero background noise -> cannot be quantized ->
+    # must round-trip bit-exactly through the GZIP_COMPRESSED_DATA column
+    data = _smooth_float_image(ny=24, nx=32, seed=5)
+    data[8:16, :] = 42.125
+    path = tmp_path / "fb.fits"
+    fits.write(path, [fits.PrimaryHDU(),
+                      fits.CompImageHDU(data=data, name="W",
+                                        tile_shape=(8, 32))])
+    got = fits.open(path)[1].data
+    np.testing.assert_array_equal(got[8:16, :], np.float32(42.125))
+    assert np.abs(got - data).max() < 0.1
+
+
+def test_dither_sequence_matches_convention():
+    # first values of the Park-Miller sequence mandated by the tiled-image
+    # convention (seed 1, a=16807, m=2^31-1): 16807/m, 282475249/m, ...
+    from euispice_coreg_tpu.io import tile_compression as tc
+
+    rv = tc._dither_randoms()
+    m = 2147483647.0
+    np.testing.assert_allclose(rv[0], 16807.0 / m, rtol=1e-12)
+    np.testing.assert_allclose(rv[1], 282475249.0 / m, rtol=1e-12)
+    np.testing.assert_allclose(rv[2], 1622650073.0 / m, rtol=1e-12)
+    assert rv.shape == (10000,)
+    assert (rv > 0).all() and (rv < 1).all()
+
+
+def test_whole_file_gzip(tmp_path):
+    import gzip
+
+    data = np.arange(64, dtype=np.int16).reshape(8, 8)
+    plain = tmp_path / "p.fits"
+    fits.write(plain, [fits.PrimaryHDU(data=data)])
+    gz = tmp_path / "p.fits.gz"
+    gz.write_bytes(gzip.compress(plain.read_bytes()))
+    got = fits.open(gz)[0].data
+    np.testing.assert_array_equal(got, data)
+
+
+def test_corrected_fits_preserves_compression(tmp_path):
+    # reference Util.py:143-150: corrected windows are re-wrapped by input
+    # class — CompImageHDU stays compressed, data cast to <f4
+    from euispice_coreg_tpu.hdrshift import AlignmentResults
+
+    data = (_smooth_float_image(ny=16, nx=16, seed=9) * 10).astype(np.int32)
+    hdr = Header({"CRVAL1": 10.0, "CRVAL2": 5.0, "CRPIX1": 8.0, "CRPIX2": 8.0,
+                  "CDELT1": 1.0, "CDELT2": 1.0, "CUNIT1": "arcsec",
+                  "CUNIT2": "arcsec", "CROTA": 0.0, "NAXIS1": 16, "NAXIS2": 16})
+    src = tmp_path / "in.fits"
+    fits.write(src, [fits.PrimaryHDU(),
+                     fits.CompImageHDU(data=data, header=hdr, name="W")])
+
+    corr = np.zeros((3, 3, 1, 1, 1, 1))
+    corr[1, 1] = 1.0
+    res = AlignmentResults(corr, [-1, 0, 1], [-1, 0, 1], None, None, None,
+                           unit_lag="arcsec", image_to_align_path=str(src),
+                           image_to_align_window=1)
+    out = tmp_path / "out.fits"
+    res.write_corrected_fits(window_list_to_apply_shift=["W"],
+                             path_to_l3_output=str(out))
+    hdul = fits.open(out)
+    got = hdul["W"]
+    assert isinstance(got, fits.CompImageHDU)
+    assert got.data.dtype == np.float32
+    assert np.abs(got.data - data.astype(np.float32)).max() < 0.5

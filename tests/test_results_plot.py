@@ -180,3 +180,28 @@ def test_iterative_context_raster(tmp_path):
     corr = A.align_using_helioprojective(return_type="corr")
     mi = np.unravel_index(np.nanargmax(corr), corr.shape)
     assert A.lag_crval1[mi[0]] == pytest.approx(4.0)
+
+
+def test_simple_plot_sunpy_maplike(tmp_path):
+    """Native simple_plot_sunpy accepts (data, header) pairs, HDUs and
+    .data/.meta map-likes (reference plot.py:228-257 takes a sunpy Map)."""
+    import os
+
+    from euispice_coreg_tpu.plot import plot
+
+    hdr = fx.make_header((48, 48), (10.0, 10.0))
+    data = fx.render_helioprojective(hdr)
+
+    out1 = str(tmp_path / "sp1.png")
+    plot.simple_plot_sunpy((data, hdr), path_save=out1)
+    assert os.path.getsize(out1) > 1000
+
+    class MapLike:
+        pass
+
+    m = MapLike()
+    m.data = data
+    m.meta = {k: hdr[k] for k in hdr}
+    out2 = str(tmp_path / "sp2.png")
+    plot.PlotFunctions.simple_plot_sunpy(m, path_save=out2, cmap="viridis")
+    assert os.path.getsize(out2) > 1000
