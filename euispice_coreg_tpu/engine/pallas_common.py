@@ -20,6 +20,35 @@ TILE = 128
 OUT_LANES = 128  # output row padded to one full lane tile
 
 
+def balanced_margins(mx, my):
+    """VMEM block margins when the per-tile integer shift is folded to the
+    NEAREST (8, 128) multiple (see :func:`fold_shift`): the remainders lie in
+    [-4, 4) / [-64, 64), so each margin only needs remainder + tap reach
+    (mx + 1) instead of a full tiling period.  Halves the per-tile DMA block
+    vs folding with floor-mod (remainders in [0, 8) / [0, 128) forced
+    mm_x >= mx + 129 -> 256)."""
+    mm_y = -(-(my + 5) // 8) * 8
+    mm_x = -(-(mx + 65) // 128) * 128
+    return mm_y, mm_x
+
+
+def canvas_pad(mm_x, g_bound):
+    """HBM canvas padding covering the farthest nearest-rounded aligned DMA
+    start (|aligned shift| <= roundup128(g_bound + 64)); multiple of 128 so
+    the DMA start stays provably (8, 128)-aligned."""
+    return mm_x + (-(-(g_bound + 64) // 128) * 128)
+
+
+def fold_shift(sx, sy):
+    """Split a per-tile integer shift into a (8, 128)-aligned part (folded
+    into the DMA start) and a balanced remainder (applied with dynamic
+    rolls): ``sx = sx_al + remx`` with ``sx_al`` a multiple of 128 and
+    ``remx`` in [-64, 64), likewise ``sy`` over 8/[-4, 4)."""
+    remy = jnp.mod(sy + 4, 8) - 4
+    remx = jnp.mod(sx + 64, 128) - 64
+    return sx - remx, sy - remy, remx, remy
+
+
 def b2_weights(t):
     """Quadratic B-spline weights at fractional offset ``t`` (scipy order=2,
     prefilter=False convention; see core/resample._taps_and_weights)."""
@@ -60,7 +89,7 @@ def fractional_parts(xs, ys, order):
 
 
 def select_mix(blk, rx, ry, wx_list, wy_list, *, mx, my, mm_y, mm_x, order,
-               direct_slices=True):
+               lane_rolled=True, direct_slices=True):
     """Sample a (TILE, TILE) tile from the re-based block ``blk``.
 
     ``blk`` is (TILE + 2*mm_y, TILE + 2*mm_x) with ``blk[mm_y + u, mm_x + v]``
@@ -70,13 +99,16 @@ def select_mix(blk, rx, ry, wx_list, wy_list, *, mx, my, mm_y, mm_x, order,
     weights.  The residual bound is per-axis: cost is O((2*my + taps) *
     (2*mx + taps)) static window passes.
 
-    With ``direct_slices`` each window is one static (unaligned) TILE-wide
-    slice; otherwise a lane roll of the full band + aligned slice (the
-    conservative pattern — kept as a fallback in case a Mosaic version
-    rejects unaligned lane slices; measured equal speed on v5e).  When the
-    lane margin exceeds 128 the block is first narrowed to TILE + 256
-    columns with one aligned slice (the residual + taps never reach beyond
-    128 columns once the tile is re-based on its own integer shift).
+    Window extraction strategy (measured on v5e, order 2, mx=my=1, 2048^2):
+    lane shifts are the expensive direction on TPU, so with ``lane_rolled``
+    the block is lane-rolled ONCE per column offset (2*mx + taps rolls) and
+    every (row, col) window is then an aligned-lane + sublane-only slice —
+    ~70% of the kernel was unaligned lane windows before this.  The
+    ``direct_slices`` fallback path slices each window out of a per-row band
+    (unaligned lane slices); kept for Mosaic-version hedging.  When the lane
+    margin exceeds 128 the block is first narrowed to TILE + 256 columns
+    with one aligned slice (the residual + taps never reach beyond 128
+    columns once the tile is re-based on its own integer shift).
     """
     n_taps, tap_lo = order_taps(order)
     bh = blk.shape[0]
@@ -91,24 +123,38 @@ def select_mix(blk, rx, ry, wx_list, wy_list, *, mx, my, mm_y, mm_x, order,
     bw = blk.shape[1]
 
     zero = jnp.zeros((TILE, TILE), dtype=blk.dtype)
+    c_range = range(-mx + tap_lo, mx + tap_lo + n_taps)
 
-    def window(band, c):
-        if direct_slices:
-            return jax.lax.slice(band, (0, off_x + c), (TILE, off_x + c + TILE))
-        return jax.lax.slice(
-            pltpu.roll(band, (bw - c) % bw, 1),
-            (0, off_x), (TILE, off_x + TILE))
+    if lane_rolled:
+        # cols[c][u, j] = blk[u, off_x + c + j]: one lane roll + aligned
+        # slice per column offset; no wraparound reaches the sliced range
+        # because off_x + c >= 0 and off_x + c + TILE <= bw (mm_x >= mx + 65)
+        cols = {}
+        for c in c_range:
+            rolled = pltpu.roll(blk, (-c) % bw, 1) if c else blk
+            cols[c] = jax.lax.slice(rolled, (0, off_x), (bh, off_x + TILE))
 
     def col_mixed_row(r):
         """Row band r, column-selected and x-tap-mixed.  Windows are cached
         per distinct lane shift: consecutive ox values reuse (ox + ax)
         windows."""
-        band = jax.lax.slice(
-            pltpu.roll(blk, (bh - r) % bh, 0),
-            (mm_y, 0), (mm_y + TILE, bw))
-        wins = {}
-        for c in range(-mx + tap_lo, mx + tap_lo + n_taps):
-            wins[c] = window(band, c)
+        if lane_rolled:
+            wins = {c: jax.lax.slice(cols[c], (mm_y + r, 0),
+                                     (mm_y + r + TILE, TILE))
+                    for c in c_range}
+        else:
+            band = jax.lax.slice(
+                pltpu.roll(blk, (bh - r) % bh, 0),
+                (mm_y, 0), (mm_y + TILE, bw))
+            if direct_slices:
+                wins = {c: jax.lax.slice(band, (0, off_x + c),
+                                         (TILE, off_x + c + TILE))
+                        for c in c_range}
+            else:
+                wins = {c: jax.lax.slice(
+                            pltpu.roll(band, (bw - c) % bw, 1),
+                            (0, off_x), (TILE, off_x + TILE))
+                        for c in c_range}
         acc = zero
         for ox in range(-mx, mx + 1):
             inner = zero

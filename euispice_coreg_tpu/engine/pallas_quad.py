@@ -15,10 +15,10 @@ This kernel removes both costs:
 * each tile is re-based on its own per-lag integer shift, so the select
   radius is the *within-tile* residual (~2-3 px even for corner lags):
   O((2m+3)^2) window passes with m ~ 2 instead of m ~ 24;
-* the integer shift itself rides in the DMA start (aligned down to the
-  (8, 128) float32 tiling; only the remainder is applied with dynamic
-  rolls), so the block margins stay small no matter how large the global
-  shift is.
+* the integer shift itself rides in the DMA start (folded to the nearest
+  (8, 128) float32 tiling multiple; only the balanced remainder is applied
+  with dynamic rolls), so the block margins stay small no matter how large
+  the global shift is.
 
 Numerics match ``core.resample.sample_image_select`` on the quadratic field
 (mirror taps at the image edge, NaN fill outside, residual-bound masking) —
@@ -45,13 +45,10 @@ def _make_kernel(mx, my, mm_y, mm_x, pad, hw_grid, order, method):
 
         sx = shift_ref[0, 0, 0, 0, 0]
         sy = shift_ref[0, 0, 0, 0, 1]
-        # fold the aligned part of the shift into the DMA start (provably
-        # aligned to the (8, 128) f32 tiling since pad, mm_* and TILE are
-        # multiples); only the remainder is re-centered with dynamic rolls
-        remy = jnp.mod(sy, 8)     # in [0, 8) for any sign of sy
-        remx = jnp.mod(sx, 128)   # in [0, 128)
-        sy_al = sy - remy         # exact multiple of 8
-        sx_al = sx - remx         # exact multiple of 128
+        # fold the NEAREST-(8, 128)-multiple part of the shift into the DMA
+        # start (provably aligned since pad, mm_* and TILE are multiples);
+        # only the balanced remainder is re-centered with dynamic rolls
+        sx_al, sy_al, remx, remy = pc.fold_shift(sx, sy)
         bh = TILE + 2 * mm_y
         bw = TILE + 2 * mm_x
         start_y = pl.multiple_of(ty * TILE + pad - mm_y + sy_al, 8)
@@ -245,9 +242,8 @@ def evaluate_select_carr_pallas(coeffs, warped, ref_img, *, order, h, w,
     if max(mx, my) > max_m or g_bound > min(h, w):
         return None
 
-    mm_y = -(-(my + 9) // 8) * 8
-    mm_x = -(-(mx + 129) // 128) * 128
-    pad = -(-(mm_x + g_bound + 127) // 128) * 128
+    mm_y, mm_x = pc.balanced_margins(mx, my)
+    pad = pc.canvas_pad(mm_x, g_bound)
 
     # canvas assembled ON DEVICE (never ship the padded field through the
     # host tunnel): NaN outside, image mirror-padded 2 px about its real

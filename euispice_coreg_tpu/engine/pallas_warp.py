@@ -45,13 +45,10 @@ def _make_kernel(mx, my, mm_y, mm_x, pad, hw_img, order, kind):
 
         sx = shift_ref[0, 0, 0, 0, 0]
         sy = shift_ref[0, 0, 0, 0, 1]
-        # fold the aligned part of the per-tile shift into the DMA start
-        # (provably aligned to the (8, 128) f32 tiling since pad, mm_* and
-        # TILE are multiples); re-center the remainder with dynamic rolls
-        remy = jnp.mod(sy, 8)     # in [0, 8) for any sign of sy
-        remx = jnp.mod(sx, 128)   # in [0, 128)
-        sy_al = sy - remy
-        sx_al = sx - remx
+        # fold the NEAREST-(8, 128)-multiple part of the per-tile shift into
+        # the DMA start (provably aligned since pad, mm_* and TILE are
+        # multiples); re-center the balanced remainder with dynamic rolls
+        sx_al, sy_al, remx, remy = pc.fold_shift(sx, sy)
         bh = TILE + 2 * mm_y
         bw = TILE + 2 * mm_x
         start_y = pl.multiple_of(ty * TILE + pad - mm_y + sy_al, 8)
@@ -131,10 +128,10 @@ def warp_score_sums(small_padded, ref_img, lon, lat, base_vec, lags, shifts,
     ht, wt = ref_img.shape
     n_ty, n_tx = ht // TILE, wt // TILE
     L = lags.shape[0]
-    # margins cover the within-tile residual + spline taps + the sub-tiling
-    # remainder of the shift (the aligned part rides in the DMA start)
-    mm_y = -(-(my + 9) // 8) * 8
-    mm_x = -(-(mx + 129) // 128) * 128
+    # margins cover the within-tile residual + spline taps + the balanced
+    # sub-tiling remainder of the shift (the aligned part rides in the DMA
+    # start)
+    mm_y, mm_x = pc.balanced_margins(mx, my)
 
     kernel = _make_kernel(mx, my, mm_y, mm_x, pad, hw_img, order, kind)
 
@@ -238,10 +235,10 @@ def evaluate_lag_grid_pallas(
     g_bound = int(np.max(np.abs(shifts)))
     if g_bound > min(h, w):
         return None
-    mm_x = -(-(mx + 129) // 128) * 128
+    _, mm_x = pc.balanced_margins(mx, my)
     # HBM canvas padding covers the farthest DMA reach (aligned shift +
     # margins); multiple of 128 so the DMA starts stay provably aligned
-    pad = -(-(mm_x + g_bound + 127) // 128) * 128
+    pad = pc.canvas_pad(mm_x, g_bound)
 
     # canvas padded to tile multiples (NaN outside the field), then
     # mirror-padded 2 px around the REAL image region (order<=2 spline taps
