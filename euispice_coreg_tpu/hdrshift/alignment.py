@@ -156,6 +156,7 @@ class Alignment:
     # ------------------------------------------------------------------
     def _load_pair(self, dtype=np.float64):
         from ..io import fits
+        from ..utils import devcache
 
         f_large = fits.open(self.large_fov_known_pointing)
         f_small = fits.open(self.small_fov_to_correct)
@@ -167,16 +168,41 @@ class Alignment:
         self.hdr_small = hdu_s.header.copy()
         ensure_pcij(self.hdr_small, self.force_crota_0)
         ensure_pcij(self.hdr_large, self.force_crota_0)
+        # device-upload cache keys; invalidated (None) whenever the host
+        # array is modified after loading (utils/devcache.py)
+        self._large_key = devcache.file_key(
+            self.large_fov_known_pointing, self.large_fov_window)
+        self._small_key = devcache.file_key(
+            self.small_fov_to_correct, self.small_fov_window)
+
+    def _small_dev(self):
+        """Device copy of the (possibly masked) small image, cached across
+        Alignment instances when loaded unmodified from a local file."""
+        from ..utils import devcache
+
+        return devcache.asarray_cached(
+            self.data_small, self.compute_dtype,
+            getattr(self, "_small_key", None))
+
+    def _large_dev(self):
+        from ..utils import devcache
+
+        return devcache.asarray_cached(
+            self.data_large, self.compute_dtype,
+            getattr(self, "_large_key", None))
 
     def _apply_thresholds(self):
         """Min/max thresholds on |value| -> NaN (alignment.py:876-887)."""
         if self.small_fov_value_min is not None:
             self.data_small[np.abs(self.data_small) < self.small_fov_value_min] = np.nan
+            self._small_key = None
         if self.small_fov_value_max is not None:
             self.data_small[np.abs(self.data_small) > self.small_fov_value_max] = np.nan
+            self._small_key = None
 
     def _apply_remove_fov(self, remove_fov_limits, unit="arcsec"):
         """NaN out a world-coordinate box (alignment.py:863-874)."""
+        self._small_key = None
         lon, lat = coords.header_world_grid(self.hdr_small)
         lonlims = units.to_deg(np.asarray(remove_fov_limits[0], dtype=np.float64), unit)
         latlims = units.to_deg(np.asarray(remove_fov_limits[1], dtype=np.float64), unit)
@@ -219,6 +245,7 @@ class Alignment:
             self.data_small, xg, yg, order=self.order, compute_dtype=self.compute_dtype
         )
         self.hdr_small = hdrg
+        self._small_key = None
 
     def _lags_deg(self, wrap=True):
         """Lag arrays in degrees (reference converts lags to CUNIT units with
@@ -357,16 +384,13 @@ class Alignment:
                         select_cfg = (sx, sy, m, pad)
             if select_cfg is not None:
                 sx, sy, m, pad = select_cfg
-                padded = jnp.pad(
-                    jnp.asarray(self.data_large, dtype=self.compute_dtype),
-                    pad, mode="reflect")
+                padded = jnp.pad(self._large_dev(), pad, mode="reflect")
                 lon, lat, ref_img = lag_search._submap_select_jit(
                     padded, sp, lp, h, w, kind, do_wrap, self.order,
                     sx, sy, m, pad, h, w)
             else:
                 lon, lat, ref_img = lag_search.prepare_grid_and_submap(
-                    jnp.asarray(self.data_large, dtype=self.compute_dtype),
-                    sp, lp, h, w, kind, do_wrap, self.order)
+                    self._large_dev(), sp, lp, h, w, kind, do_wrap, self.order)
 
         l1, l2, l3, l4, l5 = self._lags_deg(wrap=wrap)
         base = {**small_params.as_dict(), "crota": get_crota(self.hdr_small)}
@@ -422,7 +446,7 @@ class Alignment:
         for d_solar_r in self.lag_solar_r:
             with timed("solar-surface reprojection (reference -> small WCS)"):
                 ref_img = carr_engine.reproject_solar_surface(
-                    self.data_large, self.hdr_large, self.hdr_small,
+                    self._large_dev(), self.hdr_large, self.hdr_small,
                     d_solar_r=float(d_solar_r), order=self.order,
                     compute_dtype=self.compute_dtype)
             with timed(f"lag-grid search ({n_lags} candidates)"):
@@ -434,7 +458,7 @@ class Alignment:
     def _evaluate(self, lon, lat, base, l1, l2, l3, l4, l5, kind, allow_fast,
                   ref_img):
         return lag_search.evaluate_lag_grid(
-            self.data_small,
+            self._small_dev(),
             ref_img,
             lon,
             lat,
@@ -524,7 +548,7 @@ class Alignment:
         corr_parts = []
         for d_solar_r in self.lag_solar_r:
             ref_img = carr_engine.reproject_to_carrington(
-                self.data_large,
+                self._large_dev(),
                 self.hdr_large,
                 self.lonlims,
                 self.latlims,
@@ -536,7 +560,7 @@ class Alignment:
                 compute_dtype=self.compute_dtype,
             )
             corr5 = carr_engine.evaluate_lag_grid_carrington(
-                self.data_small,
+                self._small_dev(),
                 ref_img,
                 self.hdr_small,
                 self.lonlims,

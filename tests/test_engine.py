@@ -243,3 +243,55 @@ def test_carrington_multiple_solar_r(tmp_path):
     for k in range(2):
         mi = np.unravel_index(np.nanargmax(corr[..., k]), corr[..., k].shape)
         assert (mi[0], mi[1]) == (1, 0)
+
+
+def test_device_cache_reuse_and_invalidation(tmp_path):
+    """devcache: repeat alignments from the same file reuse one device
+    buffer; thresholds/mutations and file rewrites invalidate it."""
+    from euispice_coreg_tpu.utils import devcache
+
+    devcache.clear()
+    dl, hl, ds, hs = fx.make_helioprojective_pair(true_shift_arcsec=(8.0, -4.0))
+    p_large, p_small = fx.write_pair_fits(tmp_path, dl, hl, ds, hs)
+
+    def make(**kw):
+        return Alignment(
+            large_fov_known_pointing=p_large, small_fov_to_correct=p_small,
+            lag_crval1=np.arange(6.0, 10.1, 1.0),
+            lag_crval2=np.arange(-6.0, -1.9, 1.0),
+            lag_cdelt1=None, lag_cdelt2=None, lag_crota=None,
+            small_fov_window=0, large_fov_window=0, **kw,
+        )
+
+    A1 = make()
+    A1._load_pair()
+    d1 = A1._large_dev()
+    A2 = make()
+    A2._load_pair()
+    d2 = A2._large_dev()
+    assert d1 is d2  # same file -> same cached device buffer
+
+    # thresholds mutate the host array -> key invalidated, fresh upload
+    A3 = make(small_fov_value_min=0.0)
+    A3._load_pair()
+    s_before = A3._small_dev()
+    A3._apply_thresholds()
+    assert A3._small_key is None
+    s_after = A3._small_dev()
+    assert s_after is not s_before
+
+    # rewriting the file changes (mtime, size) -> fresh upload
+    fx.write_pair_fits(tmp_path, dl * 2.0, hl, ds, hs)
+    A4 = make()
+    A4._load_pair()
+    d4 = A4._large_dev()
+    assert d4 is not d1
+    np.testing.assert_allclose(np.asarray(d4),
+                               (dl * 2.0).astype(np.asarray(d4).dtype),
+                               rtol=1e-6)
+
+    # results stay correct through the cached path
+    res = make().align_using_helioprojective()
+    assert abs(res.shift_arcsec[0] - 8.0) < 1.0
+    assert abs(res.shift_arcsec[1] + 4.0) < 1.0
+    devcache.clear()
