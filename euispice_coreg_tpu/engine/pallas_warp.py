@@ -193,7 +193,10 @@ def evaluate_lag_grid_pallas(
     lags = np.stack([g.ravel() for g in grids], axis=-1)
     L = lags.shape[0]
 
-    h, w = np.shape(small_img)
+    # single host pull (small_img may be a cached device array; the canvas
+    # is assembled on host, so pull once instead of once per use below)
+    small_np = np.asarray(small_img, dtype=np.float32)
+    h, w = small_np.shape
     if np.shape(ref_img) != (h, w):
         return None
 
@@ -244,8 +247,7 @@ def evaluate_lag_grid_pallas(
     # mirror-padded 2 px around the REAL image region (order<=2 spline taps
     # reach at most 1 px past an in-range coordinate; scipy mirror rule)
     pe = min(2, h - 1, w - 1)
-    refl = np.pad(np.asarray(small_img, dtype=np.float32),
-                  ((pe, pe), (pe, pe)), mode="reflect")
+    refl = np.pad(small_np, ((pe, pe), (pe, pe)), mode="reflect")
     padded = np.full((ht + 2 * pad, wt + 2 * pad), np.nan, dtype=np.float32)
     padded[pad - pe: pad + h + pe, pad - pe: pad + w + pe] = refl
 
@@ -258,7 +260,9 @@ def evaluate_lag_grid_pallas(
 
     # pre-centering: exact for Pearson, avoids f32 cancellation
     amean = float(np.nanmean(ref32))
-    bmean = float(np.nanmean(np.asarray(small_img, dtype=np.float64)))
+    # any centering constant is exact for Pearson (mean-removed anyway);
+    # the f32-cast mean only serves f32 cancellation, so no second pull
+    bmean = float(np.nanmean(small_np.astype(np.float64)))
     ref32 = ref32 - amean
     padded = padded - bmean
 

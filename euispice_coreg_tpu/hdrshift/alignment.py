@@ -457,8 +457,12 @@ class Alignment:
 
     def _evaluate(self, lon, lat, base, l1, l2, l3, l4, l5, kind, allow_fast,
                   ref_img):
+        # the pallas warp path builds its canvas on host — hand it the host
+        # array rather than a device copy it would immediately pull back
+        small = (self.data_small if allow_fast == "pallas"
+                 else self._small_dev())
         return lag_search.evaluate_lag_grid(
-            self._small_dev(),
+            small,
             ref_img,
             lon,
             lat,

@@ -302,7 +302,12 @@ def open(path_or_url, mode: str = "readonly") -> HDUList:  # noqa: A001
             from . import tile_compression
 
             data = tile_compression.decompress_hdu(hdr, raw)
-            hdus.append(CompImageHDU(data=data, header=hdr))
+            # carry the file's compression settings so a re-write keeps its
+            # format (ZCMPTYPE/ZQUANTIZ/NOISEBIT/tiles) instead of reverting
+            # to writer defaults
+            hdus.append(CompImageHDU(
+                data=data, header=hdr,
+                **tile_compression.hdu_settings_from_header(hdr)))
         else:
             # unknown extension: skip payload, keep header only
             naxis1 = int(hdr.get("NAXIS1", 0))

@@ -267,3 +267,78 @@ def test_corrected_fits_preserves_compression(tmp_path):
     assert isinstance(got, fits.CompImageHDU)
     assert got.data.dtype == np.float32
     assert np.abs(got.data - data.astype(np.float32)).max() < 0.5
+
+
+def test_rewrite_preserves_compression_settings(tmp_path):
+    """Re-writing an opened CompImageHDU keeps the file's ZCMPTYPE/ZQUANTIZ/
+    NOISEBIT/tiles instead of reverting to writer defaults."""
+    data = _smooth_float_image(ny=24, nx=40, seed=2)
+    p1 = tmp_path / "a.fits"
+    fits.write(p1, [fits.PrimaryHDU(),
+                    fits.CompImageHDU(data=data, name="W",
+                                      compression_type="GZIP_1",
+                                      quantize_level=64.0,
+                                      quantize_method="SUBTRACTIVE_DITHER_1",
+                                      dither_seed=11,
+                                      tile_shape=(6, 40))])
+    hdu = fits.open(p1)[1]
+    assert hdu.compression_type == "GZIP_1"
+    assert hdu.quantize_method == "SUBTRACTIVE_DITHER_1"
+    assert hdu.quantize_level == 64.0
+    assert hdu.dither_seed == 11
+    assert tuple(hdu.tile_shape) == (6, 40)
+    p2 = tmp_path / "b.fits"
+    fits.write(p2, [fits.PrimaryHDU(), hdu])
+    hdr2 = fits.open(p2)[1].header
+    assert str(hdr2["ZCMPTYPE"]).strip() == "GZIP_1"
+    assert str(hdr2["ZQUANTIZ"]).strip() == "SUBTRACTIVE_DITHER_1"
+    assert int(hdr2["ZDITHER0"]) == 11
+    got2 = fits.open(p2)[1].data
+    # second generation re-quantizes the first generation's values: error
+    # stays bounded by ~2 quantization steps
+    assert np.abs(got2 - data).max() < 0.1
+
+
+def test_quantize_level_zero_is_lossless(tmp_path):
+    data = _smooth_float_image(ny=16, nx=32, seed=4)
+    p = tmp_path / "l.fits"
+    fits.write(p, [fits.PrimaryHDU(),
+                   fits.CompImageHDU(data=data, name="W", quantize_level=0.0,
+                                     tile_shape=(4, 32))])
+    got = fits.open(p)[1].data
+    np.testing.assert_array_equal(got, data)
+
+
+def test_column_descr_bit_array():
+    from euispice_coreg_tpu.io import tile_compression as tc
+
+    hdr = Header({"TFIELDS": 3, "TTYPE1": "COMPRESSED_DATA", "TFORM1": "1PB(99)",
+                  "TTYPE2": "FLAGS", "TFORM2": "16X",
+                  "TTYPE3": "ZSCALE", "TFORM3": "1D"})
+    cols, rowsize = tc._column_descr(hdr)
+    assert cols["COMPRESSED_DATA"] == (0, "PB")
+    assert cols["FLAGS"] == (8, "X")
+    assert cols["ZSCALE"] == (10, "D")  # 16 bits -> 2 bytes
+    assert rowsize == 18
+
+
+def test_tile_randoms_match_scalar_reference():
+    from euispice_coreg_tpu.io import tile_compression as tc
+
+    rv = tc._dither_randoms()
+
+    def scalar(row, dither0, npix):
+        iseed = int((dither0 - 1 + row) % tc.N_RANDOM)
+        irand = int(rv[iseed] * 500.0)
+        out = np.empty(npix)
+        for i in range(npix):
+            out[i] = rv[irand]
+            irand += 1
+            if irand == tc.N_RANDOM:
+                iseed = (iseed + 1) % tc.N_RANDOM
+                irand = int(rv[iseed] * 500.0)
+        return out
+
+    for row, d0, n in [(0, 1, 7), (3, 42, 25_000), (9999, 9999, 12_345)]:
+        np.testing.assert_array_equal(tc._tile_randoms(row, d0, n),
+                                      scalar(row, d0, n))
