@@ -1,1 +1,2 @@
-from .jitter_correction import jitter_correction_imagers  # noqa: F401
+from .jitter_correction import (align_movie_to_reference,  # noqa: F401
+                                jitter_correction_imagers)
