@@ -143,8 +143,32 @@ def ensure_pcij(hdr: Header, force_crota_0: bool = False):
     """Guarantee the header carries a PCi_j matrix and a CROTA keyword.
 
     Behavioural port of ``Alignment._check_ant_create_pcij_matrix``
-    (``alignment.py:580-611``), including the PC1_1 >= 1 clamp.
+    (``alignment.py:580-611``), including the PC1_1 >= 1 clamp.  Extension:
+    CDi_j-matrix headers are first normalized to CDELT + PCi_j
+    (CDi_j = CDELTi * PCi_j, Calabretta & Greisen 2002 eq. 1) — astropy
+    accepts them for coordinates in the reference stack, but the reference's
+    own shift path reads CDELT directly and would crash.
     """
+    if "PC1_1" not in hdr and "CD1_1" in hdr:
+        import math
+
+        cd11 = float(hdr["CD1_1"])
+        cd12 = float(hdr.get("CD1_2", 0.0))
+        cd21 = float(hdr.get("CD2_1", 0.0))
+        cd22 = float(hdr["CD2_2"])
+        # the PCi_j/CROTA convention used throughout (pc_from_crota; refer-
+        # ence Util.py:217-245) gives CD = [[c1 cos, -c2 sin], [c1 sin,
+        # c2 cos]], so the CDELTs are the COLUMN norms of CD
+        cdelt1 = math.hypot(cd11, cd21)
+        cdelt2 = math.hypot(cd12, cd22)
+        if cdelt1 > 0 and cdelt2 > 0:
+            hdr["CDELT1"] = cdelt1
+            hdr["CDELT2"] = cdelt2
+            hdr["PC1_1"] = cd11 / cdelt1
+            hdr["PC1_2"] = cd12 / cdelt1
+            hdr["PC2_1"] = cd21 / cdelt2
+            hdr["PC2_2"] = cd22 / cdelt2
+            hdr["CROTA"] = math.degrees(math.atan2(cd21, cd11))
     if "PC1_1" not in hdr:
         if "CROTA" in hdr:
             crot = hdr["CROTA"]

@@ -179,3 +179,36 @@ def test_wcs_params_from_header_units():
     assert p.crval1 == pytest.approx(100.0 / 3600.0)
     assert p.cdelt1 == pytest.approx(0.492 / 3600.0)
     assert p.kind == "tan"
+
+
+def test_ensure_pcij_from_cd_matrix():
+    """CD-matrix headers normalize to CDELT + PC + CROTA
+    (CDi_j = CDELTi * PCi_j); a rotated CD round-trips the world grid."""
+    import numpy as np
+
+    from euispice_coreg_tpu.core.header import Header, ensure_pcij, pc_from_crota
+    from euispice_coreg_tpu.utils import coords
+
+    crota, cd1, cd2 = 12.5, 3.0, 2.0
+    pc11, pc12, pc21, pc22 = pc_from_crota(crota, cd1, cd2)
+    base = {
+        "NAXIS1": 32, "NAXIS2": 32, "CRVAL1": 100.0, "CRVAL2": 50.0,
+        "CRPIX1": 16.5, "CRPIX2": 16.5, "CUNIT1": "arcsec",
+        "CUNIT2": "arcsec", "CTYPE1": "HPLN-TAN", "CTYPE2": "HPLT-TAN",
+    }
+    hdr_pc = Header({**base, "CDELT1": cd1, "CDELT2": cd2, "CROTA": crota,
+                     "PC1_1": pc11, "PC1_2": pc12, "PC2_1": pc21,
+                     "PC2_2": pc22})
+    hdr_cd = Header({**base,
+                     "CD1_1": cd1 * pc11, "CD1_2": cd1 * pc12,
+                     "CD2_1": cd2 * pc21, "CD2_2": cd2 * pc22})
+    ensure_pcij(hdr_cd)
+    assert abs(hdr_cd["CDELT1"] - cd1) < 1e-9 * cd1 + 1e-9
+    assert abs(hdr_cd["CDELT2"] - cd2) < 1e-9 * cd2 + 1e-9
+    for k in ("PC1_1", "PC1_2", "PC2_1", "PC2_2"):
+        assert abs(hdr_cd[k] - hdr_pc[k]) < 1e-9, k
+
+    lon1, lat1 = coords.header_world_grid(hdr_pc)
+    lon2, lat2 = coords.header_world_grid(hdr_cd)
+    np.testing.assert_allclose(lon2, lon1, atol=1e-9)
+    np.testing.assert_allclose(lat2, lat1, atol=1e-9)
