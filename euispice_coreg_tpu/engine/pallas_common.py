@@ -89,10 +89,12 @@ def fractional_parts(xs, ys, order):
 
 
 def select_mix(blk, rx, ry, wx_list, wy_list, *, mx, my, mm_y, mm_x, order,
-               lane_rolled=True, direct_slices=True):
-    """Sample a (TILE, TILE) tile from the re-based block ``blk``.
+               lane_rolled=True, direct_slices=True, th=TILE, tw=TILE):
+    """Sample a (th, tw) tile from the re-based block ``blk`` (``th``/``tw``
+    default to TILE; the quad kernel also runs 2x2 super-tiles to amortize
+    per-step overhead).
 
-    ``blk`` is (TILE + 2*mm_y, TILE + 2*mm_x) with ``blk[mm_y + u, mm_x + v]``
+    ``blk`` is (th + 2*mm_y, tw + 2*mm_x) with ``blk[mm_y + u, mm_x + v]``
     holding the source pixel at (tile row + shift_y + u, tile col + shift_x
     + v).  ``rx``/``ry`` are the per-pixel integer residuals (already clipped
     to [-mx, mx] / [-my, my]); ``wx_list``/``wy_list`` the spline tap
@@ -114,25 +116,25 @@ def select_mix(blk, rx, ry, wx_list, wy_list, *, mx, my, mm_y, mm_x, order,
     bh = blk.shape[0]
 
     # narrow the lane extent once: windows only need cols
-    # [mm_x - (mx+1), mm_x + TILE + mx + 1), and mx + 1 <= 128 always holds
+    # [mm_x - (mx+1), mm_x + tw + mx + 1), and mx + 1 <= 128 always holds
     if mm_x > 128:
-        blk = jax.lax.slice(blk, (0, mm_x - 128), (bh, mm_x + TILE + 128))
+        blk = jax.lax.slice(blk, (0, mm_x - 128), (bh, mm_x + tw + 128))
         off_x = 128
     else:
         off_x = mm_x
     bw = blk.shape[1]
 
-    zero = jnp.zeros((TILE, TILE), dtype=blk.dtype)
+    zero = jnp.zeros((th, tw), dtype=blk.dtype)
     c_range = range(-mx + tap_lo, mx + tap_lo + n_taps)
 
     if lane_rolled:
         # cols[c][u, j] = blk[u, off_x + c + j]: one lane roll + aligned
         # slice per column offset; no wraparound reaches the sliced range
-        # because off_x + c >= 0 and off_x + c + TILE <= bw (mm_x >= mx + 65)
+        # because off_x + c >= 0 and off_x + c + tw <= bw (mm_x >= mx + 65)
         cols = {}
         for c in c_range:
             rolled = pltpu.roll(blk, (-c) % bw, 1) if c else blk
-            cols[c] = jax.lax.slice(rolled, (0, off_x), (bh, off_x + TILE))
+            cols[c] = jax.lax.slice(rolled, (0, off_x), (bh, off_x + tw))
 
     def col_mixed_row(r):
         """Row band r, column-selected and x-tap-mixed.  Windows are cached
@@ -140,20 +142,20 @@ def select_mix(blk, rx, ry, wx_list, wy_list, *, mx, my, mm_y, mm_x, order,
         windows."""
         if lane_rolled:
             wins = {c: jax.lax.slice(cols[c], (mm_y + r, 0),
-                                     (mm_y + r + TILE, TILE))
+                                     (mm_y + r + th, tw))
                     for c in c_range}
         else:
             band = jax.lax.slice(
                 pltpu.roll(blk, (bh - r) % bh, 0),
-                (mm_y, 0), (mm_y + TILE, bw))
+                (mm_y, 0), (mm_y + th, bw))
             if direct_slices:
                 wins = {c: jax.lax.slice(band, (0, off_x + c),
-                                         (TILE, off_x + c + TILE))
+                                         (th, off_x + c + tw))
                         for c in c_range}
             else:
                 wins = {c: jax.lax.slice(
                             pltpu.roll(band, (bw - c) % bw, 1),
-                            (0, off_x), (TILE, off_x + TILE))
+                            (0, off_x), (th, off_x + tw))
                         for c in c_range}
         acc = zero
         for ox in range(-mx, mx + 1):

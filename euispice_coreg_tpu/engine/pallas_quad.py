@@ -36,7 +36,8 @@ from . import pallas_common as pc
 from .pallas_common import OUT_LANES, TILE
 
 
-def _make_kernel(mx, my, mm_y, mm_x, pad, hw_grid, order, method):
+def _make_kernel(mx, my, mm_y, mm_x, pad, hw_grid, order, method,
+                 th=TILE, tw=TILE):
     h, w = hw_grid
 
     def kernel(coef_ref, shift_ref, warped_hbm, ref_tile, out_ref, block, sem):
@@ -49,10 +50,10 @@ def _make_kernel(mx, my, mm_y, mm_x, pad, hw_grid, order, method):
         # start (provably aligned since pad, mm_* and TILE are multiples);
         # only the balanced remainder is re-centered with dynamic rolls
         sx_al, sy_al, remx, remy = pc.fold_shift(sx, sy)
-        bh = TILE + 2 * mm_y
-        bw = TILE + 2 * mm_x
-        start_y = pl.multiple_of(ty * TILE + pad - mm_y + sy_al, 8)
-        start_x = pl.multiple_of(tx * TILE + pad - mm_x + sx_al, 128)
+        bh = th + 2 * mm_y
+        bw = tw + 2 * mm_x
+        start_y = pl.multiple_of(ty * th + pad - mm_y + sy_al, 8)
+        start_x = pl.multiple_of(tx * tw + pad - mm_x + sx_al, 128)
         dma = pltpu.make_async_copy(
             warped_hbm.at[pl.ds(start_y, bh), pl.ds(start_x, bw)],
             block,
@@ -61,8 +62,8 @@ def _make_kernel(mx, my, mm_y, mm_x, pad, hw_grid, order, method):
         dma.start()
 
         # quadratic displacement of this tile (VPU polynomial, no trig)
-        jj_i = (tx * TILE) + jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1)
-        ii_i = (ty * TILE) + jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 0)
+        jj_i = (tx * tw) + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1)
+        ii_i = (ty * th) + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0)
         jj = jj_i.astype(jnp.float32)
         ii = ii_i.astype(jnp.float32)
         c = coef_ref
@@ -97,7 +98,7 @@ def _make_kernel(mx, my, mm_y, mm_x, pad, hw_grid, order, method):
 
         sampled = pc.select_mix(blk, rx, ry, wx_list, wy_list,
                                 mx=mx, my=my, mm_y=mm_y, mm_x=mm_x,
-                                order=order)
+                                order=order, th=th, tw=tw)
         if method == "correlation":
             vals = pc.pearson_partial_sums(ref_tile[:], sampled, invalid)
         else:  # residus_masked
@@ -113,14 +114,15 @@ def _make_kernel(mx, my, mm_y, mm_x, pad, hw_grid, order, method):
 
 
 def _build_eval(mx, my, mm_y, mm_x, pad, hw_grid, order, method, n_ty, n_tx,
-                interpret, mesh=None):
+                interpret, mesh=None, th=TILE, tw=TILE):
     """One jitted evaluator instance; reused across lag chunks so the
     compiled program is cached (a fresh kernel closure per chunk would
     recompile every call).  With ``mesh`` the lag axis is sharded across the
     devices with ``shard_map`` (canvases replicated in every chip's HBM;
     each device runs the kernel on its lag sub-grid — the TPU-native form
     of the reference's process fan-out, alignment.py:634-756)."""
-    kernel = _make_kernel(mx, my, mm_y, mm_x, pad, hw_grid, order, method)
+    kernel = _make_kernel(mx, my, mm_y, mm_x, pad, hw_grid, order, method,
+                          th=th, tw=tw)
 
     def run(coeffs12, shifts, canvas, ref_canvas):
         L = coeffs12.shape[0]
@@ -133,14 +135,14 @@ def _build_eval(mx, my, mm_y, mm_x, pad, hw_grid, order, method, n_ty, n_tx,
                 pl.BlockSpec((1, 1, 1, 1, 2), lambda l, ty, tx: (l, ty, tx, 0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec((TILE, TILE), lambda l, ty, tx: (ty, tx),
+                pl.BlockSpec((th, tw), lambda l, ty, tx: (ty, tx),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((1, 1, OUT_LANES), lambda l, ty, tx: (l, 0, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((L, 1, OUT_LANES), jnp.float32),
             scratch_shapes=[
-                pltpu.VMEM((TILE + 2 * mm_y, TILE + 2 * mm_x), jnp.float32),
+                pltpu.VMEM((th + 2 * mm_y, tw + 2 * mm_x), jnp.float32),
                 pltpu.SemaphoreType.DMA,
             ],
             interpret=interpret,
@@ -161,7 +163,7 @@ def _build_eval(mx, my, mm_y, mm_x, pad, hw_grid, order, method, n_ty, n_tx,
         check_vma=False))
 
 
-def _tile_shifts(coeffs, h, w, n_ty, n_tx):
+def _tile_shifts(coeffs, h, w, n_ty, n_tx, th=TILE, tw=TILE):
     """Per-lag per-tile integer shifts + global residual bound.
 
     Fully closed-form for a quadratic field: the shift is the displacement
@@ -172,10 +174,10 @@ def _tile_shifts(coeffs, h, w, n_ty, n_tx):
     float64 at a 121x121 grid on 2048^2 and dominated the host prep).
     """
     L = coeffs.shape[0]
-    x_lo = np.arange(n_tx) * TILE
-    x_hi = np.minimum(x_lo + TILE - 1, w - 1).astype(np.float64)
-    y_lo = np.arange(n_ty) * TILE
-    y_hi = np.minimum(y_lo + TILE - 1, h - 1).astype(np.float64)
+    x_lo = np.arange(n_tx) * tw
+    x_hi = np.minimum(x_lo + tw - 1, w - 1).astype(np.float64)
+    y_lo = np.arange(n_ty) * th
+    y_hi = np.minimum(y_lo + th - 1, h - 1).astype(np.float64)
     uc = (0.5 * (x_lo + x_hi))[None, None, :]    # (1, 1, n_tx)
     vc = (0.5 * (y_lo + y_hi))[None, :, None]    # (1, n_ty, 1)
     hx = (0.5 * (x_hi - x_lo))[None, None, :]
@@ -202,7 +204,8 @@ def _tile_shifts(coeffs, h, w, n_ty, n_tx):
 
 def evaluate_select_carr_pallas(coeffs, warped, ref_img, *, order, h, w,
                                 method="correlation", interpret=None,
-                                max_m=6, chunk=1024, mesh=None):
+                                max_m=6, chunk=1024, mesh=None,
+                                supertile=None):
     """Score ``L`` quadratic-displacement lags against ``ref_img``.
 
     Args:
@@ -226,19 +229,41 @@ def evaluate_select_carr_pallas(coeffs, warped, ref_img, *, order, h, w,
             interpret = jax.default_backend() == "cpu"
     coeffs = np.asarray(coeffs, dtype=np.float64)
     L = coeffs.shape[0]
-    n_ty = -(-h // TILE)
-    n_tx = -(-w // TILE)
-    ht, wt = n_ty * TILE, n_tx * TILE
 
-    shifts, dev_x, dev_y, g_bound = _tile_shifts(coeffs, h, w, n_ty, n_tx)
     # integer residual bound: for order 0/2 the sample tap anchor
     # floor(.+0.5) matches the shift's rounding, so |k - shift| <=
     # ceil(dev); order 1 anchors at floor(.) half a pixel off, costing one
     # more (1e-3 covers f32 in-kernel polynomial evaluation vs the f64
     # host bound)
     extra = 1 if order == 1 else 0
-    mx = max(1, int(np.ceil(dev_x + 1e-3)) + extra)
-    my = max(1, int(np.ceil(dev_y + 1e-3)) + extra)
+    n_taps, _ = pc.order_taps(order)
+
+    def tiling(th, tw):
+        n_ty = -(-h // th)
+        n_tx = -(-w // tw)
+        shifts, dev_x, dev_y, g_bound = _tile_shifts(
+            coeffs, h, w, n_ty, n_tx, th=th, tw=tw)
+        mx = max(1, int(np.ceil(dev_x + 1e-3)) + extra)
+        my = max(1, int(np.ceil(dev_y + 1e-3)) + extra)
+        cost = (2 * mx + n_taps) * (2 * my + n_taps)
+        return dict(th=th, tw=tw, n_ty=n_ty, n_tx=n_tx, shifts=shifts,
+                    g_bound=g_bound, mx=mx, my=my, cost=cost)
+
+    # 2x2 super-tiles quarter the per-grid-step overhead and cut per-pixel
+    # DMA ~1.5x, but only pay off while the larger tile's residual bound
+    # doesn't grow the select-window count (supertile=None auto-picks by
+    # window-count cost; 1/2 force a tiling, for parity tests)
+    t1 = tiling(TILE, TILE)
+    pick = t1
+    if supertile != 1 and min(h, w) >= 2 * TILE:
+        t2 = tiling(2 * TILE, 2 * TILE)
+        if supertile == 2 or t2["cost"] <= t1["cost"]:
+            pick = t2
+    th, tw = pick["th"], pick["tw"]
+    n_ty, n_tx = pick["n_ty"], pick["n_tx"]
+    shifts, g_bound = pick["shifts"], pick["g_bound"]
+    mx, my = pick["mx"], pick["my"]
+    ht, wt = n_ty * th, n_tx * tw
     if max(mx, my) > max_m or g_bound > min(h, w):
         return None
 
@@ -280,7 +305,7 @@ def evaluate_select_carr_pallas(coeffs, warped, ref_img, *, order, h, w,
         ndev = mesh.devices.size
         chunk = -(-chunk // ndev) * ndev  # chunks split evenly over devices
     fn = _build_eval(mx, my, mm_y, mm_x, pad, (h, w), order, method, n_ty,
-                     n_tx, interpret, mesh=mesh)
+                     n_tx, interpret, mesh=mesh, th=th, tw=tw)
 
     from . import lag_search
 

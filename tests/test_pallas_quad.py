@@ -226,3 +226,35 @@ def test_carrington_select_pallas_matches_xla():
     np.testing.assert_allclose(pal, xla, atol=5e-4)
     assert np.unravel_index(np.nanargmax(pal), pal.shape) == \
         np.unravel_index(np.nanargmax(xla), xla.shape)
+
+
+def test_supertile_parity_interpret():
+    """The 2x2 super-tile kernel (256^2 output per grid step) matches the
+    128-tile kernel exactly up to f32 reduction order."""
+    import numpy as np
+
+    from euispice_coreg_tpu.engine import pallas_quad as pq
+
+    h = w = 288
+    rng = np.random.default_rng(5)
+    warped = rng.normal(100.0, 5.0, size=(h, w))
+    ref = rng.normal(100.0, 5.0, size=(h, w))
+    L = 6
+    c = np.zeros((L, 6, 2))
+    c[:, 2, 0] = np.linspace(-9.0, 9.0, L)
+    c[:, 2, 1] = np.linspace(5.0, -5.0, L)
+    c[:, 0, :] = 2e-4
+    c[:, 1, :] = -2e-4
+    c[:, 3:, :] = 1e-8
+
+    kw = dict(order=2, h=h, w=w, method="correlation", interpret=True)
+    r1 = pq.evaluate_select_carr_pallas(c, warped, ref, supertile=1, **kw)
+    r2 = pq.evaluate_select_carr_pallas(c, warped, ref, supertile=2, **kw)
+    assert r1 is not None and r2 is not None
+    np.testing.assert_allclose(r2, r1, rtol=1e-5, atol=1e-6)
+
+    # residus_masked path too
+    kw["method"] = "residus_masked"
+    r1 = pq.evaluate_select_carr_pallas(c, warped, ref, supertile=1, **kw)
+    r2 = pq.evaluate_select_carr_pallas(c, warped, ref, supertile=2, **kw)
+    np.testing.assert_allclose(r2, r1, rtol=1e-5, atol=1e-6)
