@@ -400,13 +400,15 @@ def evaluate_lag_grid_carrington(
 
     from ..utils.obs import logger
 
-    if allow_fast and method == "correlation" and order in (0, 2):
+    if allow_fast and order in (0, 2) and \
+            method in ("correlation", "residus", "residus_masked"):
         fast = _carrington_block_fast(
             small_img, ref_img, sc, lon, lat,
             delta_t=delta_t, rate_wave=rate_wave,
             lonlims=lonlims, latlims=latlims, shape=shape,
             l1=l1, l2=l2, l3=l3, l4=l4, l5=l5,
             order=order, compute_dtype=compute_dtype, mesh=mesh,
+            method=method,
         )
         if fast is not None:
             logger.info("engine path: carrington FFT fast")
@@ -664,7 +666,7 @@ def _carrington_select(small_img, ref_img, sc, lon, lat, delta_t, rate_wave,
 def _carrington_block_fast(small_img, ref_img, sc, lon, lat, delta_t,
                            rate_wave, lonlims, latlims, shape,
                            l1, l2, l3, l4, l5, *, order, compute_dtype,
-                           mesh=None):
+                           mesh=None, method="correlation"):
     """FFT fast path in the Carrington frame.
 
     For each (cdelt1, cdelt2, crota) combo the small image is warped onto the
@@ -735,7 +737,8 @@ def _carrington_block_fast(small_img, ref_img, sc, lon, lat, delta_t,
                     rate_wave, order, compute_dtype)
                 r = fast_corr.evaluate_from_displacements(
                     warped_d, ref_img, center, spread,
-                    order=order, compute_dtype=compute_dtype, mesh=mesh)
+                    order=order, compute_dtype=compute_dtype, mesh=mesh,
+                    method=method)
                 if r is None:
                     return None
                 out[:, :, i3, i4, i5] = r.reshape(len(l1), len(l2))

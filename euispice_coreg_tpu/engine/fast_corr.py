@@ -121,33 +121,69 @@ def _tap_offsets(order: int):
     return [-1, 0, 1]  # order 2
 
 
-@partial(jax.jit, static_argnames=("order", "m", "precise"))
-def _build_surfaces(small, ref, order, m, constraint=None, precise=False):
+@partial(jax.jit, static_argnames=("order", "m", "precise", "score"))
+def _build_surfaces(small, ref, order, m, constraint=None, precise=False,
+                    score="pearson"):
     """Frequency-domain cross-correlation products, shape (n_pairs, m, m//2+1)
     (callers apply the inverse FFT, possibly chunked).
 
-    Returned layout (order 2, taps T = 3 offsets/axis, nt = 9, npair = 45):
+    ``score="pearson"`` layout (order 2, taps T = 3 offsets/axis, nt = 9,
+    npair = 45):
       [0]                 XC(M,   A)
       [1]                 XC(M a, A)
       [2]                 XC(M a2,A)
       [3 : 3+nt]          XC(M,   A small_t)
       [3+nt : 3+2nt]      XC(M a, A small_t)
       [3+2nt : 3+2nt+np]  XC(M,   A small_t small_u), (t<=u upper triangle)
+
+    ``score="residus"`` factorizes the masked residue std of
+    d = (a - b)/sqrt(a) (core/score.residus_masked; reference
+    alignment.py:544-548).  The residue is not shift-invariant, but
+    d = ((a - c) - (b - c))/sqrt(a) holds EXACTLY for any constant c; using
+    c = the masked mean of a keeps every factorized term at variance scale
+    instead of field scale (~1000x better conditioning against FFT error —
+    the uncentered expansion lost the TPU f32 path entirely).  With
+    F = [a finite & a > 0], a' = a - c, b' = b - c:
+      Sd  = sum F a'/sqrt(a) - sum F b'/sqrt(a)
+      Sdd = sum F a'^2/a - 2 sum F a' b'/a + sum F b'^2/a
+    layout:
+      [0]                 XC(F,           A)      n
+      [1]                 XC(F a'/sqrt a, A)
+      [2]                 XC(F a'^2/a,    A)
+      [3 : 3+nt]          XC(F/sqrt a,    A small'_t)   (b'/sqrt a terms)
+      [3+nt : 3+2nt]      XC(F a'/a,      A small'_t)   (a'b'/a terms)
+      [3+2nt : 3+2nt+np]  XC(F/a,         A small'_t small'_u)
     """
     taps = _tap_offsets(order)
     nt = len(taps) ** 2
 
-    mask_ref = jnp.isfinite(ref)
-    a = jnp.where(mask_ref, ref, 0.0)
-    # global centering for conditioning (exact: Pearson shift-invariance)
-    amean = jnp.sum(a) / jnp.maximum(jnp.sum(mask_ref), 1)
-    a = jnp.where(mask_ref, ref - amean, 0.0)
-    mf = mask_ref.astype(ref.dtype)
+    if score == "pearson":
+        mask_ref = jnp.isfinite(ref)
+        # global centering for conditioning (exact: Pearson shift-invariance)
+        amean = jnp.sum(jnp.where(mask_ref, ref, 0.0)) / jnp.maximum(
+            jnp.sum(mask_ref), 1)
+        a = jnp.where(mask_ref, ref - amean, 0.0)
+        mf = mask_ref.astype(ref.dtype)
+        g_list = [mf, mf * a, mf * a * a]
+        center_small = True
+    else:  # residus
+        F = jnp.isfinite(ref) & (ref > 0)
+        a = jnp.where(F, ref, 1.0)  # safe denominator under the mask
+        Ff = F.astype(ref.dtype)
+        cshift = jnp.sum(Ff * a) / jnp.maximum(jnp.sum(Ff), 1)
+        ap = jnp.where(F, a - cshift, 0.0)
+        sqa = jnp.sqrt(a)
+        g_list = [Ff, Ff * ap / sqa, Ff * ap * ap / a, Ff / sqa,
+                  Ff * ap / a, Ff / a]
+        center_small = False
 
     sfin = jnp.isfinite(small)
     s0 = jnp.where(sfin, small, 0.0)
-    smean = jnp.sum(s0) / jnp.maximum(jnp.sum(sfin), 1)
-    s = jnp.where(sfin, small - smean, 0.0)
+    if center_small:
+        smean = jnp.sum(s0) / jnp.maximum(jnp.sum(sfin), 1)
+        s = jnp.where(sfin, small - smean, 0.0)
+    else:
+        s = jnp.where(sfin, small - cshift, 0.0)
 
     # tap-validity mask A: all stencil taps finite and inside the image
     valid = sfin
@@ -164,7 +200,7 @@ def _build_surfaces(small, ref, order, m, constraint=None, precise=False):
         for tx in taps:
             s_t.append(_shift2(s, ty, tx, fill=0.0))
 
-    g_fields = jnp.stack([mf, mf * a, mf * a * a])  # (3, h, w)
+    g_fields = jnp.stack(g_list)
     r_fields = [Af]
     for st in s_t:
         r_fields.append(Af * st)
@@ -189,27 +225,38 @@ def _build_surfaces(small, ref, order, m, constraint=None, precise=False):
         R = jnp.fft.rfft2(r_fields, s=(m, m))
 
     npairs = nt * (nt + 1) // 2
-    prods = jnp.concatenate([
-        jnp.conj(G[0:1]) * R[0:1],            # n
-        jnp.conj(G[1:2]) * R[0:1],            # Sa
-        jnp.conj(G[2:3]) * R[0:1],            # Saa
-        jnp.conj(G[0:1]) * R[1 : 1 + nt],     # Sb terms
-        jnp.conj(G[1:2]) * R[1 : 1 + nt],     # Sab terms
-        jnp.conj(G[0:1]) * R[1 + nt : 1 + nt + npairs],  # Sbb terms
-    ])
+    if score == "pearson":
+        prods = jnp.concatenate([
+            jnp.conj(G[0:1]) * R[0:1],            # n
+            jnp.conj(G[1:2]) * R[0:1],            # Sa
+            jnp.conj(G[2:3]) * R[0:1],            # Saa
+            jnp.conj(G[0:1]) * R[1 : 1 + nt],     # Sb terms
+            jnp.conj(G[1:2]) * R[1 : 1 + nt],     # Sab terms
+            jnp.conj(G[0:1]) * R[1 + nt : 1 + nt + npairs],  # Sbb terms
+        ])
+    else:
+        prods = jnp.concatenate([
+            jnp.conj(G[0:1]) * R[0:1],            # n
+            jnp.conj(G[1:2]) * R[0:1],            # sum F a'/sqrt(a)
+            jnp.conj(G[2:3]) * R[0:1],            # sum F a'^2/a
+            jnp.conj(G[3:4]) * R[1 : 1 + nt],     # b'/sqrt(a) terms
+            jnp.conj(G[4:5]) * R[1 : 1 + nt],     # a'b'/a terms
+            jnp.conj(G[5:6]) * R[1 + nt : 1 + nt + npairs],  # b'^2/a terms
+        ])
     if constraint is not None:
         prods = jax.lax.with_sharding_constraint(prods, constraint)
     return prods
 
 
-@partial(jax.jit, static_argnames=("order", "m", "precise"))
-def _surfaces_at(small, ref, iy, ix, order, m, precise=False):
+@partial(jax.jit, static_argnames=("order", "m", "precise", "score"))
+def _surfaces_at(small, ref, iy, ix, order, m, precise=False,
+                 score="pearson"):
     """Surface values at the per-lag integer offsets: (n_surf, L) — only this
     small array ever leaves the device.
 
     The inverse FFTs run in chunks so the full (n_surf, m, m) surface stack
     (>1 GB at 2k^2) never materializes in HBM at once."""
-    prods = _build_surfaces(small, ref, order, m, precise=precise)
+    prods = _build_surfaces(small, ref, order, m, precise=precise, score=score)
     n_surf = prods.shape[0]
     chunk = 8
     vals = []
@@ -219,7 +266,7 @@ def _surfaces_at(small, ref, iy, ix, order, m, precise=False):
     return jnp.concatenate(vals, axis=0)
 
 
-def surfaces_at_sharded(small, ref, iy, ix, order, m, mesh):
+def surfaces_at_sharded(small, ref, iy, ix, order, m, mesh, score="pearson"):
     """Multi-chip variant: the surface batch (58 field FFTs + 66 inverse
     transforms) is sharded across the mesh's ``lags`` axis; images are
     replicated.  XLA inserts the (tiny) all-gather of the (n_surf, L) values
@@ -230,16 +277,17 @@ def surfaces_at_sharded(small, ref, iy, ix, order, m, mesh):
     repl = NamedSharding(mesh, P())
     precise = precise_fft.use_precise_fft(mesh.devices.ravel()[0].platform)
 
-    @partial(jax.jit, static_argnames=("order", "m"))
-    def run(small_, ref_, iy_, ix_, order, m):
+    @partial(jax.jit, static_argnames=("order", "m", "score"))
+    def run(small_, ref_, iy_, ix_, order, m, score):
         prods = _build_surfaces.__wrapped__(small_, ref_, order, m,
-                                            constraint=shard, precise=precise)
+                                            constraint=shard, precise=precise,
+                                            score=score)
         surfaces = _irfft2(prods, m, precise)
         return surfaces[:, iy_, ix_]
 
     small_ = jax.device_put(small, repl)
     ref_ = jax.device_put(ref, repl)
-    return run(small_, ref_, iy, ix, order, m)
+    return run(small_, ref_, iy, ix, order, m, score)
 
 
 def _backend_of(x) -> str | None:
@@ -315,8 +363,10 @@ def evaluate_crval_grid_fast(
     compute_dtype=jnp.float32,
     grid_params: dict | None = None,
     mesh=None,
+    method: str = "correlation",
 ):
-    """Masked-Pearson scores for a crval1 x crval2 lag grid.
+    """Scores (masked Pearson or residue, see
+    :func:`evaluate_from_displacements`) for a crval1 x crval2 lag grid.
 
     Returns (n1, n2) float64 array, or None if the constant-displacement
     bound is violated (caller falls back to the general engine).
@@ -331,7 +381,7 @@ def evaluate_crval_grid_fast(
                                      grid=grid_params)
     r = evaluate_from_displacements(
         small_img, ref_img, c, spread,
-        order=order, compute_dtype=compute_dtype, mesh=mesh,
+        order=order, compute_dtype=compute_dtype, mesh=mesh, method=method,
     )
     if r is None:
         return None
@@ -340,14 +390,27 @@ def evaluate_crval_grid_fast(
 
 def evaluate_from_displacements(small_img, ref_img, c, spread, *,
                                 order: int = 2, compute_dtype=jnp.float32,
-                                mesh=None):
-    """Masked Pearson for a list of constant pixel displacements ``c``
-    ((L, 2), x/y order) of the moving image relative to the comparison grid.
+                                mesh=None, method: str = "correlation"):
+    """Scores for a list of constant pixel displacements ``c`` ((L, 2), x/y
+    order) of the moving image relative to the comparison grid.
+
+    ``method``: ``"correlation"`` (masked Pearson), ``"residus_masked"``
+    (masked residue std), or ``"residus"`` (reference-exact raw residue:
+    equals the masked value when every comparison-grid pixel is valid and
+    NaN otherwise, reproducing the NaN propagation of alignment.py:544-548).
+    Residue numerics: exact to ~1e-6 in float64 (CPU tests); on TPU float32
+    the factorized Sdd carries ~1% relative error from intrinsic
+    cancellation (residue std << field std) — argmin parity with the exact
+    engine is pinned, use ``lag_search_mode="exact"``/``"pallas"`` when
+    tight residue VALUES matter.
 
     Returns the (L,) score vector, or None when the spread bound or the
     frame-size precondition fails.  Shared core of the crval fast path, the
     block fast path and the Carrington fast path.
     """
+    if method not in ("correlation", "residus", "residus_masked"):
+        return None
+    score = "pearson" if method == "correlation" else "residus"
     if spread > MAX_DISPLACEMENT_SPREAD_PX:
         return None
 
@@ -370,10 +433,12 @@ def evaluate_from_displacements(small_img, ref_img, c, spread, *,
     precise = precise_fft.use_precise_fft(_backend_of(small_d))
     if mesh is not None and mesh.devices.size > 1:
         S = np.asarray(surfaces_at_sharded(small_d, ref_d, iy, ix, order, m,
-                                           mesh), dtype=np.float64)
+                                           mesh, score=score),
+                       dtype=np.float64)
     else:
         S = np.asarray(_surfaces_at(small_d, ref_d, iy, ix, order, m,
-                                    precise=precise), dtype=np.float64)
+                                    precise=precise, score=score),
+                       dtype=np.float64)
 
     taps = _tap_offsets(order)
     ntap = len(taps)
@@ -397,21 +462,42 @@ def evaluate_from_displacements(small_img, ref_img, c, spread, *,
     wy = weights_1d(dfrac[:, 1])  # (L, ntap)
     w2 = (wy[:, :, None] * wx[:, None, :]).reshape(L, nt)  # (L, nt)
 
-    n = S[0]
-    Sa = S[1]
-    Saa = S[2]
-    Sb = np.einsum("lt,tl->l", w2, S[3 : 3 + nt])
-    Sab = np.einsum("lt,tl->l", w2, S[3 + nt : 3 + 2 * nt])
-
     pair_w = np.zeros((L, npairs))
     k = 0
     for i in range(nt):
         for j in range(i, nt):
             pair_w[:, k] = w2[:, i] * w2[:, j] * (1.0 if i == j else 2.0)
             k += 1
-    Sbb = np.einsum("lp,pl->l", pair_w, S[3 + 2 * nt : 3 + 2 * nt + npairs])
 
+    n = S[0]
+    if score == "pearson":
+        Sa = S[1]
+        Saa = S[2]
+        Sb = np.einsum("lt,tl->l", w2, S[3 : 3 + nt])
+        Sab = np.einsum("lt,tl->l", w2, S[3 + nt : 3 + 2 * nt])
+        Sbb = np.einsum("lp,pl->l", pair_w,
+                        S[3 + 2 * nt : 3 + 2 * nt + npairs])
+        with np.errstate(invalid="ignore", divide="ignore"):
+            num = Sab - Sa * Sb / n
+            den = np.sqrt((Saa - Sa * Sa / n) * (Sbb - Sb * Sb / n))
+            return num / den
+
+    # residue (c-centered exact identity, see _build_surfaces):
+    # Sd = sum a'/sqrt(a) - sum b'/sqrt(a);
+    # Sdd = sum a'^2/a - 2 sum a'b'/a + sum b'^2/a  (over the joint mask)
+    Ssqa = S[1]
+    Sa_ = S[2]
+    Sbosq = np.einsum("lt,tl->l", w2, S[3 : 3 + nt])
+    Sb_ = np.einsum("lt,tl->l", w2, S[3 + nt : 3 + 2 * nt])
+    Sb2oa = np.einsum("lp,pl->l", pair_w, S[3 + 2 * nt : 3 + 2 * nt + npairs])
     with np.errstate(invalid="ignore", divide="ignore"):
-        num = Sab - Sa * Sb / n
-        den = np.sqrt((Saa - Sa * Sa / n) * (Sbb - Sb * Sb / n))
-        return num / den
+        Sd = Ssqa - Sbosq
+        Sdd = Sa_ - 2.0 * Sb_ + Sb2oa
+        mean = Sd / n
+        var = Sdd / n - mean * mean
+        val = np.sqrt(np.maximum(var, 0.0))
+    if method == "residus":
+        # raw residue: any invalid pixel anywhere poisons the std
+        total = float(np.shape(small_img)[0] * np.shape(small_img)[1])
+        val = np.where(np.round(n) >= total, val, np.nan)
+    return val

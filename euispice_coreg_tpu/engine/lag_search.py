@@ -236,14 +236,14 @@ def evaluate_lag_grid(
         logger.info("pallas preconditions failed, falling back")
         allow_fast = True
 
-    if allow_fast and method == "correlation":
+    if allow_fast and method in ("correlation", "residus", "residus_masked"):
         from . import fast_corr
 
         if fast_corr.fast_path_applicable(l3, l4, l5, order):
             fast = fast_corr.evaluate_crval_grid_fast(
                 small_img, ref_img, lon, lat, base_params, l1, l2,
                 order=order, kind=kind, compute_dtype=compute_dtype,
-                mesh=mesh,
+                mesh=mesh, method=method,
             )
             if fast is not None:
                 logger.info("engine path: FFT fast (crval grid)")
@@ -255,6 +255,7 @@ def evaluate_lag_grid(
                 small_img, ref_img, lon, lat, base_params,
                 l1, l2, l3, l4, l5,
                 order=order, kind=kind, compute_dtype=compute_dtype,
+                method=method,
             )
             if fast is not None:
                 logger.info("engine path: FFT block fast (mixed grid)")
@@ -375,7 +376,8 @@ def _apply_lag_to_params_np(base: dict, d5: np.ndarray) -> dict:
 
 
 def _evaluate_block_fast(small_img, ref_img, lon, lat, base_params,
-                         l1, l2, l3, l4, l5, *, order, kind, compute_dtype):
+                         l1, l2, l3, l4, l5, *, order, kind, compute_dtype,
+                         method="correlation"):
     """Block fast path for mixed lag grids.
 
     For each (cdelt1, cdelt2, crota) combination, the small image is warped
@@ -407,7 +409,7 @@ def _evaluate_block_fast(small_img, ref_img, lon, lat, base_params,
                 block = fast_corr.evaluate_crval_grid_fast(
                     warped, ref_img, lon, lat, combo, l1, l2,
                     order=order, kind=kind, compute_dtype=compute_dtype,
-                    grid_params=base_params,
+                    grid_params=base_params, method=method,
                 )
                 if block is None:
                     return None

@@ -246,3 +246,56 @@ def test_carrington_select_matches_general():
     assert np.unravel_index(np.nanargmax(sel), sel.shape) == \
         np.unravel_index(np.nanargmax(general), general.shape)
     np.testing.assert_allclose(sel, general, atol=0.05)
+
+
+@pytest.mark.parametrize("order", [0, 2])
+def test_residus_masked_fast_matches_general(order):
+    """The residue-score FFT factorization matches the exact gather engine
+    (method='residus_masked': Sd/Sdd surface decomposition)."""
+    ds, ref_img, lon, lat, base = build_inputs(nan_border=True)
+    l1 = np.arange(-2, 19, 2.0) / 3600.0
+    l2 = np.arange(-14, 7, 2.0) / 3600.0
+
+    general = lag_search.evaluate_lag_grid(
+        ds, ref_img, lon, lat, base, l1, l2, [0.0], [0.0], [0.0],
+        order=order, compute_dtype="float64", allow_fast=False,
+        method="residus_masked",
+    )
+    fast = lag_search.evaluate_lag_grid(
+        ds, ref_img, lon, lat, base, l1, l2, [0.0], [0.0], [0.0],
+        order=order, compute_dtype="float64", allow_fast=True,
+        method="residus_masked",
+    )
+    # the factorized Sdd uses the E[x^2] - E[x]^2 form (vs the exact
+    # engine's two-pass variance): ~1e-6 relative f64 cancellation
+    np.testing.assert_allclose(fast, general, rtol=1e-5, atol=1e-9)
+    assert np.unravel_index(np.nanargmin(fast), fast.shape) == \
+        np.unravel_index(np.nanargmin(general), general.shape)
+
+
+def test_residus_raw_fast_matches_general():
+    """Raw 'residus' (NaN-poisoning, alignment.py:544-548): fast path equals
+    the masked value on fully-valid grids and NaN otherwise, exactly like
+    the exact engine."""
+    ds, ref_img, lon, lat, base = build_inputs(nan_border=False)
+    # strictly positive, NaN-free pair so zero-displacement lags are fully
+    # valid (raw residus needs every pixel finite)
+    assert np.isfinite(ds).all()
+    ref_img = np.nan_to_num(np.asarray(ref_img), nan=float(np.nanmean(ref_img)))
+    l1 = np.arange(-2.0, 3.0, 2.0) / 3600.0
+    l2 = np.arange(-2.0, 3.0, 2.0) / 3600.0
+
+    general = lag_search.evaluate_lag_grid(
+        ds, ref_img, lon, lat, base, l1, l2, [0.0], [0.0], [0.0],
+        order=2, compute_dtype="float64", allow_fast=False, method="residus",
+    )
+    fast = lag_search.evaluate_lag_grid(
+        ds, ref_img, lon, lat, base, l1, l2, [0.0], [0.0], [0.0],
+        order=2, compute_dtype="float64", allow_fast=True, method="residus",
+    )
+    # NaN pattern must agree exactly; values agree where finite
+    np.testing.assert_array_equal(np.isnan(fast), np.isnan(general))
+    fin = np.isfinite(general)
+    if fin.any():
+        np.testing.assert_allclose(fast[fin], general[fin],
+                                   rtol=1e-7, atol=1e-9)
