@@ -222,9 +222,17 @@ def run_carrington(lon, lat):
     step = 0.5 / 3600.0
     l1 = (np.arange(GRID) - GRID // 2) * step
 
+    # device-resident inputs, like the core leg (run_tpu): the metric
+    # measures the search, not the tunnel's upload weather (uploads are
+    # covered by end_to_end_api_s)
+    import jax.numpy as jnp
+
+    small_d = jnp.asarray(small, dtype=jnp.float32)
+    ref_d = jnp.asarray(ref, dtype=jnp.float32)
+
     def run():
         return carr.evaluate_lag_grid_carrington(
-            small, ref, hdr, lonlims, latlims, shape,
+            small_d, ref_d, hdr, lonlims, latlims, shape,
             l1, l1, [0.0], [0.0], [0.0],
             d_solar_r=1.004, reference_date=hdr["DATE-OBS"], rate_wave="171",
             order=2, compute_dtype="float32",

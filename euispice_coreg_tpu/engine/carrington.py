@@ -385,8 +385,11 @@ def evaluate_lag_grid_carrington(
     if lag_mode == "exact":
         allow_fast = False
 
+    from ..utils.obs import timed as _timed
+
     sc = header_spherical_scalars(hdr_small, d_solar_r)
-    lon, lat = carrington_grid(lonlims, latlims, shape)
+    with _timed("carrington lon/lat grid (host)"):
+        lon, lat = carrington_grid(lonlims, latlims, shape)
     delta_t = 0.0
     if reference_date is not None:
         delta_t = timeutils.time_diff_days(str(hdr_small["DATE-OBS"]), str(reference_date))
@@ -605,20 +608,25 @@ def _carrington_select(small_img, ref_img, sc, lon, lat, delta_t, rate_wave,
                 if int(m_l.max()) > 24:
                     return None
 
+                from ..utils.obs import logger as _log, timed as _timed
+
                 # pre-warp fully on device (no coordinate-field transfers)
-                warped_d = _warp_to_grid(
-                    small_d, combo, lonlims, latlims, shape, delta_t,
-                    rate_wave, order, compute_dtype)
+                with _timed("carrington pre-warp (small -> grid)"):
+                    warped_d = _warp_to_grid(
+                        small_d, combo, lonlims, latlims, shape, delta_t,
+                        rate_wave, order, compute_dtype)
+                    warped_d.block_until_ready()
                 ref_d = jnp.asarray(ref_img, dtype=compute_dtype)
                 coeffs_np = np.asarray(coeffs, dtype=compute_dtype)
 
                 if use_pallas:
                     from . import pallas_quad
-                    from ..utils.obs import logger as _log
 
-                    vals_p = pallas_quad.evaluate_select_carr_pallas(
-                        coeffs, warped_d, ref_d, order=order, h=h, w=w,
-                        method=method, interpret=pallas_interpret, mesh=mesh)
+                    with _timed("carrington pallas select evaluation"):
+                        vals_p = pallas_quad.evaluate_select_carr_pallas(
+                            coeffs, warped_d, ref_d, order=order, h=h, w=w,
+                            method=method, interpret=pallas_interpret,
+                            mesh=mesh)
                     if vals_p is not None:
                         _log.info("carrington select: pallas quad kernel")
                         out[:, :, i3, i4, i5] = vals_p.reshape(

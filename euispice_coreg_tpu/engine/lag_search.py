@@ -144,11 +144,14 @@ def run_chunked(fn, per_lag_arrays, n_lags, chunk_size, label="lag chunks"):
         e = min(s + chunk_size, n_lags)
         args = []
         for a in per_lag_arrays:
-            part = np.asarray(a[s:e])
+            # device-resident operands are sliced/padded ON DEVICE (no
+            # host round-trip of e.g. the per-tile shift tables)
+            xp = jnp if isinstance(a, jax.Array) else np
+            part = a[s:e]
             if e - s < chunk_size:
-                fill = np.repeat(part[-1:], chunk_size - (e - s), axis=0)
-                part = np.concatenate([part, fill], axis=0)
-            args.append(jnp.asarray(part))
+                fill = xp.repeat(part[-1:], chunk_size - (e - s), axis=0)
+                part = xp.concatenate([part, fill], axis=0)
+            args.append(part if xp is jnp else jnp.asarray(part))
         return e - s, args
 
     outs = []

@@ -113,14 +113,20 @@ def _make_kernel(mx, my, mm_y, mm_x, pad, hw_grid, order, method,
     return kernel
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=32)
 def _build_eval(mx, my, mm_y, mm_x, pad, hw_grid, order, method, n_ty, n_tx,
                 interpret, mesh=None, th=TILE, tw=TILE):
-    """One jitted evaluator instance; reused across lag chunks so the
-    compiled program is cached (a fresh kernel closure per chunk would
-    recompile every call).  With ``mesh`` the lag axis is sharded across the
-    devices with ``shard_map`` (canvases replicated in every chip's HBM;
-    each device runs the kernel on its lag sub-grid — the TPU-native form
-    of the reference's process fan-out, alignment.py:634-756)."""
+    """One jitted evaluator instance, memoized on the full static signature:
+    reused across lag chunks AND across evaluator calls (a fresh kernel
+    closure per call re-traced the whole pallas program and paid a remote
+    compile-cache round-trip — seconds per alignment on tunneled TPUs).
+    With ``mesh`` the lag axis is sharded across the devices with
+    ``shard_map`` (canvases replicated in every chip's HBM; each device runs
+    the kernel on its lag sub-grid — the TPU-native form of the reference's
+    process fan-out, alignment.py:634-756)."""
     kernel = _make_kernel(mx, my, mm_y, mm_x, pad, hw_grid, order, method,
                           th=th, tw=tw)
 
@@ -163,6 +169,22 @@ def _build_eval(mx, my, mm_y, mm_x, pad, hw_grid, order, method, n_ty, n_tx,
         check_vma=False))
 
 
+@functools.partial(jax.jit, static_argnames=("ht", "wt", "pad", "pe",
+                                             "center", "h", "w"))
+def _build_canvases(wp, rf, *, ht, wt, pad, pe, center, h, w):
+    """Module-level jitted canvas builder (a per-call closure re-traced and
+    paid a remote compile-cache lookup on every alignment)."""
+    amean = jnp.nanmean(rf) if center else jnp.float32(0.0)
+    bmean = jnp.nanmean(wp) if center else jnp.float32(0.0)
+    refl = jnp.pad(wp - bmean, pe, mode="reflect")
+    canvas = jnp.full((ht + 2 * pad, wt + 2 * pad), jnp.nan, jnp.float32)
+    canvas = canvas.at[pad - pe: pad + h + pe,
+                       pad - pe: pad + w + pe].set(refl)
+    ref_canvas = jnp.full((ht, wt), jnp.nan, jnp.float32)
+    ref_canvas = ref_canvas.at[:h, :w].set(rf - amean)
+    return canvas, ref_canvas
+
+
 def _tile_shifts(coeffs, h, w, n_ty, n_tx, th=TILE, tw=TILE):
     """Per-lag per-tile integer shifts + global residual bound.
 
@@ -183,28 +205,120 @@ def _tile_shifts(coeffs, h, w, n_ty, n_tx, th=TILE, tw=TILE):
     hx = (0.5 * (x_hi - x_lo))[None, None, :]
     hy = (0.5 * (y_hi - y_lo))[None, :, None]
 
-    shifts = np.empty((L, n_ty, n_tx, 2), dtype=np.int32)
-    bounds = [0.0, 0.0]
-    for k in range(2):
-        c0, c1, c2, c3, c4, c5 = (coeffs[:, q, k][:, None, None]
-                                  for q in range(6))
-        center = (c0 * uc + c1 * vc + c2
-                  + c3 * uc * uc + c4 * vc * vc + c5 * uc * vc)
-        shifts[..., k] = np.floor(center + 0.5).astype(np.int32)
-        gu = c0 + 2.0 * c3 * uc + c5 * vc
-        gv = c1 + 2.0 * c4 * vc + c5 * uc
-        dev = (np.abs(gu) * hx + np.abs(gv) * hy
-               + np.abs(c3) * hx * hx + np.abs(c4) * hy * hy
-               + np.abs(c5) * hx * hy)
-        bounds[k] = float(np.max(dev))
+    # shifts: ONE BLAS contraction (L*2, 6) @ (6, n_tiles) instead of ~20
+    # large strided broadcast temporaries (fresh multi-MB numpy temps cost
+    # page-fault storms on memory-constrained hosts — seconds at L ~ 1.5e4)
+    u = np.broadcast_to(uc, (1, n_ty, n_tx)).reshape(-1)
+    v = np.broadcast_to(vc, (1, n_ty, n_tx)).reshape(-1)
+    one = np.ones_like(u)
+    basis_c = np.stack([u, v, one, u * u, v * v, u * v])
+    ck = np.ascontiguousarray(coeffs.transpose(0, 2, 1)).reshape(L * 2, 6)
+
+    center = (ck @ basis_c).reshape(L, 2, n_ty, n_tx)
+    shifts = np.floor(center + 0.5).astype(np.int32).transpose(0, 2, 3, 1)
+    shifts = np.ascontiguousarray(shifts)  # (L, n_ty, n_tx, 2)
+
+    # deviation bound: dev(u, v) = |gu| hx + |gv| hy + quad is convex in the
+    # tile-center coordinates, so its max over all tiles is bounded by its
+    # value at the 4 corner centers with the full half-extents (edge tiles
+    # only ever have SMALLER extents -> conservative) — (L, 2, 4) instead of
+    # (L, 2, n_ty, n_tx)
+    ucorn = np.array([uc.ravel()[0], uc.ravel()[-1]])
+    vcorn = np.array([vc.ravel()[0], vc.ravel()[-1]])
+    uu, vv = np.meshgrid(ucorn, vcorn, indexing="ij")
+    uu, vv = uu.ravel(), vv.ravel()                           # (4,)
+    basis_gu = np.stack([np.ones_like(uu), 0 * uu, 0 * uu, 2.0 * uu,
+                         0 * uu, vv])
+    basis_gv = np.stack([0 * uu, np.ones_like(uu), 0 * uu, 0 * uu,
+                         2.0 * vv, uu])
+    hx_m, hy_m = 0.5 * (tw - 1), 0.5 * (th - 1)
+    gu = np.abs((ck @ basis_gu).reshape(L, 2, -1))
+    gv = np.abs((ck @ basis_gv).reshape(L, 2, -1))
+    quad = (np.abs(coeffs[:, 3, :, None]) * (hx_m * hx_m)
+            + np.abs(coeffs[:, 4, :, None]) * (hy_m * hy_m)
+            + np.abs(coeffs[:, 5, :, None]) * (hx_m * hy_m))
+    dev = gu * hx_m + gv * hy_m + quad                        # (L, 2, 4)
+    bounds = [float(np.max(dev[:, k])) if dev.size else 0.0 for k in range(2)]
 
     g_bound = int(np.max(np.abs(shifts))) if shifts.size else 0
     return shifts, bounds[0], bounds[1], g_bound
 
 
+def _tile_bounds(coeffs, h, w, n_ty, n_tx, th=TILE, tw=TILE):
+    """(dev_x, dev_y, g_bound) via corner/worst-case analysis only — no
+    (L, n_tiles) arrays at all (the shifts themselves are computed on
+    device by :func:`_device_tile_shifts`).
+
+    ``g_bound`` is a slightly conservative bound on max |shift|: bilinear
+    part maxed over the 4 corner tile centers plus the pure-quadratic
+    worst case over the whole center rectangle.
+    """
+    L = coeffs.shape[0]
+    u0 = 0.5 * (0 + min(tw - 1, w - 1))
+    u1 = 0.5 * ((n_tx - 1) * tw + min(n_tx * tw - 1, w - 1))
+    v0 = 0.5 * (0 + min(th - 1, h - 1))
+    v1 = 0.5 * ((n_ty - 1) * th + min(n_ty * th - 1, h - 1))
+    uu, vv = np.meshgrid([u0, u1], [v0, v1], indexing="ij")
+    uu, vv = uu.ravel(), vv.ravel()                           # (4,)
+    ck = np.ascontiguousarray(coeffs.transpose(0, 2, 1)).reshape(L * 2, 6)
+
+    one = np.ones_like(uu)
+    zero = 0 * uu
+    basis_gu = np.stack([one, zero, zero, 2.0 * uu, zero, vv])
+    basis_gv = np.stack([zero, one, zero, zero, 2.0 * vv, uu])
+    hx_m, hy_m = 0.5 * (tw - 1), 0.5 * (th - 1)
+    gu = np.abs((ck @ basis_gu).reshape(L, 2, -1))
+    gv = np.abs((ck @ basis_gv).reshape(L, 2, -1))
+    quad = (np.abs(coeffs[:, 3, :, None]) * (hx_m * hx_m)
+            + np.abs(coeffs[:, 4, :, None]) * (hy_m * hy_m)
+            + np.abs(coeffs[:, 5, :, None]) * (hx_m * hy_m))
+    dev = gu * hx_m + gv * hy_m + quad                        # (L, 2, 4)
+    dev_x = float(np.max(dev[:, 0])) if dev.size else 0.0
+    dev_y = float(np.max(dev[:, 1])) if dev.size else 0.0
+
+    basis_bil = np.stack([uu, vv, one, zero, zero, zero])
+    bil = np.abs((ck @ basis_bil))                            # (L*2, 4)
+    umax, vmax = max(abs(u0), abs(u1)), max(abs(v0), abs(v1))
+    quad_res = (np.abs(coeffs[:, 3, :]) * umax * umax
+                + np.abs(coeffs[:, 4, :]) * vmax * vmax
+                + np.abs(coeffs[:, 5, :]) * umax * vmax)
+    g_bound = int(np.ceil(np.max(bil) + np.max(quad_res) + 0.5)) \
+        if bil.size else 0
+    return dev_x, dev_y, g_bound
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_ty", "n_tx", "th", "tw", "h", "w"))
+def _device_tile_shifts(coeffs12, *, n_ty, n_tx, th, tw, h, w):
+    """Per-lag per-tile integer shifts computed ON DEVICE from the (L, 1, 12)
+    f32 coefficient rows: the (L, n_tiles, 2) table never exists on the host
+    (fresh multi-MB host allocations page-fault for seconds on constrained
+    hosts, and the table would be re-uploaded through the tunnel anyway).
+    Uses the same f32 arithmetic as the kernel's in-tile polynomial."""
+    c = coeffs12[:, 0, :]                                     # (L, 12)
+    x_lo = jnp.arange(n_tx, dtype=jnp.float32) * tw
+    x_hi = jnp.minimum(x_lo + tw - 1, w - 1)
+    y_lo = jnp.arange(n_ty, dtype=jnp.float32) * th
+    y_hi = jnp.minimum(y_lo + th - 1, h - 1)
+    U = jnp.broadcast_to((0.5 * (x_lo + x_hi))[None, :], (n_ty, n_tx))
+    V = jnp.broadcast_to((0.5 * (y_lo + y_hi))[:, None], (n_ty, n_tx))
+
+    def center(k):
+        c0, c1, c2 = c[:, 6 * k + 0], c[:, 6 * k + 1], c[:, 6 * k + 2]
+        c3, c4, c5 = c[:, 6 * k + 3], c[:, 6 * k + 4], c[:, 6 * k + 5]
+        e = lambda q: q[:, None, None]
+        return (e(c0) * U + e(c1) * V + e(c2) + e(c3) * U * U
+                + e(c4) * V * V + e(c5) * U * V)
+
+    sx = jnp.floor(center(0) + 0.5).astype(jnp.int32)
+    sy = jnp.floor(center(1) + 0.5).astype(jnp.int32)
+    return jnp.stack([sx, sy], axis=-1).reshape(
+        c.shape[0], n_ty, n_tx, 1, 2)
+
+
 def evaluate_select_carr_pallas(coeffs, warped, ref_img, *, order, h, w,
                                 method="correlation", interpret=None,
-                                max_m=6, chunk=1024, mesh=None,
+                                max_m=6, chunk=2048, mesh=None,
                                 supertile=None):
     """Score ``L`` quadratic-displacement lags against ``ref_img``.
 
@@ -241,12 +355,12 @@ def evaluate_select_carr_pallas(coeffs, warped, ref_img, *, order, h, w,
     def tiling(th, tw):
         n_ty = -(-h // th)
         n_tx = -(-w // tw)
-        shifts, dev_x, dev_y, g_bound = _tile_shifts(
+        dev_x, dev_y, g_bound = _tile_bounds(
             coeffs, h, w, n_ty, n_tx, th=th, tw=tw)
         mx = max(1, int(np.ceil(dev_x + 1e-3)) + extra)
         my = max(1, int(np.ceil(dev_y + 1e-3)) + extra)
         cost = (2 * mx + n_taps) * (2 * my + n_taps)
-        return dict(th=th, tw=tw, n_ty=n_ty, n_tx=n_tx, shifts=shifts,
+        return dict(th=th, tw=tw, n_ty=n_ty, n_tx=n_tx,
                     g_bound=g_bound, mx=mx, my=my, cost=cost)
 
     # 2x2 super-tiles quarter the per-grid-step overhead and cut per-pixel
@@ -261,7 +375,7 @@ def evaluate_select_carr_pallas(coeffs, warped, ref_img, *, order, h, w,
             pick = t2
     th, tw = pick["th"], pick["tw"]
     n_ty, n_tx = pick["n_ty"], pick["n_tx"]
-    shifts, g_bound = pick["shifts"], pick["g_bound"]
+    g_bound = pick["g_bound"]
     mx, my = pick["mx"], pick["my"]
     ht, wt = n_ty * th, n_tx * tw
     if max(mx, my) > max_m or g_bound > min(h, w):
@@ -282,24 +396,16 @@ def evaluate_select_carr_pallas(coeffs, warped, ref_img, *, order, h, w,
     # the raw values in (a - b)/sqrt(a)
     center = method == "correlation"
 
-    @jax.jit
-    def build_canvases(wp, rf):
-        amean = jnp.nanmean(rf) if center else jnp.float32(0.0)
-        bmean = jnp.nanmean(wp) if center else jnp.float32(0.0)
-        refl = jnp.pad(wp - bmean, pe, mode="reflect")
-        canvas = jnp.full((ht + 2 * pad, wt + 2 * pad), jnp.nan, jnp.float32)
-        canvas = canvas.at[pad - pe: pad + h + pe,
-                           pad - pe: pad + w + pe].set(refl)
-        ref_canvas = jnp.full((ht, wt), jnp.nan, jnp.float32)
-        ref_canvas = ref_canvas.at[:h, :w].set(rf - amean)
-        return canvas, ref_canvas
-
-    canvas, ref_canvas = build_canvases(warped_d, ref_d)
+    canvas, ref_canvas = _build_canvases(warped_d, ref_d, ht=ht, wt=wt,
+                                         pad=pad, pe=pe, center=center,
+                                         h=h, w=w)
 
     cf = coeffs.astype(np.float32)
-    coeffs12 = np.concatenate([cf[:, :, 0], cf[:, :, 1]],
-                              axis=1).reshape(L, 1, 12)
-    shifts_k = shifts.reshape(L, n_ty, n_tx, 1, 2)
+    coeffs12 = jnp.asarray(np.concatenate([cf[:, :, 0], cf[:, :, 1]],
+                                          axis=1).reshape(L, 1, 12))
+    # shift table computed and kept on device (never materialized on host)
+    shifts_k = _device_tile_shifts(coeffs12, n_ty=n_ty, n_tx=n_tx,
+                                   th=th, tw=tw, h=h, w=w)
 
     if mesh is not None:
         ndev = mesh.devices.size
