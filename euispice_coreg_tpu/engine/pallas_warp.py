@@ -24,6 +24,8 @@ engine evaluators; exact sample_image semantics incl. mirror taps).
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -128,42 +130,55 @@ def warp_score_sums(small_padded, ref_img, lon, lat, base_vec, lags, shifts,
     ht, wt = ref_img.shape
     n_ty, n_tx = ht // TILE, wt // TILE
     L = lags.shape[0]
+    fn = _warp_eval(mx, my, pad, hw_img, order, kind, n_ty, n_tx, L,
+                    interpret)
+    out = fn(lags.reshape(L, 1, 5), shifts.reshape(L, n_ty, n_tx, 1, 2),
+             base_vec, small_padded, ref_img, lon, lat)
+    return out.reshape(L, OUT_LANES)
+
+
+@functools.lru_cache(maxsize=32)
+def _warp_eval(mx, my, pad, hw_img, order, kind, n_ty, n_tx, L, interpret):
+    """Memoized jitted pallas evaluator (a fresh pallas_call per alignment
+    re-traced the program and paid a remote compile-cache round-trip)."""
     # margins cover the within-tile residual + spline taps + the balanced
     # sub-tiling remainder of the shift (the aligned part rides in the DMA
     # start)
     mm_y, mm_x = pc.balanced_margins(mx, my)
-
     kernel = _make_kernel(mx, my, mm_y, mm_x, pad, hw_img, order, kind)
 
-    out = pl.pallas_call(
-        kernel,
-        grid=(L, n_ty, n_tx),
-        in_specs=[
-            pl.BlockSpec((1, 1, 5), lambda l, ty, tx: (l, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1, 1, 2), lambda l, ty, tx: (l, ty, tx, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 12), lambda l, ty, tx: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((TILE, TILE), lambda l, ty, tx: (ty, tx),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, TILE), lambda l, ty, tx: (ty, tx),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, TILE), lambda l, ty, tx: (ty, tx),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 1, OUT_LANES), lambda l, ty, tx: (l, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((L, 1, OUT_LANES), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((TILE + 2 * mm_y, TILE + 2 * mm_x), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
-        interpret=interpret,
-    )(lags.reshape(L, 1, 5), shifts.reshape(L, n_ty, n_tx, 1, 2),
-      base_vec, small_padded, ref_img, lon, lat)
-    return out.reshape(L, OUT_LANES)
+    def run(lags, shifts, base_vec, small_padded, ref_img, lon, lat):
+        return pl.pallas_call(
+            kernel,
+            grid=(L, n_ty, n_tx),
+            in_specs=[
+                pl.BlockSpec((1, 1, 5), lambda l, ty, tx: (l, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, 1, 1, 2),
+                             lambda l, ty, tx: (l, ty, tx, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 12), lambda l, ty, tx: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((TILE, TILE), lambda l, ty, tx: (ty, tx),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TILE, TILE), lambda l, ty, tx: (ty, tx),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TILE, TILE), lambda l, ty, tx: (ty, tx),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 1, OUT_LANES),
+                                   lambda l, ty, tx: (l, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((L, 1, OUT_LANES), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((TILE + 2 * mm_y, TILE + 2 * mm_x), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+            interpret=interpret,
+        )(lags, shifts, base_vec, small_padded, ref_img, lon, lat)
+
+    return jax.jit(run)
 
 
 def evaluate_lag_grid_pallas(
