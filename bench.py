@@ -75,13 +75,16 @@ def run_tpu(small_img, ref_img, lon, lat, base):
     lag1 = (np.arange(GRID) - GRID // 2) * step
     lag2 = (np.arange(GRID) - GRID // 2) * step
 
-    # device-resident image pair (loaded once, like any production pipeline)
+    # device-resident image pair + comparison grid (loaded once, like any
+    # production pipeline; probe extraction pulls 10 scalars in 1 transfer)
     small_d = jnp.asarray(small_img)
     ref_d = jnp.asarray(ref_img)
+    lon_d = jnp.asarray(lon)
+    lat_d = jnp.asarray(lat)
 
     def run():
         return lag_search.evaluate_lag_grid(
-            small_d, ref_d, lon, lat, base,
+            small_d, ref_d, lon_d, lat_d, base,
             lag1, lag2, [0.0], [0.0], [0.0],
             order=2, method="correlation", kind="tan",
             compute_dtype="float32", batch_size=16,
