@@ -299,3 +299,50 @@ def test_residus_raw_fast_matches_general():
     if fin.any():
         np.testing.assert_allclose(fast[fin], general[fin],
                                    rtol=1e-7, atol=1e-9)
+
+
+def test_box_inverse_matches_full_irfft2():
+    """Partial matmul-DFT box evaluation equals the full inverse transform
+    on the box (f32-twiddle tolerance)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    m = 384
+    nsurf = 3
+    fields = rng.normal(size=(nsurf, 256, 256))
+    prods = np.fft.rfft2(fields, s=(m, m))
+    full = np.fft.irfft2(prods, s=(m, m))
+
+    y0, x0, by, bx = -70, -40, 128, 128
+    box = np.asarray(fast_corr._box_inverse(
+        jnp.asarray(prods, dtype=jnp.complex64), m, y0, x0, by, bx))
+    want = full[:, (y0 + np.arange(by)) % m][:, :, (x0 + np.arange(bx)) % m]
+    scale = np.max(np.abs(full))
+    # one-level f32 direct DFT accumulates ~sqrt(m) eps (~1e-5 x scale) —
+    # still ~100x tighter than the XLA TPU FFT the precise path replaces
+    assert np.max(np.abs(box - want)) < 5e-5 * scale
+
+
+def test_fast_path_box_vs_full_surfaces():
+    """evaluate_from_displacements through the box path (forced precise)
+    matches the full-surface path on TPU-like numerics."""
+    ds, ref_img, lon, lat, base = build_inputs(nan_border=True)
+    l1 = np.arange(-2, 19, 2.0) / 3600.0
+    l2 = np.arange(-14, 7, 2.0) / 3600.0
+    g1, g2 = np.meshgrid(l1, l2, indexing="ij")
+    lags = np.stack([g1.ravel(), g2.ravel()], axis=-1)
+    c, spread = fast_corr.displacement_per_lag(base, lags, lon, lat, "tan")
+
+    import unittest.mock as mock
+
+    with mock.patch.object(fast_corr.precise_fft, "use_precise_fft",
+                           return_value=True):
+        boxed = fast_corr.evaluate_from_displacements(
+            ds, np.asarray(ref_img), c, spread, order=2,
+            compute_dtype="float32")
+    plain = fast_corr.evaluate_from_displacements(
+        ds, np.asarray(ref_img), c, spread, order=2, compute_dtype="float64")
+    assert boxed is not None and plain is not None
+    assert np.unravel_index(np.nanargmax(boxed), (len(l1), len(l2))) == \
+        np.unravel_index(np.nanargmax(plain), (len(l1), len(l2)))
+    np.testing.assert_allclose(boxed, plain, atol=3e-3)
