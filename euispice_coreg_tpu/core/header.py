@@ -149,7 +149,7 @@ def ensure_pcij(hdr: Header, force_crota_0: bool = False):
     accepts them for coordinates in the reference stack, but the reference's
     own shift path reads CDELT directly and would crash.
     """
-    if "PC1_1" not in hdr and "CD1_1" in hdr:
+    if "PC1_1" not in hdr and "CD1_1" in hdr and "CD2_2" in hdr:
         import math
 
         cd11 = float(hdr["CD1_1"])
@@ -162,13 +162,27 @@ def ensure_pcij(hdr: Header, force_crota_0: bool = False):
         cdelt1 = math.hypot(cd11, cd21)
         cdelt2 = math.hypot(cd12, cd22)
         if cdelt1 > 0 and cdelt2 > 0:
+            crota = math.degrees(math.atan2(cd21, cd11))
+            # the whole engine rebuilds PC from (CROTA, CDELT) whenever a
+            # cdelt/crota lag is applied, so only accept CD matrices that
+            # actually HAVE the rotation form (det > 0, no skew/flip) —
+            # otherwise the rebuilt PC would silently mirror the frame
+            pc11, pc12, pc21, pc22 = pc_from_crota(crota, cdelt1, cdelt2)
+            ok = (abs(pc11 - cd11 / cdelt1) < 1e-8
+                  and abs(pc12 - cd12 / cdelt1) < 1e-8
+                  and abs(pc21 - cd21 / cdelt2) < 1e-8
+                  and abs(pc22 - cd22 / cdelt2) < 1e-8)
+            if not ok:
+                raise ValueError(
+                    "CDi_j matrix is not a pure rotation+scale (negative "
+                    "determinant or skew); the CROTA-based shift math cannot "
+                    "represent it. Provide CDELT + PCi_j/CROTA instead."
+                )
             hdr["CDELT1"] = cdelt1
             hdr["CDELT2"] = cdelt2
-            hdr["PC1_1"] = cd11 / cdelt1
-            hdr["PC1_2"] = cd12 / cdelt1
-            hdr["PC2_1"] = cd21 / cdelt2
-            hdr["PC2_2"] = cd22 / cdelt2
-            hdr["CROTA"] = math.degrees(math.atan2(cd21, cd11))
+            hdr["PC1_1"], hdr["PC1_2"] = pc11, pc12
+            hdr["PC2_1"], hdr["PC2_2"] = pc21, pc22
+            hdr["CROTA"] = crota
     if "PC1_1" not in hdr:
         if "CROTA" in hdr:
             crot = hdr["CROTA"]

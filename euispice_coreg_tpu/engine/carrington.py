@@ -404,7 +404,7 @@ def evaluate_lag_grid_carrington(
     from ..utils.obs import logger
 
     if allow_fast and order in (0, 2) and \
-            method in ("correlation", "residus", "residus_masked"):
+            method in ("correlation", "residus_masked"):
         fast = _carrington_block_fast(
             small_img, ref_img, sc, lon, lat,
             delta_t=delta_t, rate_wave=rate_wave,

@@ -248,7 +248,7 @@ def _build_surfaces(small, ref, order, m, constraint=None, precise=False,
     return prods
 
 
-@partial(jax.jit, static_argnames=("m", "y0", "x0", "by", "bx"))
+@partial(jax.jit, static_argnames=("m", "by", "bx"))
 def _box_inverse(prods, m, y0, x0, by, bx):
     """Evaluate the correlation surfaces directly on the offset box
     ``[y0, y0+by) x [x0, x0+bx)`` (indices mod m) with two matmul-DFTs at
@@ -267,8 +267,10 @@ def _box_inverse(prods, m, y0, x0, by, bx):
     dt = jnp.complex64
     ky = jnp.arange(m, dtype=jnp.float32)
     kx = jnp.arange(K, dtype=jnp.float32)
-    yy = (y0 + jnp.arange(by, dtype=jnp.float32))
-    xx = (x0 + jnp.arange(bx, dtype=jnp.float32))
+    # y0/x0 are traced (dynamic) so a new pointing offset does not trigger
+    # a recompile; integer origins are exact in f32 far beyond any image size
+    yy = jnp.asarray(y0, dtype=jnp.float32) + jnp.arange(by, dtype=jnp.float32)
+    xx = jnp.asarray(x0, dtype=jnp.float32) + jnp.arange(bx, dtype=jnp.float32)
     Ey = jnp.exp(2j * jnp.pi / m * yy[:, None] * ky[None, :]).astype(dt)
     Ex = jnp.exp(2j * jnp.pi / m * kx[:, None] * xx[None, :]).astype(dt)
     # hermitian half-spectrum weights: kx = 0 and (m/2 if m even) count once
@@ -426,10 +428,12 @@ def evaluate_from_displacements(small_img, ref_img, c, spread, *,
     """Scores for a list of constant pixel displacements ``c`` ((L, 2), x/y
     order) of the moving image relative to the comparison grid.
 
-    ``method``: ``"correlation"`` (masked Pearson), ``"residus_masked"``
-    (masked residue std), or ``"residus"`` (reference-exact raw residue:
-    equals the masked value when every comparison-grid pixel is valid and
-    NaN otherwise, reproducing the NaN propagation of alignment.py:544-548).
+    ``method``: ``"correlation"`` (masked Pearson) or ``"residus_masked"``
+    (masked residue std).  The reference's raw ``"residus"`` is NOT
+    factorizable faithfully: its NaN propagation (alignment.py:544-548)
+    depends on every grid pixel being valid, which the surface masks (tap
+    validity erodes a border) and f32 counts cannot reproduce — raw residus
+    always takes the exact per-lag engine.
     Residue numerics: exact to ~1e-6 in float64 (CPU tests); on TPU float32
     the factorized Sdd carries ~1% relative error from intrinsic
     cancellation (residue std << field std) — argmin parity with the exact
@@ -440,7 +444,7 @@ def evaluate_from_displacements(small_img, ref_img, c, spread, *,
     frame-size precondition fails.  Shared core of the crval fast path, the
     block fast path and the Carrington fast path.
     """
-    if method not in ("correlation", "residus", "residus_masked"):
+    if method not in ("correlation", "residus_masked"):
         return None
     score = "pearson" if method == "correlation" else "residus"
     if spread > MAX_DISPLACEMENT_SPREAD_PX:
@@ -545,8 +549,4 @@ def evaluate_from_displacements(small_img, ref_img, c, spread, *,
         mean = Sd / n
         var = Sdd / n - mean * mean
         val = np.sqrt(np.maximum(var, 0.0))
-    if method == "residus":
-        # raw residue: any invalid pixel anywhere poisons the std
-        total = float(np.shape(small_img)[0] * np.shape(small_img)[1])
-        val = np.where(np.round(n) >= total, val, np.nan)
     return val

@@ -239,7 +239,7 @@ def evaluate_lag_grid(
         logger.info("pallas preconditions failed, falling back")
         allow_fast = True
 
-    if allow_fast and method in ("correlation", "residus", "residus_masked"):
+    if allow_fast and method in ("correlation", "residus_masked"):
         from . import fast_corr
 
         if fast_corr.fast_path_applicable(l3, l4, l5, order):

@@ -185,65 +185,6 @@ def _build_canvases(wp, rf, *, ht, wt, pad, pe, center, h, w):
     return canvas, ref_canvas
 
 
-def _tile_shifts(coeffs, h, w, n_ty, n_tx, th=TILE, tw=TILE):
-    """Per-lag per-tile integer shifts + global residual bound.
-
-    Fully closed-form for a quadratic field: the shift is the displacement
-    at the (image-clipped) tile center; the within-tile deviation is bounded
-    by the center gradient times the half-extents plus the exact quadratic
-    worst case ``|cxx| hx^2 + |cyy| hy^2 + |cxy| hx hy``.  O(L * n_tiles)
-    with no probe matrices (the probe-grid version allocated ~0.5 GB of
-    float64 at a 121x121 grid on 2048^2 and dominated the host prep).
-    """
-    L = coeffs.shape[0]
-    x_lo = np.arange(n_tx) * tw
-    x_hi = np.minimum(x_lo + tw - 1, w - 1).astype(np.float64)
-    y_lo = np.arange(n_ty) * th
-    y_hi = np.minimum(y_lo + th - 1, h - 1).astype(np.float64)
-    uc = (0.5 * (x_lo + x_hi))[None, None, :]    # (1, 1, n_tx)
-    vc = (0.5 * (y_lo + y_hi))[None, :, None]    # (1, n_ty, 1)
-    hx = (0.5 * (x_hi - x_lo))[None, None, :]
-    hy = (0.5 * (y_hi - y_lo))[None, :, None]
-
-    # shifts: ONE BLAS contraction (L*2, 6) @ (6, n_tiles) instead of ~20
-    # large strided broadcast temporaries (fresh multi-MB numpy temps cost
-    # page-fault storms on memory-constrained hosts — seconds at L ~ 1.5e4)
-    u = np.broadcast_to(uc, (1, n_ty, n_tx)).reshape(-1)
-    v = np.broadcast_to(vc, (1, n_ty, n_tx)).reshape(-1)
-    one = np.ones_like(u)
-    basis_c = np.stack([u, v, one, u * u, v * v, u * v])
-    ck = np.ascontiguousarray(coeffs.transpose(0, 2, 1)).reshape(L * 2, 6)
-
-    center = (ck @ basis_c).reshape(L, 2, n_ty, n_tx)
-    shifts = np.floor(center + 0.5).astype(np.int32).transpose(0, 2, 3, 1)
-    shifts = np.ascontiguousarray(shifts)  # (L, n_ty, n_tx, 2)
-
-    # deviation bound: dev(u, v) = |gu| hx + |gv| hy + quad is convex in the
-    # tile-center coordinates, so its max over all tiles is bounded by its
-    # value at the 4 corner centers with the full half-extents (edge tiles
-    # only ever have SMALLER extents -> conservative) — (L, 2, 4) instead of
-    # (L, 2, n_ty, n_tx)
-    ucorn = np.array([uc.ravel()[0], uc.ravel()[-1]])
-    vcorn = np.array([vc.ravel()[0], vc.ravel()[-1]])
-    uu, vv = np.meshgrid(ucorn, vcorn, indexing="ij")
-    uu, vv = uu.ravel(), vv.ravel()                           # (4,)
-    basis_gu = np.stack([np.ones_like(uu), 0 * uu, 0 * uu, 2.0 * uu,
-                         0 * uu, vv])
-    basis_gv = np.stack([0 * uu, np.ones_like(uu), 0 * uu, 0 * uu,
-                         2.0 * vv, uu])
-    hx_m, hy_m = 0.5 * (tw - 1), 0.5 * (th - 1)
-    gu = np.abs((ck @ basis_gu).reshape(L, 2, -1))
-    gv = np.abs((ck @ basis_gv).reshape(L, 2, -1))
-    quad = (np.abs(coeffs[:, 3, :, None]) * (hx_m * hx_m)
-            + np.abs(coeffs[:, 4, :, None]) * (hy_m * hy_m)
-            + np.abs(coeffs[:, 5, :, None]) * (hx_m * hy_m))
-    dev = gu * hx_m + gv * hy_m + quad                        # (L, 2, 4)
-    bounds = [float(np.max(dev[:, k])) if dev.size else 0.0 for k in range(2)]
-
-    g_bound = int(np.max(np.abs(shifts))) if shifts.size else 0
-    return shifts, bounds[0], bounds[1], g_bound
-
-
 def _tile_bounds(coeffs, h, w, n_ty, n_tx, th=TILE, tw=TILE):
     """(dev_x, dev_y, g_bound) via corner/worst-case analysis only — no
     (L, n_tiles) arrays at all (the shifts themselves are computed on

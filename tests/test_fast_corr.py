@@ -273,17 +273,14 @@ def test_residus_masked_fast_matches_general(order):
         np.unravel_index(np.nanargmin(general), general.shape)
 
 
-def test_residus_raw_fast_matches_general():
-    """Raw 'residus' (NaN-poisoning, alignment.py:544-548): fast path equals
-    the masked value on fully-valid grids and NaN otherwise, exactly like
-    the exact engine."""
+def test_residus_raw_never_routes_through_fast_paths():
+    """Raw 'residus' (NaN-poisoning, alignment.py:544-548) is NOT
+    factorizable faithfully (surface tap masks erode a border; f32 counts
+    are inexact), so allow_fast must return the exact per-lag engine's
+    result bit-for-bit, including its NaN pattern."""
     ds, ref_img, lon, lat, base = build_inputs(nan_border=False)
-    # strictly positive, NaN-free pair so zero-displacement lags are fully
-    # valid (raw residus needs every pixel finite)
-    assert np.isfinite(ds).all()
-    ref_img = np.nan_to_num(np.asarray(ref_img), nan=float(np.nanmean(ref_img)))
-    l1 = np.arange(-2.0, 3.0, 2.0) / 3600.0
-    l2 = np.arange(-2.0, 3.0, 2.0) / 3600.0
+    l1 = np.arange(-2.0, 9.0, 2.0) / 3600.0
+    l2 = np.arange(-6.0, 3.0, 2.0) / 3600.0
 
     general = lag_search.evaluate_lag_grid(
         ds, ref_img, lon, lat, base, l1, l2, [0.0], [0.0], [0.0],
@@ -293,12 +290,14 @@ def test_residus_raw_fast_matches_general():
         ds, ref_img, lon, lat, base, l1, l2, [0.0], [0.0], [0.0],
         order=2, compute_dtype="float64", allow_fast=True, method="residus",
     )
-    # NaN pattern must agree exactly; values agree where finite
     np.testing.assert_array_equal(np.isnan(fast), np.isnan(general))
     fin = np.isfinite(general)
-    if fin.any():
-        np.testing.assert_allclose(fast[fin], general[fin],
-                                   rtol=1e-7, atol=1e-9)
+    np.testing.assert_array_equal(fast[fin], general[fin])
+
+    # and evaluate_from_displacements refuses raw residus outright
+    assert fast_corr.evaluate_from_displacements(
+        ds, np.asarray(ref_img), np.zeros((4, 2)), 0.0, order=2,
+        method="residus") is None
 
 
 def test_box_inverse_matches_full_irfft2():

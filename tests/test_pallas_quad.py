@@ -119,10 +119,11 @@ def test_quad_kernel_residus_masked():
 
 
 def test_tile_shifts_bound_is_rigorous():
-    """The closed-form gradient+curvature bound must cover the true
-    within-tile deviation, and for the order-0/2 tap anchor (floor(.+0.5),
-    matching the shift rounding) the integer residual must stay within
-    ceil(dev) — the kernel's residual-mask window."""
+    """The PRODUCTION bound/shift pair (_tile_bounds corner analysis +
+    f32 on-device _device_tile_shifts) must cover the true within-tile
+    deviation, and for the order-0/2 tap anchor (floor(.+0.5), matching the
+    shift rounding) the integer residual must stay within ceil(dev) — the
+    kernel's residual-mask window."""
     rng = np.random.default_rng(3)
     h, w = 300, 260
     n_ty, n_tx = -(-h // 128), -(-w // 128)
@@ -132,8 +133,17 @@ def test_tile_shifts_bound_is_rigorous():
         coeffs[0, 0:2] = rng.uniform(-6e-3, 6e-3, (2, 2))
         coeffs[0, 2] = rng.uniform(-80, 80, 2)
         coeffs[0, 3:6] = rng.uniform(-8e-6, 8e-6, (3, 2))
-        shifts, dev_x, dev_y, _ = pallas_quad._tile_shifts(
+        import jax.numpy as jnp
+
+        dev_x, dev_y, g_bound = pallas_quad._tile_bounds(
             coeffs, h, w, n_ty, n_tx)
+        cf32 = coeffs.astype(np.float32)
+        coeffs12 = np.concatenate([cf32[:, :, 0], cf32[:, :, 1]],
+                                  axis=1).reshape(1, 1, 12)
+        shifts = np.asarray(pallas_quad._device_tile_shifts(
+            jnp.asarray(coeffs12), n_ty=n_ty, n_tx=n_tx, th=128, tw=128,
+            h=h, w=w))[:, :, :, 0, :]
+        assert int(np.max(np.abs(shifts))) <= g_bound
         mx = max(1, int(np.ceil(dev_x + 1e-3)))
         my = max(1, int(np.ceil(dev_y + 1e-3)))
         x, y = quad_field(coeffs[0], h, w)

@@ -212,3 +212,32 @@ def test_ensure_pcij_from_cd_matrix():
     lon2, lat2 = coords.header_world_grid(hdr_cd)
     np.testing.assert_allclose(lon2, lon1, atol=1e-9)
     np.testing.assert_allclose(lat2, lat1, atol=1e-9)
+
+
+def test_ensure_pcij_cd_matrix_edge_cases():
+    """Flip/skew CD matrices are rejected loudly (the CROTA-based shift math
+    cannot represent them); partial CD matrices fall through to the normal
+    CROTA/ValueError path."""
+    import pytest
+
+    from euispice_coreg_tpu.core.header import Header, ensure_pcij
+
+    base = {"NAXIS1": 8, "NAXIS2": 8, "CRVAL1": 0.0, "CRVAL2": 0.0,
+            "CRPIX1": 4.0, "CRPIX2": 4.0, "CUNIT1": "arcsec",
+            "CUNIT2": "arcsec"}
+
+    # axis flip (negative determinant): must raise, not silently mirror
+    hdr = Header({**base, "CD1_1": -1.5, "CD2_2": 1.5})
+    with pytest.raises(ValueError, match="rotation"):
+        ensure_pcij(hdr)
+
+    # skew: must raise
+    hdr = Header({**base, "CD1_1": 1.0, "CD1_2": 0.3, "CD2_1": 0.0,
+                  "CD2_2": 1.0})
+    with pytest.raises(ValueError, match="rotation"):
+        ensure_pcij(hdr)
+
+    # partial CD (CD2_2 missing): informative ValueError, not KeyError
+    hdr = Header({**base, "CD1_1": 1.5, "CDELT1": 1.5, "CDELT2": 1.5})
+    with pytest.raises(ValueError, match="CROTA"):
+        ensure_pcij(hdr)
