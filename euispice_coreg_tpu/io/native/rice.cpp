@@ -64,12 +64,17 @@ struct BitReader {
   const uint8_t* in;
   long len;
   long pos;
-  int bitpos;  // 0..7, next bit index (MSB first)
+  int bitpos;   // 0..7, next bit index (MSB first)
+  bool past_end;  // a read ran beyond the stream: input was truncated
 
-  BitReader(const uint8_t* i, long l) : in(i), len(l), pos(0), bitpos(0) {}
+  BitReader(const uint8_t* i, long l)
+      : in(i), len(l), pos(0), bitpos(0), past_end(false) {}
 
   inline int get_bit() {
-    if (pos >= len) return 0;  // spec: trailing pad bits are zero
+    if (pos >= len) {
+      past_end = true;  // well-formed streams never read past the pad byte
+      return 0;
+    }
     int b = (in[pos] >> (7 - bitpos)) & 1;
     if (++bitpos == 8) {
       bitpos = 0;
@@ -86,7 +91,10 @@ struct BitReader {
 
   inline uint32_t get_unary() {
     uint32_t n = 0;
-    while (pos < len && get_bit() == 0) ++n;
+    while (get_bit() == 0) {
+      if (past_end) return n;  // truncated unary run
+      ++n;
+    }
     return n;
   }
 };
@@ -199,7 +207,10 @@ int euicoreg_rice_decode(const uint8_t* in, long nin, int32_t* out, long npix,
       }
     }
   }
-  return 0;
+  // truncated/corrupt input: bits were consumed past the stream end (the
+  // encoder always pads to a byte boundary, so legitimate decodes stay
+  // within the buffer) -> let the caller raise instead of returning garbage
+  return r.past_end ? 2 : 0;
 }
 
 }  // extern "C"

@@ -342,3 +342,16 @@ def test_tile_randoms_match_scalar_reference():
     for row, d0, n in [(0, 1, 7), (3, 42, 25_000), (9999, 9999, 12_345)]:
         np.testing.assert_array_equal(tc._tile_randoms(row, d0, n),
                                       scalar(row, d0, n))
+
+
+def test_rice_truncated_stream_raises():
+    """A truncated RICE stream must raise, not silently decode garbage
+    (the bit reader tracks reads past the stream end)."""
+    rng = np.random.default_rng(3)
+    vals = rng.integers(-30000, 30000, size=1024).astype(np.int32)
+    comp = rice_encode(vals, 32, 4)
+    np.testing.assert_array_equal(rice_decode(comp, 1024, 32, 4), vals)
+    with pytest.raises(RuntimeError):
+        rice_decode(comp[: len(comp) // 2], 1024, 32, 4)
+    with pytest.raises(RuntimeError):
+        rice_decode(np.zeros(0, dtype=np.uint8), 16, 32, 4)
