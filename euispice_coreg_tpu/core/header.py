@@ -163,25 +163,30 @@ def ensure_pcij(hdr: Header, force_crota_0: bool = False):
         cdelt2 = math.hypot(cd12, cd22)
         if cdelt1 > 0 and cdelt2 > 0:
             crota = math.degrees(math.atan2(cd21, cd11))
-            # the whole engine rebuilds PC from (CROTA, CDELT) whenever a
-            # cdelt/crota lag is applied, so only accept CD matrices that
-            # actually HAVE the rotation form (det > 0, no skew/flip) —
-            # otherwise the rebuilt PC would silently mirror the frame
+            # the EXACT decomposition PC = diag(1/CDELT) * CD is always
+            # stored (correct for every flow that keeps PC verbatim — i.e.
+            # all CRVAL-only searches and every reference-header use); CROTA
+            # is only a faithful summary when the CD actually has the AIPS
+            # rotation+scale form, and the engine rebuilds PC from (CROTA,
+            # CDELT) whenever a cdelt/crota LAG is applied — warn loudly for
+            # flip/skew matrices so those lag axes aren't trusted
             pc11, pc12, pc21, pc22 = pc_from_crota(crota, cdelt1, cdelt2)
             ok = (abs(pc11 - cd11 / cdelt1) < 1e-8
                   and abs(pc12 - cd12 / cdelt1) < 1e-8
                   and abs(pc21 - cd21 / cdelt2) < 1e-8
                   and abs(pc22 - cd22 / cdelt2) < 1e-8)
             if not ok:
-                raise ValueError(
+                warnings.warn(
                     "CDi_j matrix is not a pure rotation+scale (negative "
-                    "determinant or skew); the CROTA-based shift math cannot "
-                    "represent it. Provide CDELT + PCi_j/CROTA instead."
+                    "determinant or skew): CRVAL lag searches use the exact "
+                    "PC decomposition and are fine, but CDELT/CROTA lags "
+                    "rebuild PC from the synthesized CROTA and would search "
+                    "a mirrored frame — do not use them with this header."
                 )
             hdr["CDELT1"] = cdelt1
             hdr["CDELT2"] = cdelt2
-            hdr["PC1_1"], hdr["PC1_2"] = pc11, pc12
-            hdr["PC2_1"], hdr["PC2_2"] = pc21, pc22
+            hdr["PC1_1"], hdr["PC1_2"] = cd11 / cdelt1, cd12 / cdelt1
+            hdr["PC2_1"], hdr["PC2_2"] = cd21 / cdelt2, cd22 / cdelt2
             hdr["CROTA"] = crota
     if "PC1_1" not in hdr:
         if "CROTA" in hdr:

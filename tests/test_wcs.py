@@ -226,16 +226,25 @@ def test_ensure_pcij_cd_matrix_edge_cases():
             "CRPIX1": 4.0, "CRPIX2": 4.0, "CUNIT1": "arcsec",
             "CUNIT2": "arcsec"}
 
-    # axis flip (negative determinant): must raise, not silently mirror
-    hdr = Header({**base, "CD1_1": -1.5, "CD2_2": 1.5})
-    with pytest.raises(ValueError, match="rotation"):
-        ensure_pcij(hdr)
+    # axis flip (negative determinant): exact PC stored (CRVAL-only flows
+    # keep PC verbatim and stay correct), loud warning about cdelt/crota lags
+    import warnings as _w
 
-    # skew: must raise
+    hdr = Header({**base, "CD1_1": -1.5, "CD2_2": 1.5})
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        ensure_pcij(hdr)
+    assert any("mirrored" in str(r.message) for r in rec)
+    assert hdr["PC1_1"] == -1.0 and hdr["PC2_2"] == 1.0
+    assert hdr["CDELT1"] == 1.5 and hdr["CDELT2"] == 1.5
+
+    # skew: exact PC stored + warning
     hdr = Header({**base, "CD1_1": 1.0, "CD1_2": 0.3, "CD2_1": 0.0,
                   "CD2_2": 1.0})
-    with pytest.raises(ValueError, match="rotation"):
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
         ensure_pcij(hdr)
+    assert any("mirrored" in str(r.message) for r in rec)
 
     # partial CD (CD2_2 missing): informative ValueError, not KeyError
     hdr = Header({**base, "CD1_1": 1.5, "CDELT1": 1.5, "CDELT2": 1.5})
