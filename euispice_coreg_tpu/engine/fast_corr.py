@@ -462,8 +462,16 @@ def evaluate_from_displacements(small_img, ref_img, c, spread, *,
 
     m = _fft_size(max(h, w) + int(np.max(np.abs(dint))) + 4)
 
-    small_d = jnp.asarray(small_img, dtype=compute_dtype)
-    ref_d = jnp.asarray(ref_img, dtype=compute_dtype)
+    if mesh is not None and mesh.devices.size > 1:
+        # place on the mesh devices, never the default device (the mesh may
+        # live on a non-default backend; see lag_search.mesh_put)
+        from .lag_search import mesh_put
+
+        small_d = mesh_put(small_img, mesh, dtype=compute_dtype)
+        ref_d = mesh_put(ref_img, mesh, dtype=compute_dtype)
+    else:
+        small_d = jnp.asarray(small_img, dtype=compute_dtype)
+        ref_d = jnp.asarray(ref_img, dtype=compute_dtype)
     precise = precise_fft.use_precise_fft(_backend_of(small_d))
 
     y_min, y_max = int(dint[:, 1].min()), int(dint[:, 1].max())
@@ -472,8 +480,10 @@ def evaluate_from_displacements(small_img, ref_img, c, spread, *,
     bx = -(-(x_max - x_min + 1) // 64) * 64
 
     if mesh is not None and mesh.devices.size > 1:
-        iy = jnp.asarray(np.mod(dint[:, 1], m))
-        ix = jnp.asarray(np.mod(dint[:, 0], m))
+        from .lag_search import mesh_put
+
+        iy = mesh_put(np.mod(dint[:, 1], m), mesh)
+        ix = mesh_put(np.mod(dint[:, 0], m), mesh)
         S = np.asarray(surfaces_at_sharded(small_d, ref_d, iy, ix, order, m,
                                            mesh, score=score),
                        dtype=np.float64)

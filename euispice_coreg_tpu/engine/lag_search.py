@@ -176,6 +176,24 @@ CHUNK_SELECT = 2048
 CHUNK_GATHER = 64
 
 
+def mesh_put(a, mesh: Mesh, spec: P = P(), dtype=None):
+    """Place an operand on the mesh's devices with an explicit NamedSharding.
+
+    Bare ``jnp.asarray`` commits to the DEFAULT device, which may belong to a
+    different backend than the mesh — e.g. a virtual CPU mesh inside a
+    process whose default platform is a (possibly unhealthy) TPU plugin.
+    Every sharded engine path must route its operands through this helper so
+    a non-default mesh never round-trips through the default device; that is
+    also the correct placement for real multi-host meshes.
+    """
+    sharding = NamedSharding(mesh, spec)
+    if isinstance(a, jax.Array):
+        if dtype is not None and a.dtype != jnp.dtype(dtype):
+            a = a.astype(dtype)
+        return jax.device_put(a, sharding)
+    return jax.device_put(np.asarray(a, dtype=dtype), sharding)
+
+
 def default_mesh(max_devices: int | None = None) -> Mesh | None:
     """1-D ``lags`` mesh over the available devices (None if single device)."""
     devs = jax.devices()
@@ -268,12 +286,22 @@ def evaluate_lag_grid(
     lags = np.stack([g.ravel() for g in grids], axis=-1)  # (L, 5)
     n_lags = lags.shape[0]
 
-    small_d = jnp.asarray(small_img, dtype=compute_dtype)
-    ref_d = jnp.asarray(ref_img, dtype=compute_dtype)
-    lon_d = jnp.asarray(lon, dtype=compute_dtype)
-    lat_d = jnp.asarray(lat, dtype=compute_dtype)
-    base_d = {k: jnp.asarray(v, dtype=compute_dtype) for k, v in base_params.items()}
-    lags_d = jnp.asarray(lags, dtype=compute_dtype)
+    if mesh is not None:
+        # explicit mesh placement (never touch the default device; see
+        # mesh_put — the mesh may live on a non-default backend)
+        small_d = mesh_put(small_img, mesh, dtype=compute_dtype)
+        ref_d = mesh_put(ref_img, mesh, dtype=compute_dtype)
+        lon_d = mesh_put(lon, mesh, dtype=compute_dtype)
+        lat_d = mesh_put(lat, mesh, dtype=compute_dtype)
+        base_d = {k: mesh_put(v, mesh, dtype=compute_dtype)
+                  for k, v in base_params.items()}
+    else:
+        small_d = jnp.asarray(small_img, dtype=compute_dtype)
+        ref_d = jnp.asarray(ref_img, dtype=compute_dtype)
+        lon_d = jnp.asarray(lon, dtype=compute_dtype)
+        lat_d = jnp.asarray(lat, dtype=compute_dtype)
+        base_d = {k: jnp.asarray(v, dtype=compute_dtype)
+                  for k, v in base_params.items()}
 
     # gather-free select path: exact same numerics, ~100x faster on TPU
     # (the hardware gather unit is ~7 cycles/element).  Applicable when the
@@ -315,10 +343,9 @@ def evaluate_lag_grid(
     else:
         ndev = mesh.devices.size
         n_pad = math.ceil(n_lags / ndev) * ndev
-        if n_pad != n_lags:
-            lags_d = jnp.concatenate(
-                [lags_d, jnp.zeros((n_pad - n_lags, 5), dtype=compute_dtype)], axis=0
-            )
+        lags_p = lags if n_pad == n_lags else np.concatenate(
+            [lags, np.zeros((n_pad - n_lags, 5), dtype=lags.dtype)], axis=0)
+        lags_d = mesh_put(lags_p, mesh, P("lags"), dtype=compute_dtype)
         fn = _sharded_evaluator(mesh, order, method, kind, batch_size)
         with mesh:
             out = fn(lags_d, small_d, ref_d, lon_d, lat_d, base_d)

@@ -329,8 +329,16 @@ def evaluate_select_carr_pallas(coeffs, warped, ref_img, *, order, h, w,
     # host tunnel): NaN outside, image mirror-padded 2 px about its real
     # region (order<=2 taps reach at most 1 px past an in-range coordinate)
     pe = min(2, h - 1, w - 1)
-    warped_d = jnp.asarray(warped, dtype=jnp.float32)
-    ref_d = jnp.asarray(ref_img, dtype=jnp.float32)
+    if mesh is not None:
+        # place on the mesh devices, never the default device (the mesh may
+        # live on a non-default backend; see lag_search.mesh_put)
+        from .lag_search import mesh_put
+
+        warped_d = mesh_put(warped, mesh, dtype=jnp.float32)
+        ref_d = mesh_put(ref_img, mesh, dtype=jnp.float32)
+    else:
+        warped_d = jnp.asarray(warped, dtype=jnp.float32)
+        ref_d = jnp.asarray(ref_img, dtype=jnp.float32)
 
     # pre-centering is exact for Pearson (and avoids f32 cancellation in
     # the raw sums) but must NOT be applied for residue scores, which need
@@ -342,8 +350,14 @@ def evaluate_select_carr_pallas(coeffs, warped, ref_img, *, order, h, w,
                                          h=h, w=w)
 
     cf = coeffs.astype(np.float32)
-    coeffs12 = jnp.asarray(np.concatenate([cf[:, :, 0], cf[:, :, 1]],
-                                          axis=1).reshape(L, 1, 12))
+    coeffs12_host = np.concatenate([cf[:, :, 0], cf[:, :, 1]],
+                                   axis=1).reshape(L, 1, 12)
+    if mesh is not None:
+        from .lag_search import mesh_put
+
+        coeffs12 = mesh_put(coeffs12_host, mesh)
+    else:
+        coeffs12 = jnp.asarray(coeffs12_host)
     # shift table computed and kept on device (never materialized on host)
     shifts_k = _device_tile_shifts(coeffs12, n_ty=n_ty, n_tx=n_tx,
                                    th=th, tw=tw, h=h, w=w)

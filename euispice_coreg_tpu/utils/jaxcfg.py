@@ -22,6 +22,43 @@ def enable_persistent_compile_cache(path: str | None = None):
         pass
 
 
+# Error classes that retrying can never fix: the same call will fail the
+# same way until a human (or a redeploy) changes the environment.
+_PERSISTENT_MARKERS = (
+    "version mismatch",          # e.g. libtpu client/terminal skew
+    "must use the same",         # companion text of the version-mismatch error
+    "unimplemented",
+    "not implemented",
+    "invalid_argument",
+    "out of memory",
+    "resource_exhausted: error allocating",
+)
+
+# Error classes worth retrying: transient worker/transport failures.
+_TRANSIENT_MARKERS = (
+    "unavailable",
+    "crashed or restarted",
+    "socket closed",
+    "connection reset",
+    "deadline_exceeded",
+    "heartbeat",
+    "failed_precondition",  # generic runtime hiccups — unless persistent above
+)
+
+
+def is_transient_runtime_error(msg: str) -> bool:
+    """True when a JaxRuntimeError message describes a transient failure.
+
+    Persistent markers win: a libtpu version mismatch surfaces as
+    FAILED_PRECONDITION but retrying it burns ``retries x backoff`` for
+    nothing (seen in round 1's multichip artifact).
+    """
+    m = msg.lower()
+    if any(p in m for p in _PERSISTENT_MARKERS):
+        return False
+    return any(t in m for t in _TRANSIENT_MARKERS)
+
+
 def with_retries(fn, retries: int = 2, backoff_s: float = 5.0):
     """Failure-detection wrapper for flaky accelerator runtimes.
 
@@ -46,10 +83,7 @@ def with_retries(fn, retries: int = 2, backoff_s: float = 5.0):
                 return fn(*args, **kwargs)
             except JaxRuntimeError as exc:
                 msg = str(exc)
-                transient = ("UNAVAILABLE" in msg
-                             or "FAILED_PRECONDITION" in msg
-                             or "crashed or restarted" in msg)
-                if not transient or attempt == retries:
+                if not is_transient_runtime_error(msg) or attempt == retries:
                     raise
                 last = exc
                 logger.warning(
