@@ -307,11 +307,9 @@ def _warp_to_grid(small_d, combo, lonlims, latlims, shape, delta_t,
                              shape[1], shape[0], order, rate_wave)
 
 
-def _probe_projection(combo, lon, lat, delta_t, rate_wave, py_idx, px_idx):
+def _probe_projection(combo, lon_p, lat_p, delta_t, rate_wave):
     """Exact float64 host projection at probe points only (feeds the
     conjugation fits; the full-grid version lives on device)."""
-    lon_p = lon[py_idx, px_idx]
-    lat_p = lat[py_idx, px_idx]
     lon_rot_p = lon_p - diff_rot_shift_deg(lat_p, delta_t, rate_wave)
     x3p, yyp, zzp = observer_geometry(lon_rot_p, lat_p, combo["obs_lon"],
                                       combo["obs_lat"])
@@ -388,8 +386,6 @@ def evaluate_lag_grid_carrington(
     from ..utils.obs import timed as _timed
 
     sc = header_spherical_scalars(hdr_small, d_solar_r)
-    with _timed("carrington lon/lat grid (host)"):
-        lon, lat = carrington_grid(lonlims, latlims, shape)
     delta_t = 0.0
     if reference_date is not None:
         delta_t = timeutils.time_diff_days(str(hdr_small["DATE-OBS"]), str(reference_date))
@@ -406,7 +402,7 @@ def evaluate_lag_grid_carrington(
     if allow_fast and order in (0, 2) and \
             method in ("correlation", "residus_masked"):
         fast = _carrington_block_fast(
-            small_img, ref_img, sc, lon, lat,
+            small_img, ref_img, sc,
             delta_t=delta_t, rate_wave=rate_wave,
             lonlims=lonlims, latlims=latlims, shape=shape,
             l1=l1, l2=l2, l3=l3, l4=l4, l5=l5,
@@ -421,18 +417,22 @@ def evaluate_lag_grid_carrington(
 
     if allow_fast and order in (0, 1, 2):
         if lag_mode == "pallas":
-            use_pallas = True
+            use_pallas, use_tile_fft = True, False
+        elif lag_mode == "tile_fft":
+            use_pallas, use_tile_fft = False, True
         elif lag_mode == "auto":
-            use_pallas = jax.default_backend() != "cpu"
+            on_accel = jax.default_backend() != "cpu"
+            use_pallas = use_tile_fft = on_accel
         else:
-            use_pallas = False
+            use_pallas = use_tile_fft = False
         fast = _carrington_select(
-            small_img, ref_img, sc, lon, lat,
+            small_img, ref_img, sc,
             delta_t=delta_t, rate_wave=rate_wave,
             lonlims=lonlims, latlims=latlims, shape=shape,
             l1=l1, l2=l2, l3=l3, l4=l4, l5=l5,
             order=order, method=method, compute_dtype=compute_dtype,
-            batch_size=batch_size, use_pallas=use_pallas, mesh=mesh,
+            batch_size=batch_size, use_pallas=use_pallas,
+            use_tile_fft=use_tile_fft, mesh=mesh,
         )
         if fast is not None:
             logger.info("engine path: carrington linearized select")
@@ -445,7 +445,12 @@ def evaluate_lag_grid_carrington(
     n_lags = lags.shape[0]
 
     # gather fallback: full-grid observer geometry (host, f64 — this branch
-    # is the reference-exact path, so keep its numerics on the host)
+    # is the reference-exact path, so keep its numerics on the host).  The
+    # full lon/lat meshgrid is only materialized HERE: the fast paths above
+    # need probe values only, and a 2048^2 f64 meshgrid costs up to ~0.5 s
+    # on hosts with degraded first-touch memory (CLAUDE.md).
+    with _timed("carrington lon/lat grid (host)"):
+        lon, lat = carrington_grid(lonlims, latlims, shape)
     lon_rot = lon - diff_rot_shift_deg(lat, delta_t, rate_wave)
     x3, yy, zz = observer_geometry(lon_rot, lat, sc["obs_lon"], sc["obs_lat"])
     geom = {
@@ -516,11 +521,35 @@ def _eval_select_carr(coeffs, shifts, warped_padded, ref_img, order, method,
     return jax.lax.map(one, (coeffs, shifts), batch_size=batch_size)
 
 
-def _carrington_select(small_img, ref_img, sc, lon, lat, delta_t, rate_wave,
+def _probe_scale_det_per_grid(nx0p, ny0p, pxf, pyf):
+    """Max |d(detector px)/d(grid px)| from the 4x4 probe projection —
+    converts within-tile grid-pixel deviations into detector-pixel sampling
+    error for the tile-FFT gate (the grid typically oversamples the
+    detector, so grid-pixel deviations overstate the error)."""
+    n = int(np.sqrt(nx0p.size))
+    nx = nx0p.reshape(n, n)
+    ny = ny0p.reshape(n, n)
+    gx = pxf.reshape(n, n)
+    gy = pyf.reshape(n, n)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        grads = [
+            np.abs(np.diff(nx, axis=1) / np.diff(gx, axis=1)),
+            np.abs(np.diff(ny, axis=1) / np.diff(gx, axis=1)),
+            np.abs(np.diff(nx, axis=0) / np.diff(gy, axis=0)),
+            np.abs(np.diff(ny, axis=0) / np.diff(gy, axis=0)),
+        ]
+    vals = np.concatenate([g.ravel() for g in grads])
+    vals = vals[np.isfinite(vals)]
+    if vals.size == 0:
+        return np.inf
+    return 1.5 * float(vals.max())  # 1.5: curvature safety margin
+
+
+def _carrington_select(small_img, ref_img, sc, delta_t, rate_wave,
                        lonlims, latlims, shape,
                        l1, l2, l3, l4, l5, *, order, method, compute_dtype,
                        batch_size, tol_px=0.05, use_pallas=False,
-                       pallas_interpret=None, mesh=None):
+                       use_tile_fft=False, pallas_interpret=None, mesh=None):
     """Quadratic-conjugation select path for strongly curved Carrington grids
     (where the FFT fast path's constant-displacement bound fails).
 
@@ -533,7 +562,7 @@ def _carrington_select(small_img, ref_img, sc, lon, lat, delta_t, rate_wave,
     sampling uses the gather-free select sampler on the pre-warped image
     (double interpolation, like the helioprojective block fast path).
     """
-    h, w = lon.shape
+    h, w = shape[1], shape[0]
     ppy = np.unique(np.linspace(0, h - 1, 4).astype(np.int64))
     ppx = np.unique(np.linspace(0, w - 1, 4).astype(np.int64))
     pyg, pxg = np.meshgrid(ppy, ppx, indexing="ij")
@@ -565,8 +594,8 @@ def _carrington_select(small_img, ref_img, sc, lon, lat, delta_t, rate_wave,
                 # exact f64 projection at the probe points only (the
                 # full-grid projection runs fused on device in the warp)
                 nx0p, ny0p = _probe_projection(
-                    combo, lon, lat, delta_t, rate_wave,
-                    pyg.ravel(), pxg.ravel())
+                    combo, lonlims[0] + pxf * dlon_step,
+                    latlims[0] + pyf * dlat_step, delta_t, rate_wave)
 
                 # constant per-lag displacement in DETECTOR pixels
                 roll_r = np.radians(combo["roll"])
@@ -618,6 +647,23 @@ def _carrington_select(small_img, ref_img, sc, lon, lat, delta_t, rate_wave,
                     warped_d.block_until_ready()
                 ref_d = jnp.asarray(ref_img, dtype=compute_dtype)
                 coeffs_np = np.asarray(coeffs, dtype=compute_dtype)
+
+                if use_tile_fft:
+                    from . import tile_fft
+
+                    scale = _probe_scale_det_per_grid(nx0p, ny0p, pxf, pyf)
+                    with _timed("carrington tile-FFT select evaluation"):
+                        vals_t = tile_fft.evaluate_select_tile_fft(
+                            coeffs, warped_d, ref_d, order=order, h=h, w=w,
+                            method=method, scale_det_per_grid=scale,
+                            compute_dtype=compute_dtype)
+                    if vals_t is not None:
+                        _log.info("carrington select: tile-FFT surfaces")
+                        out[:, :, i3, i4, i5] = vals_t.reshape(
+                            len(l1), len(l2))
+                        continue
+                    _log.info("carrington tile-FFT gate failed, "
+                              "trying pallas")
 
                 if use_pallas:
                     from . import pallas_quad
@@ -671,7 +717,7 @@ def _carrington_select(small_img, ref_img, sc, lon, lat, delta_t, rate_wave,
     return out
 
 
-def _carrington_block_fast(small_img, ref_img, sc, lon, lat, delta_t,
+def _carrington_block_fast(small_img, ref_img, sc, delta_t,
                            rate_wave, lonlims, latlims, shape,
                            l1, l2, l3, l4, l5, *, order, compute_dtype,
                            mesh=None, method="correlation"):
@@ -688,7 +734,7 @@ def _carrington_block_fast(small_img, ref_img, sc, lon, lat, delta_t,
     from . import fast_corr
     from ..utils import units as _units
 
-    h, w = lon.shape
+    h, w = shape[1], shape[0]
     probes = [(h // 2, w // 2), (0, 0), (0, w - 1), (h - 1, 0), (h - 1, w - 1)]
     pr = np.array(probes)
     lon1d0, lat1d0 = lonlims[0], latlims[0]
@@ -712,7 +758,8 @@ def _carrington_block_fast(small_img, ref_img, sc, lon, lat, delta_t,
 
                 # exact f64 projection at the 5 probe points only
                 nx0p, ny0p = _probe_projection(
-                    combo, lon, lat, delta_t, rate_wave, pr[:, 0], pr[:, 1])
+                    combo, lon1d0 + pr[:, 1] * dlon_step,
+                    lat1d0 + pr[:, 0] * dlat_step, delta_t, rate_wave)
 
                 # exact constant displacement in small-pixel space per lag
                 roll_r = np.radians(combo["roll"])

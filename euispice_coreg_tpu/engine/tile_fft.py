@@ -1,0 +1,411 @@
+"""Tile-local FFT factorization of the quadratic-displacement lag search.
+
+The Carrington select path scores L lags by sampling a pre-warped canvas
+through per-lag quadratic displacement fields (engine/carrington.py
+``_carrington_select``).  The fused Pallas kernel (engine/pallas_quad.py)
+is exact but inherently per-lag: ~0.35 ms/lag at 2048^2, near the VPU
+roofline for per-pixel select sampling — 14641 lags cost ~5 s.
+
+This module factorizes the whole lag grid over tile-local FFT correlation
+surfaces instead (replacing the reference's one-full-reprojection-per-lag
+loop, ``/root/reference/euispice_coreg/hdrshift/alignment.py:889-937``):
+
+* within a tile of size T, each lag's displacement field is approximated by
+  its value at the tile center — constant integer shift + constant
+  fractional spline weights;
+* per tile, every masked-Pearson sum then factorizes over cross-correlation
+  surfaces between the ref tile and the (shifted) canvas fields, exactly as
+  in engine/fast_corr.py — 58 forward FFTs + 66 partial inverses per tile,
+  all MXU matmul-DFTs, evaluated once for ALL lags;
+* per (tile, lag): one row-gather of the 66 surface values at the tile's
+  integer offset + the fractional tap-weight combination.
+
+Accuracy contract: the within-tile displacement deviation (measured in
+DETECTOR pixels — the canvas is typically 10-20x oversampled relative to
+the detector, so grid-pixel deviations overstate the sampling error by the
+oversampling factor) must stay below ``tol_det``, the same 0.05 px scale
+the helioprojective FFT fast path enforces globally
+(fast_corr.MAX_DISPLACEMENT_SPREAD_PX).  The tile size is chosen
+adaptively; if no size meets the bound the caller falls back to the exact
+Pallas/select path.  Tests pin argmax parity and value agreement against
+the exact engine.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import precise_fft
+from . import pallas_quad as _pq
+
+# Within-tile sampling-position tolerance, DETECTOR pixels.  Same role as
+# fast_corr.MAX_DISPLACEMENT_SPREAD_PX (which gates the global-constant
+# approximation of the helioprojective fast path) but looser: within-tile
+# deviations are near-antisymmetric about the tile center, so their net
+# effect on the tile's correlation sums cancels to first order.  Empirical
+# calibration on the 2048^2 bench config: at 0.12 det-px deviation
+# (T=256) the near-peak correlation difference vs the exact Pallas kernel
+# is ~1e-6 — three orders below the value changes the Gaussian sub-pixel
+# fit responds to — and the total error stays dominated by the select
+# path's shared pre-warp double interpolation.
+TOL_DET_PX = 0.15
+
+_TILE_SIZES = (256, 192, 128)
+_MAX_TILES = 400
+
+
+def _round128(n: int) -> int:
+    return -(-n // 128) * 128
+
+
+def _tap_count(order: int) -> int:
+    return 1 if order == 0 else 3
+
+
+def _quad_eval(coeffs, u, v):
+    """Evaluate the (L, 6, 2) quadratic displacement maps at points (u, v).
+
+    coeffs columns: [x, y, 1, x^2, y^2, x*y] -> (dx, dy).  Returns (L, P, 2)
+    (numpy or jnp depending on inputs)."""
+    xp = jnp if isinstance(coeffs, jax.Array) else np
+    basis = xp.stack([u, v, xp.ones_like(u), u * u, v * v, u * v], axis=0)
+    return xp.einsum("lck,cp->lpk", coeffs, basis)
+
+
+def _offset_bounds(coeffs, h, w):
+    """Conservative per-axis [min, max] of the rounded tile-center offsets
+    over all tiles and lags (host float64; 9 probe points + curvature
+    slack — never materializes an (L, n_tiles) table)."""
+    us = np.array([0.0, (w - 1) / 2.0, float(w - 1)])
+    vs = np.array([0.0, (h - 1) / 2.0, float(h - 1)])
+    uu, vv = np.meshgrid(us, vs, indexing="ij")
+    c = _quad_eval(coeffs, uu.ravel(), vv.ravel())  # (L, 9, 2)
+    quad = np.abs(coeffs[:, 3:6, :]).max(axis=0).sum(axis=0)  # (2,)
+    slack = quad * (max(h, w) / 4.0) ** 2 / 2.0 + 1.0
+    o_min = np.floor(c.min(axis=(0, 1)) - slack - 0.5).astype(int)
+    o_max = np.floor(c.max(axis=(0, 1)) + slack + 0.5).astype(int)
+    return o_min, o_max  # each (2,) in (x, y) order
+
+
+def pick_tile_size(coeffs, h, w, scale_det_per_grid, tol_det=TOL_DET_PX,
+                   tile_sizes=_TILE_SIZES, max_tiles=_MAX_TILES):
+    """Largest tile size whose within-tile displacement deviation, converted
+    to detector pixels, meets ``tol_det``.  Returns (T, dev_det) or None."""
+    for T in tile_sizes:
+        n_ty = -(-h // T)
+        n_tx = -(-w // T)
+        if n_ty * n_tx > max_tiles:
+            continue
+        dev_x, dev_y, _ = _pq._tile_bounds(coeffs, h, w, n_ty, n_tx,
+                                           th=T, tw=T)
+        dev_det = max(dev_x, dev_y) * scale_det_per_grid
+        if dev_det <= tol_det:
+            return T, dev_det
+    return None
+
+
+def _pair_indices(nt: int):
+    """Upper-triangle (i, j) pairs and their multiplicity (1 diag, 2 off)."""
+    ii, jj, mult = [], [], []
+    for i in range(nt):
+        for j in range(i, nt):
+            ii.append(i)
+            jj.append(j)
+            mult.append(1.0 if i == j else 2.0)
+    return np.array(ii), np.array(jj), np.array(mult)
+
+
+def _shift2(x, ty, tx, fill):
+    out = jnp.roll(x, (-ty, -tx), axis=(0, 1))
+    h, w = x.shape
+    if ty > 0:
+        out = out.at[h - ty:, :].set(fill)
+    elif ty < 0:
+        out = out.at[:-ty, :].set(fill)
+    if tx > 0:
+        out = out.at[:, w - tx:].set(fill)
+    elif tx < 0:
+        out = out.at[:, :-tx].set(fill)
+    return out
+
+
+@partial(jax.jit, static_argnames=("order", "score", "hp", "wp"))
+def _build_fields(warped, ref, order, score, hp, wp):
+    """Global g fields (ref side) and r fields (canvas side), padded with
+    empty (masked-out) borders to the tile-multiple frame (hp, wp).
+
+    Layout matches fast_corr._build_surfaces exactly (pearson:
+    g = [M, M a, M a2]; r = [A] + [A s_t]*nt + [A s_t s_u]*(t<=u);
+    residus: g = [F, F a'/sqrt a, F a'^2/a, F/sqrt a, F a'/a, F/a], same r).
+    Global mean-centering (exact for Pearson; the residue identity holds for
+    any constant shift c)."""
+    h, w = ref.shape
+    pad = ((0, hp - h), (0, wp - w))
+    refp = jnp.pad(ref, pad, constant_values=jnp.nan)
+    wrpp = jnp.pad(warped, pad, constant_values=jnp.nan)
+
+    taps = [0] if order == 0 else [-1, 0, 1]
+    nt = len(taps) ** 2
+
+    if score == "pearson":
+        mask_ref = jnp.isfinite(refp)
+        amean = jnp.sum(jnp.where(mask_ref, refp, 0.0)) / jnp.maximum(
+            jnp.sum(mask_ref), 1)
+        a = jnp.where(mask_ref, refp - amean, 0.0)
+        mf = mask_ref.astype(refp.dtype)
+        g_list = [mf, mf * a, mf * a * a]
+        cshift = amean  # unused for pearson's s (own mean below)
+        center_small = True
+    else:  # residus
+        F = jnp.isfinite(refp) & (refp > 0)
+        a = jnp.where(F, refp, 1.0)
+        Ff = F.astype(refp.dtype)
+        cshift = jnp.sum(Ff * a) / jnp.maximum(jnp.sum(Ff), 1)
+        ap = jnp.where(F, a - cshift, 0.0)
+        sqa = jnp.sqrt(a)
+        g_list = [Ff, Ff * ap / sqa, Ff * ap * ap / a, Ff / sqa,
+                  Ff * ap / a, Ff / a]
+        center_small = False
+
+    sfin = jnp.isfinite(wrpp)
+    if center_small:
+        s0 = jnp.where(sfin, wrpp, 0.0)
+        smean = jnp.sum(s0) / jnp.maximum(jnp.sum(sfin), 1)
+        s = jnp.where(sfin, wrpp - smean, 0.0)
+    else:
+        s = jnp.where(sfin, wrpp - cshift, 0.0)
+
+    valid = sfin
+    A = jnp.ones_like(valid)
+    for ty in taps:
+        for tx in taps:
+            A = A & _shift2(valid, ty, tx, fill=False)
+    Af = A.astype(refp.dtype)
+
+    s_t = []
+    for ty in taps:
+        for tx in taps:
+            s_t.append(_shift2(s, ty, tx, fill=0.0))
+
+    r_list = [Af]
+    for st in s_t:
+        r_list.append(Af * st)
+    for i in range(nt):
+        for j in range(i, nt):
+            r_list.append(Af * s_t[i] * s_t[j])
+
+    return jnp.stack(g_list), jnp.stack(r_list)
+
+
+def _weights_1d(frac, order):
+    if order == 0:
+        return jnp.ones(frac.shape + (1,), dtype=frac.dtype)
+    return jnp.stack([
+        0.5 * (0.5 - frac) ** 2,
+        0.75 - frac * frac,
+        0.5 * (0.5 + frac) ** 2,
+    ], axis=-1)
+
+
+@partial(jax.jit, static_argnames=(
+    "order", "score", "T", "n_ty", "n_tx", "m", "by", "bx", "precise"))
+def _evaluate_tiles(g_stack, r_pad, coeffs_d, o_min, order, score,
+                    T, n_ty, n_tx, m, by, bx, precise):
+    """Scan over tiles: per tile build the 58 surface FFTs, evaluate the 66
+    correlation surfaces on the static offset box with two partial
+    matmul-DFTs, gather per-lag values (one row-gather), apply fractional
+    tap weights, and accumulate the global score sums (L, 6)."""
+    nt = _tap_count(order) ** 2
+    npairs = nt * (nt + 1) // 2
+    L = coeffs_d.shape[0]
+    K = m // 2 + 1
+    dt = g_stack.dtype
+
+    pi, pj, pmult = _pair_indices(nt)
+    pi_d = jnp.asarray(pi)
+    pj_d = jnp.asarray(pj)
+    pmult_d = jnp.asarray(pmult, dtype=dt)
+
+    # static partial-DFT matrices for the offset box (box start is 0 by
+    # construction: the r slice is taken at tile0 + o_min)
+    ky = jnp.arange(m, dtype=jnp.float32)
+    kx = jnp.arange(K, dtype=jnp.float32)
+    yy = jnp.arange(by, dtype=jnp.float32)
+    xx = jnp.arange(bx, dtype=jnp.float32)
+    cdt = jnp.complex64
+    Ey = jnp.exp(2j * jnp.pi / m * yy[:, None] * ky[None, :]).astype(cdt)
+    Ex = jnp.exp(2j * jnp.pi / m * kx[:, None] * xx[None, :]).astype(cdt)
+    whalf = jnp.where((kx == 0) | ((m % 2 == 0) & (kx == m // 2)), 1.0, 2.0)
+
+    span_y = by - 1
+    span_x = bx - 1
+
+    def one_tile(sums, t):
+        ty = t // n_tx
+        tx = t % n_tx
+        y0 = (ty * T).astype(jnp.int32)
+        x0 = (tx * T).astype(jnp.int32)
+        zero = jnp.int32(0)
+
+        g_tile = jax.lax.dynamic_slice(
+            g_stack, (zero, y0, x0), (g_stack.shape[0], T, T))
+        g_emb = jnp.zeros((g_stack.shape[0], m, m), dtype=dt)
+        g_emb = g_emb.at[:, :T, :T].set(g_tile)
+        # r slice starts at (tile0 + o_min); r_pad is the global r stack
+        # pre-padded by (-o_min, +o_max) so this start is always >= 0
+        r_tile = jax.lax.dynamic_slice(
+            r_pad, (zero, y0, x0), (r_pad.shape[0], T + span_y, T + span_x))
+        r_emb = jnp.zeros((r_pad.shape[0], m, m), dtype=dt)
+        r_emb = r_emb.at[:, : T + span_y, : T + span_x].set(r_tile)
+
+        if precise:
+            G = precise_fft.rfft2(g_emb, m)
+            R = jnp.concatenate(
+                [precise_fft.rfft2(r_emb[k: k + 8], m)
+                 for k in range(0, r_emb.shape[0], 8)])
+        else:
+            G = jnp.fft.rfft2(g_emb, s=(m, m))
+            R = jnp.fft.rfft2(r_emb, s=(m, m))
+
+        prods = jnp.concatenate([
+            jnp.conj(G[0:1]) * R[0:1],
+            jnp.conj(G[1:2]) * R[0:1],
+            jnp.conj(G[2:3]) * R[0:1],
+            jnp.conj(G[0:1] if score == "pearson" else G[3:4]) * R[1: 1 + nt],
+            jnp.conj(G[1:2] if score == "pearson" else G[4:5]) * R[1: 1 + nt],
+            jnp.conj(G[0:1] if score == "pearson" else G[5:6])
+            * R[1 + nt: 1 + nt + npairs],
+        ])
+
+        # partial inverse on the box: S[s, oy, ox] = corr at offset
+        # (o_min + (oy, ox)); hermitian-half weights as in _box_inverse
+        Z = jnp.einsum("skx,xb->skb", prods * whalf[None, None, :], Ex,
+                       precision=jax.lax.Precision.HIGHEST)
+        S_box = jnp.real(jnp.einsum("yk,skb->syb", Ey, Z,
+                                    precision=jax.lax.Precision.HIGHEST))
+        S_box = S_box / (m * m)                      # (66, by, bx)
+
+        # per-lag integer offsets + fractional weights at the tile center
+        u = x0 + (T - 1) / 2.0
+        v = y0 + (T - 1) / 2.0
+        c = _quad_eval(coeffs_d, jnp.array([u], dtype=dt),
+                       jnp.array([v], dtype=dt))[:, 0, :]  # (L, 2) [x, y]
+        o = jnp.floor(c + 0.5)
+        frac = c - o
+        oi = o.astype(jnp.int32)
+        iy = oi[:, 1] - o_min[1]
+        ix = oi[:, 0] - o_min[0]
+        inb = ((iy >= 0) & (iy <= span_y) & (ix >= 0) & (ix <= span_x))
+        idx = jnp.clip(iy, 0, span_y) * bx + jnp.clip(ix, 0, span_x)
+
+        flat = S_box.reshape(S_box.shape[0], by * bx).T   # (by*bx, 66)
+        vals = flat[idx] * inb[:, None].astype(dt)        # (L, 66) row gather
+
+        wx = _weights_1d(frac[:, 0], order)               # (L, ntap)
+        wy = _weights_1d(frac[:, 1], order)
+        w2 = (wy[:, :, None] * wx[:, None, :]).reshape(L, nt)
+        pair_w = w2[:, pi_d] * w2[:, pj_d] * pmult_d[None, :]
+
+        upd = jnp.stack([
+            vals[:, 0],
+            vals[:, 1],
+            vals[:, 2],
+            jnp.sum(w2 * vals[:, 3: 3 + nt], axis=1),
+            jnp.sum(w2 * vals[:, 3 + nt: 3 + 2 * nt], axis=1),
+            jnp.sum(pair_w * vals[:, 3 + 2 * nt: 3 + 2 * nt + npairs],
+                    axis=1),
+        ], axis=-1)                                       # (L, 6)
+        return sums + upd, None
+
+    init = jnp.zeros((L, 6), dtype=dt)
+    sums, _ = jax.lax.scan(one_tile, init,
+                           jnp.arange(n_ty * n_tx, dtype=jnp.int32))
+    return sums
+
+
+def evaluate_select_tile_fft(coeffs, warped, ref_img, *, order, h, w,
+                             method="correlation", scale_det_per_grid=1.0,
+                             tol_det=TOL_DET_PX, compute_dtype=jnp.float32,
+                             tile_size=None, precise=None):
+    """Score ``L`` quadratic-displacement lags via tile-local FFT surfaces.
+
+    Same inputs/semantics as pallas_quad.evaluate_select_carr_pallas;
+    returns (L,) float64 scores, or None when preconditions fail (odd
+    spline order, unsupported method, within-tile deviation above the
+    detector-pixel tolerance).  ``scale_det_per_grid`` converts grid-pixel
+    deviations to detector pixels (the canvas oversampling factor's
+    inverse); pass 1.0 when unknown (conservative).
+    """
+    if method not in ("correlation", "residus_masked") or order not in (0, 2):
+        return None
+    coeffs = np.asarray(coeffs, dtype=np.float64)
+    L = coeffs.shape[0]
+    if L == 0:
+        return np.zeros(0)
+
+    if tile_size is None:
+        pick = pick_tile_size(coeffs, h, w, scale_det_per_grid, tol_det)
+        if pick is None:
+            return None
+        T, _dev = pick
+    else:
+        T = int(tile_size)
+    n_ty = -(-h // T)
+    n_tx = -(-w // T)
+    hp, wp = n_ty * T, n_tx * T
+
+    o_min, o_max = _offset_bounds(coeffs, h, w)  # (x, y) each
+    span = o_max - o_min
+    bx, by = int(span[0]) + 1, int(span[1]) + 1
+    m = _round128(T + max(by, bx) - 1)
+    if m > 2 * max(hp, wp):
+        return None  # offsets comparable to the image: not worth it
+
+    score = "pearson" if method == "correlation" else "residus"
+    warped_d = jnp.asarray(warped, dtype=compute_dtype)
+    ref_d = jnp.asarray(ref_img, dtype=compute_dtype)
+    if precise is None:
+        precise = precise_fft.use_precise_fft(
+            None if not isinstance(warped_d, jax.Array)
+            else next(iter(warped_d.devices())).platform)
+
+    g_stack, r_stack = _build_fields(warped_d, ref_d, order, score, hp, wp)
+    # shifted r frame: r_pad[i, j] = r_global[i + o_min_y, j + o_min_x]
+    # (zero outside), sized so every tile's slice
+    # [tile0 .. tile0 + T + span) is a plain in-bounds slice
+    span_y, span_x = by - 1, bx - 1
+    o_min_y, o_min_x = int(o_min[1]), int(o_min[0])
+    Htot, Wtot = hp + span_y, wp + span_x
+    r_pad = jnp.zeros((r_stack.shape[0], Htot, Wtot), dtype=r_stack.dtype)
+    sy0, sy1 = max(o_min_y, 0), min(o_min_y + Htot, hp)
+    sx0, sx1 = max(o_min_x, 0), min(o_min_x + Wtot, wp)
+    if sy1 > sy0 and sx1 > sx0:
+        dy0, dx0 = sy0 - o_min_y, sx0 - o_min_x
+        r_pad = r_pad.at[:, dy0: dy0 + (sy1 - sy0),
+                         dx0: dx0 + (sx1 - sx0)].set(
+            r_stack[:, sy0:sy1, sx0:sx1])
+
+    coeffs_d = jnp.asarray(coeffs, dtype=compute_dtype)
+    o_min_d = jnp.asarray(o_min, dtype=jnp.int32)
+
+    sums = _evaluate_tiles(g_stack, r_pad, coeffs_d, o_min_d, order, score,
+                           T, n_ty, n_tx, m, by, bx, precise)
+    S = np.asarray(sums, dtype=np.float64)  # (L, 6)
+
+    n = S[:, 0]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        if score == "pearson":
+            Sa, Saa, Sb, Sab, Sbb = S[:, 1], S[:, 2], S[:, 3], S[:, 4], S[:, 5]
+            num = Sab - Sa * Sb / n
+            den = np.sqrt((Saa - Sa * Sa / n) * (Sbb - Sb * Sb / n))
+            return num / den
+        Ssqa, Sa_, Sbosq, Sb_, Sb2oa = (S[:, 1], S[:, 2], S[:, 3], S[:, 4],
+                                        S[:, 5])
+        Sd = Ssqa - Sbosq
+        Sdd = Sa_ - 2.0 * Sb_ + Sb2oa
+        mean = Sd / n
+        var = Sdd / n - mean * mean
+        return np.sqrt(np.maximum(var, 0.0))

@@ -234,10 +234,9 @@ def test_carrington_select_matches_general():
 
     # call the select path directly (the FFT fast path would otherwise win)
     sc = carr.header_spherical_scalars(hs, 1.004)
-    lon, lat = carr.carrington_grid(lonlims, latlims, shape)
     delta_t = timeutils.time_diff_days(str(hs["DATE-OBS"]), str(hl["DATE-OBS"]))
     sel = carr._carrington_select(
-        ds, ref_img, sc, lon, lat, delta_t=delta_t, rate_wave="171",
+        ds, ref_img, sc, delta_t=delta_t, rate_wave="171",
         lonlims=lonlims, latlims=latlims, shape=shape,
         l1=l1, l2=l2, l3=np.array([0.0]), l4=np.array([0.0]),
         l5=np.array([0.0]), order=2, method="correlation",

@@ -219,7 +219,6 @@ def test_carrington_select_pallas_matches_xla():
     l2 = np.arange(-30.0, 11.0, 10.0) / 3600.0
 
     sc = carr.header_spherical_scalars(hs, 1.004)
-    lon, lat = carr.carrington_grid(lonlims, latlims, shape)
     delta_t = timeutils.time_diff_days(str(hs["DATE-OBS"]), str(hl["DATE-OBS"]))
     common = dict(
         delta_t=delta_t, rate_wave="171",
@@ -227,9 +226,9 @@ def test_carrington_select_pallas_matches_xla():
         l1=l1, l2=l2, l3=np.array([0.0]), l4=np.array([0.0]),
         l5=np.array([0.0]), order=2, method="correlation",
         compute_dtype="float32", batch_size=4)
-    xla = carr._carrington_select(ds, ref_img, sc, lon, lat,
+    xla = carr._carrington_select(ds, ref_img, sc,
                                   use_pallas=False, **common)
-    pal = carr._carrington_select(ds, ref_img, sc, lon, lat,
+    pal = carr._carrington_select(ds, ref_img, sc,
                                   use_pallas=True, pallas_interpret=True,
                                   **common)
     assert xla is not None and pal is not None

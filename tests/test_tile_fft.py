@@ -1,0 +1,135 @@
+"""Tile-local FFT Carrington evaluator: parity with the exact engine.
+
+The tile-FFT path approximates the per-lag displacement as constant within
+each tile, gated on the deviation in DETECTOR pixels (tile_fft.TOL_DET_PX).
+On oversampled grids it must match the select path to ~1e-3 and the exact
+engine at the argmax; on coarse (non-oversampled) grids the gate must
+reject and fall back.
+"""
+import numpy as np
+import pytest
+
+from euispice_coreg_tpu.core.header import Header, pc_from_crota
+from euispice_coreg_tpu.engine import carrington as carr
+
+
+def bench_like_config(n=256, grid=9, cdelt=16.0):
+    """Oversampled Carrington config shaped like the benchmark leg."""
+    extra = {"DSUN_OBS": 0.5 * 1.496e11, "CRLN_OBS": 120.0, "CRLT_OBS": 3.0,
+             "DATE-OBS": "2022-03-17T09:50:45", "WAVELNTH": 174}
+    pc = pc_from_crota(0.3, cdelt, cdelt)
+    hdr = Header({
+        "NAXIS1": n, "NAXIS2": n, "CRVAL1": 150.0, "CRVAL2": 100.0,
+        "CRPIX1": (n + 1) / 2, "CRPIX2": (n + 1) / 2,
+        "CDELT1": cdelt, "CDELT2": cdelt,
+        "CUNIT1": "arcsec", "CUNIT2": "arcsec", "CROTA": 0.3,
+        "PC1_1": pc[0], "PC1_2": pc[1], "PC2_1": pc[2], "PC2_2": pc[3],
+        **extra,
+    })
+    sc = carr.header_spherical_scalars(hdr, 1.004)
+    px, py = np.meshgrid(np.arange(n, dtype=np.float64),
+                         np.arange(n, dtype=np.float64))
+    lon_c, lat_c = carr.spherical_unproject(px, py, sc)
+
+    def scene(lo, la):
+        out = np.full(lo.shape, 100.0)
+        rng = np.random.default_rng(11)
+        for _ in range(25):
+            cx = rng.uniform(116, 124)
+            cy = rng.uniform(-3, 7)
+            w_ = rng.uniform(0.3, 1.5)
+            out += rng.uniform(0.5, 3) * np.exp(
+                -(((lo - cx) ** 2) + ((la - cy) ** 2)) / (2 * w_ * w_))
+        return out
+
+    small = np.where(np.isfinite(lon_c),
+                     scene(np.nan_to_num(lon_c), np.nan_to_num(lat_c)),
+                     np.nan)
+    lonlims, latlims, shape = (117.0, 123.0), (-1.0, 7.0), (n, n)
+    lon_g, lat_g = carr.carrington_grid(lonlims, latlims, shape)
+    ref = scene(lon_g, lat_g)
+    step = 2.0 / 3600.0
+    l1 = (np.arange(grid) - grid // 2) * step
+    return hdr, small, ref, lonlims, latlims, shape, l1
+
+
+def run_mode(cfg, mode, method="correlation"):
+    hdr, small, ref, lonlims, latlims, shape, l1 = cfg
+    return carr.evaluate_lag_grid_carrington(
+        small, ref, hdr, lonlims, latlims, shape,
+        l1, l1, [0.0], [0.0], [0.0],
+        d_solar_r=1.004, reference_date=hdr["DATE-OBS"], rate_wave="171",
+        order=2, method=method, compute_dtype="float64", lag_mode=mode)
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return bench_like_config()
+
+
+def test_tile_fft_argmax_matches_exact(cfg):
+    c_e = run_mode(cfg, "exact")
+    c_t = run_mode(cfg, "tile_fft")
+    mi_e = np.unravel_index(np.nanargmax(c_e), c_e.shape)
+    mi_t = np.unravel_index(np.nanargmax(c_t), c_t.shape)
+    assert mi_e == mi_t
+    # peak value agreement (double interpolation bounds off-peak values)
+    assert abs(np.nanmax(c_t) - np.nanmax(c_e)) < 1e-3
+
+
+def test_tile_fft_matches_select_values(cfg):
+    """The tile approximation's marginal error vs the same-prewarp select
+    evaluator must be far below the double-interpolation difference."""
+    c_t = run_mode(cfg, "tile_fft")
+    c_f = run_mode(cfg, "fast")
+    np.testing.assert_allclose(c_t, c_f, atol=2e-3)
+    mi = np.unravel_index(np.nanargmax(c_f), c_f.shape)
+    near = np.abs(c_t - c_f)[max(mi[0]-2, 0): mi[0]+3,
+                             max(mi[1]-2, 0): mi[1]+3]
+    assert np.nanmax(near) < 2e-4
+
+
+def test_tile_fft_residus_mode(cfg):
+    c_t = run_mode(cfg, "tile_fft", method="residus_masked")
+    c_f = run_mode(cfg, "fast", method="residus_masked")
+    mi_t = np.unravel_index(np.nanargmin(c_t), c_t.shape)
+    mi_f = np.unravel_index(np.nanargmin(c_f), c_f.shape)
+    assert mi_t == mi_f
+    np.testing.assert_allclose(c_t, c_f, atol=1e-3)
+
+
+def test_gate_rejects_undersampled_grid(tmp_path):
+    """Coarse grids (detector-scale or coarser) must NOT take the tile-FFT
+    path: the within-tile deviation in detector pixels exceeds the bound."""
+    import fixtures as fx
+    from euispice_coreg_tpu.hdrshift.alignment import Alignment
+    from euispice_coreg_tpu.engine import tile_fft
+
+    dl, hl, ds, hs = fx.make_carrington_pair(true_shift_arcsec=(20.0, -10.0))
+    p_large, p_small = fx.write_pair_fits(tmp_path, dl, hl, ds, hs)
+    A = Alignment(
+        large_fov_known_pointing=p_large, small_fov_to_correct=p_small,
+        lag_crval1=np.arange(0.0, 41.0, 10.0),
+        lag_crval2=np.arange(-30.0, 11.0, 10.0),
+        lag_cdelt1=None, lag_cdelt2=None, lag_crota=None,
+        small_fov_window=0, large_fov_window=0, lag_search_mode="tile_fft")
+    calls = []
+    orig = tile_fft.evaluate_select_tile_fft
+
+    def spy(*a, **k):
+        r = orig(*a, **k)
+        calls.append(r is None)
+        return r
+
+    tile_fft.evaluate_select_tile_fft = spy
+    try:
+        corr = A.align_using_carrington(
+            lonlims=(115.0, 125.0), latlims=(-2.0, 8.0), shape=(128, 128),
+            return_type="corr")
+    finally:
+        tile_fft.evaluate_select_tile_fft = orig
+    # the gate fired (returned None) and the engine still produced a result
+    assert calls and all(calls)
+    mi = np.unravel_index(np.nanargmax(corr), corr.shape)
+    assert A.lag_crval1[mi[0]] == pytest.approx(20.0)
+    assert A.lag_crval2[mi[1]] == pytest.approx(-10.0)
