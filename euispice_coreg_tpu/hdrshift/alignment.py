@@ -135,7 +135,8 @@ class Alignment:
         self.compute_dtype = jnp.dtype(compute_dtype)
         self.batch_size_lags = batch_size_lags
         self.mesh = lag_search.default_mesh() if use_device_mesh else None
-        if lag_search_mode not in ("auto", "exact", "fast", "pallas"):
+        if lag_search_mode not in ("auto", "exact", "fast", "pallas",
+                                   "tile_fft"):
             raise ValueError(f"unknown lag_search_mode: {lag_search_mode!r}")
         self.lag_search_mode = lag_search_mode
 
@@ -398,11 +399,20 @@ class Alignment:
         allow_fast = self._allow_fast_mode(n_lags)
         logger.info("lag search: %d candidates, mode=%s, order=%d",
                     n_lags * len(self.lag_solar_r), self.lag_search_mode, self.order)
-        with timed(f"lag-grid search ({n_lags} candidates)"):
+        with timed(f"lag-grid search ({n_lags} candidates)"), \
+                self._progress_scope():
             corr5 = self._evaluate(lon, lat, base, l1, l2, l3, l4, l5, kind,
                                    allow_fast, ref_img)
         # helioprojective ignores lag_solar_r: replicate across the 6th axis
         return np.repeat(corr5[..., np.newaxis], len(self.lag_solar_r), axis=-1)
+
+    def _progress_scope(self):
+        """Console progress bar for long public-API calls when
+        ``display_progress_bar=True`` (the reference's tqdm bar,
+        alignment.py:478)."""
+        from ..utils import obs
+
+        return obs.console_progress_bar(self.display_progress_bar)
 
     def _allow_fast_mode(self, n_lags):
         """Map ``lag_search_mode`` to the engine's ``allow_fast`` knob."""
@@ -410,7 +420,9 @@ class Alignment:
             return False
         if self.lag_search_mode == "pallas":
             return "pallas"
-        if self.lag_search_mode == "fast":
+        if self.lag_search_mode in ("fast", "tile_fft"):
+            # tile_fft is a Carrington select mode; projected searches use
+            # the (already factorized) FFT/block fast paths
             return "block"
         return "block" if n_lags > 2000 else True  # auto
 
@@ -449,7 +461,8 @@ class Alignment:
                     self._large_dev(), self.hdr_large, self.hdr_small,
                     d_solar_r=float(d_solar_r), order=self.order,
                     compute_dtype=self.compute_dtype)
-            with timed(f"lag-grid search ({n_lags} candidates)"):
+            with timed(f"lag-grid search ({n_lags} candidates)"), \
+                    self._progress_scope():
                 corr5 = self._evaluate(lon, lat, base, l1, l2, l3, l4, l5,
                                        kind, allow_fast, ref_img)
             corr_parts.append(corr5)
@@ -563,24 +576,25 @@ class Alignment:
                 order=self.order,
                 compute_dtype=self.compute_dtype,
             )
-            corr5 = carr_engine.evaluate_lag_grid_carrington(
-                self._small_dev(),
-                ref_img,
-                self.hdr_small,
-                self.lonlims,
-                self.latlims,
-                self.shape,
-                l1, l2, l3, l4, l5,
-                d_solar_r=float(d_solar_r),
-                reference_date=self.reference_date,
-                rate_wave=rate_wave,
-                order=self.order,
-                method=self.method,
-                compute_dtype=self.compute_dtype,
-                batch_size=self.batch_size_lags,
-                mesh=self.mesh,
-                lag_mode=self.lag_search_mode,
-            )
+            with self._progress_scope():
+                corr5 = carr_engine.evaluate_lag_grid_carrington(
+                    self._small_dev(),
+                    ref_img,
+                    self.hdr_small,
+                    self.lonlims,
+                    self.latlims,
+                    self.shape,
+                    l1, l2, l3, l4, l5,
+                    d_solar_r=float(d_solar_r),
+                    reference_date=self.reference_date,
+                    rate_wave=rate_wave,
+                    order=self.order,
+                    method=self.method,
+                    compute_dtype=self.compute_dtype,
+                    batch_size=self.batch_size_lags,
+                    mesh=self.mesh,
+                    lag_mode=self.lag_search_mode,
+                )
             corr_parts.append(corr5)
         corr = np.stack(corr_parts, axis=-1)
         if return_type == "corr":

@@ -390,6 +390,10 @@ def _hdu_bytes(hdu: HDU, primary: bool) -> bytes:
         cards.append(_make_card("PCOUNT", 0))
         cards.append(_make_card("GCOUNT", 1))
     skip = set(_STRUCTURAL) | {f"NAXIS{i}" for i in range(1, 10)}
+    if arr is not None and arr.dtype.kind in "iu":
+        # integer data may carry scale keys: keep them so reading applies
+        # BSCALE/BZERO/BLANK (float data is always written unscaled)
+        skip -= {"BSCALE", "BZERO"}
     for key, value in hdr.items():
         if key in skip:
             continue

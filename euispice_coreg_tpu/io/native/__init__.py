@@ -13,7 +13,7 @@ import threading
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_DIR, "rice.cpp")
+_SRCS = [os.path.join(_DIR, "rice.cpp"), os.path.join(_DIR, "hcompress.cpp")]
 _SO = os.path.join(_DIR, "libeuicoreg_native.so")
 
 _lock = threading.Lock()
@@ -21,7 +21,7 @@ _lib = None
 
 
 def _build():
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO]
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", *_SRCS, "-o", _SO]
     subprocess.run(cmd, check=True, capture_output=True)
 
 
@@ -30,8 +30,8 @@ def _load():
     with _lock:
         if _lib is not None:
             return _lib
-        need_build = (not os.path.exists(_SO)) or (
-            os.path.getmtime(_SRC) > os.path.getmtime(_SO)
+        need_build = (not os.path.exists(_SO)) or any(
+            os.path.getmtime(src) > os.path.getmtime(_SO) for src in _SRCS
         )
         if need_build:
             _build()
@@ -45,6 +45,20 @@ def _load():
         lib.euicoreg_rice_decode.argtypes = [
             ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long,
             ctypes.c_int, ctypes.c_int,
+        ]
+        lib.euicoreg_hcomp_info.restype = ctypes.c_int
+        lib.euicoreg_hcomp_info.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p,
+        ]
+        lib.euicoreg_hcomp_decode.restype = ctypes.c_int
+        lib.euicoreg_hcomp_decode.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long,
+        ]
+        lib.euicoreg_hcomp_encode.restype = ctypes.c_long
+        lib.euicoreg_hcomp_encode.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_long,
         ]
         _lib = lib
         return lib
@@ -64,6 +78,50 @@ def rice_encode(pixels: np.ndarray, blocksize: int = 32, bytepix: int = 4) -> np
     if n < 0:
         raise RuntimeError("RICE encode buffer overflow")
     return out[:n].copy()
+
+
+def hcomp_encode(tile: np.ndarray, scale: int = 0) -> np.ndarray:
+    """HCOMPRESS-encode a 2-D int array; returns uint8 compressed bytes.
+
+    ``scale=0``/1 is lossless; larger scales digitize the H-transform
+    coefficients (lossy, error bounded by ~scale/2 per coefficient)."""
+    lib = _load()
+    a = np.ascontiguousarray(tile, dtype=np.int32)
+    if a.ndim != 2:
+        raise ValueError("hcompress operates on 2-D tiles")
+    cap = a.size * 8 + 1024
+    out = np.empty(cap, dtype=np.uint8)
+    n = lib.euicoreg_hcomp_encode(a.ctypes.data, a.shape[0], a.shape[1],
+                                  int(scale), out.ctypes.data, cap)
+    if n < 0:
+        raise RuntimeError(f"HCOMPRESS encode failed ({n})")
+    return out[:n].copy()
+
+
+def hcomp_decode(comp: np.ndarray, npix: int) -> tuple[np.ndarray, int, int]:
+    """Decode an HCOMPRESS stream; returns (int32 array (nx, ny), nx, ny).
+
+    ``nx`` is the slow axis, ``ny`` the fast axis (stream-embedded dims)."""
+    import ctypes
+
+    lib = _load()
+    c = np.ascontiguousarray(comp, dtype=np.uint8)
+    nx = ctypes.c_int()
+    ny = ctypes.c_int()
+    scale = ctypes.c_int()
+    rc = lib.euicoreg_hcomp_info(c.ctypes.data, c.size, ctypes.byref(nx),
+                                 ctypes.byref(ny), ctypes.byref(scale))
+    if rc != 0:
+        raise ValueError(f"bad HCOMPRESS stream header (rc={rc})")
+    nel = nx.value * ny.value
+    if nel != npix:
+        raise ValueError(
+            f"HCOMPRESS tile holds {nel} pixels, expected {npix}")
+    out = np.empty(nel, dtype=np.int32)
+    rc = lib.euicoreg_hcomp_decode(c.ctypes.data, c.size, out.ctypes.data, nel)
+    if rc != 0:
+        raise ValueError(f"HCOMPRESS decode failed (rc={rc})")
+    return out.reshape(nx.value, ny.value), nx.value, ny.value
 
 
 def rice_decode(comp: np.ndarray, npix: int, blocksize: int = 32, bytepix: int = 4) -> np.ndarray:

@@ -1,4 +1,6 @@
-"""Tile-compressed FITS image support (RICE_1, GZIP_1, GZIP_2, NOCOMPRESS).
+"""Tile-compressed FITS image support
+(RICE_1, GZIP_1, GZIP_2, HCOMPRESS_1, NOCOMPRESS; PLIO_1 is NOT supported —
+it is an IRAF mask format that does not occur in Solar Orbiter products).
 
 This fills the role cfitsio's compiled codecs play underneath astropy's
 ``CompImageHDU`` in the reference stack (the reference opens RICE-compressed
@@ -7,7 +9,8 @@ EUI L2 files and re-wraps corrected windows as ``CompImageHDU`` with <f4 data,
 FITS Tiled Image Compression Convention (White et al. 2013):
 
 - integer images: lossless RICE_1 (native C++ codec in ``io/native/rice.cpp``
-  bound through ctypes), GZIP_1, GZIP_2 (byte-plane shuffled gzip);
+  bound through ctypes), HCOMPRESS_1 (native codec in
+  ``io/native/hcompress.cpp``), GZIP_1, GZIP_2 (byte-plane shuffled gzip);
 - floating-point images: per-tile linear quantization with ZSCALE/ZZERO
   table columns, ``NO_DITHER`` / ``SUBTRACTIVE_DITHER_1`` /
   ``SUBTRACTIVE_DITHER_2`` (the cfitsio Park-Miller random sequence),
@@ -169,11 +172,22 @@ _ZBITPIX_BE = {8: ">u1", 16: ">i2", 32: ">i4", 64: ">i8", -32: ">f4", -64: ">f8"
 
 
 def _decode_tile_ints(comp, npix, zcmptype, blocksize, bytepix, zbitpix,
-                      quantized):
-    """Decode one COMPRESSED_DATA payload into integer (or raw float) pixels."""
+                      quantized, tile_hw=None):
+    """Decode one COMPRESSED_DATA payload into integer (or raw float) pixels.
+
+    ``tile_hw``: (rows, cols) of the tile — needed by HCOMPRESS_1, whose
+    stream embeds its own 2-D dims (transposed streams are detected and
+    fixed so either writer convention reads correctly)."""
     if zcmptype == "RICE_1":
         return native.rice_decode(np.frombuffer(bytes(comp), dtype=np.uint8),
                                   npix, blocksize, bytepix).astype(np.int64)
+    if zcmptype == "HCOMPRESS_1":
+        arr2d, nx, ny = native.hcomp_decode(
+            np.frombuffer(bytes(comp), dtype=np.uint8), npix)
+        if tile_hw is not None and (nx, ny) == (tile_hw[1], tile_hw[0]) \
+                and nx != ny:
+            arr2d = arr2d.T  # writer used (cols, rows) convention
+        return arr2d.reshape(-1).astype(np.int64)
     if zcmptype in ("GZIP_1", "GZIP_2"):
         raw = _gzip_decompress(comp)
         itemsize = len(raw) // npix
@@ -271,7 +285,8 @@ def decompress_hdu(hdr: Header, raw: bytes) -> np.ndarray:
     # integer by construction)
     quantized = zbitpix < 0 and (
         "ZSCALE" in cols or "ZZERO" in cols
-        or "ZSCALE" in hdr or "ZZERO" in hdr or zcmptype == "RICE_1"
+        or "ZSCALE" in hdr or "ZZERO" in hdr
+        or zcmptype in ("RICE_1", "HCOMPRESS_1")
     )
 
     if zbitpix == -32:
@@ -295,7 +310,8 @@ def decompress_hdu(hdr: Header, raw: bytes) -> np.ndarray:
         comp = _read_heap_bytes(rows, heap, r, c_comp) if c_comp else b""
         if len(comp):
             vals = _decode_tile_ints(comp, npix, zcmptype, blocksize,
-                                     bytepix, zbitpix, quantized)
+                                     bytepix, zbitpix, quantized,
+                                     tile_hw=(cur_h, cur_w))
         elif c_gzfb is not None and len(pay := _read_heap_bytes(rows, heap, r, c_gzfb)):
             # lossless fallback tile: gzip of the IEEE bytes, no quantization
             rawt = _gzip_decompress(pay)
@@ -356,9 +372,12 @@ def decompress_hdu(hdr: Header, raw: bytes) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def _encode_tile_ints(arr_i4: np.ndarray, zcmptype: str, blocksize: int,
-                      bytepix: int) -> bytes:
+                      bytepix: int, tile_hw=None, hscale: int = 0) -> bytes:
     if zcmptype == "RICE_1":
         return native.rice_encode(arr_i4.ravel(), blocksize, bytepix).tobytes()
+    if zcmptype == "HCOMPRESS_1":
+        return native.hcomp_encode(
+            np.asarray(arr_i4).reshape(tile_hw), hscale).tobytes()
     if zcmptype == "GZIP_1":
         return _gzip_compress(arr_i4.astype(">i4").tobytes())
     if zcmptype == "GZIP_2":
@@ -367,15 +386,24 @@ def _encode_tile_ints(arr_i4: np.ndarray, zcmptype: str, blocksize: int,
 
 
 def _quantize_tile(tile: np.ndarray, row: int, quantize_level: float,
-                   zquantiz: str, dither0: int):
+                   zquantiz: str, dither0: int, anchor: str = "bottom"):
     """Per-tile linear quantization following cfitsio ``fits_quantize_float``.
 
     Returns ``(ints, zscale, zzero)`` or ``None`` when the tile cannot be
     represented in the 32-bit integer range at the requested level (callers
     fall back to the lossless GZIP_COMPRESSED_DATA column, as cfitsio does).
+
+    ``anchor="bottom"`` places codes at the bottom of the int32 range
+    (RICE/GZIP convention); ``anchor="zero"`` starts codes near 0 —
+    required for HCOMPRESS_1, whose H-transform sums coefficients and
+    overflows on |codes| ~ 2^31.  NaN tiles under ``anchor="zero"`` return
+    None (lossless fallback) since the NULL sentinel cannot ride through
+    the transform.
     """
     flat = tile.ravel().astype(np.float64)
     finite = np.isfinite(flat)
+    if anchor == "zero" and not finite.all():
+        return None  # no transform-safe NULL code: lossless fallback
     if not finite.any():
         return np.full(flat.shape, NULL_VALUE, dtype=np.int64), 1.0, 0.0
     vals = flat[finite]
@@ -404,11 +432,18 @@ def _quantize_tile(tile: np.ndarray, row: int, quantize_level: float,
             return ints, 1.0, 0.0
         vmin, vmax = nonzero.min(), nonzero.max()
 
-    # anchor the integer range at the bottom of int32 like cfitsio
-    # (N_RESERVED_VALUES = 10 codes below it kept for NULL/ZERO markers)
-    if (vmax - vmin) / zscale > 4294967283.0:
-        return None
-    zzero = vmin - zscale * (NULL_VALUE + 10)  # q(vmin) = NULL_VALUE + 10
+    if anchor == "zero":
+        # codes start near 0; the H-transform accumulates ~sqrt(npix) x the
+        # code range, so guard the whole transform against int32 overflow
+        if (vmax - vmin) / zscale * np.sqrt(flat.size) > 5e8:
+            return None
+        zzero = vmin - zscale * 10.0  # q(vmin) = 10
+    else:
+        # anchor the integer range at the bottom of int32 like cfitsio
+        # (N_RESERVED_VALUES = 10 codes below it kept for NULL/ZERO markers)
+        if (vmax - vmin) / zscale > 4294967283.0:
+            return None
+        zzero = vmin - zscale * (NULL_VALUE + 10)  # q(vmin) = NULL_VALUE + 10
 
     q = (flat - zzero) / zscale
     if zquantiz in ("SUBTRACTIVE_DITHER_1", "SUBTRACTIVE_DITHER_2"):
@@ -450,6 +485,10 @@ def compress_hdu_bytes(hdu, compression_type: str | None = None,
 
     height, width = data.shape
     th_opt = getattr(hdu, "tile_shape", None)
+    if zcmptype == "HCOMPRESS_1" and not th_opt:
+        # hcompress needs 2-D tiles; default to the whole image (cfitsio
+        # requires >= 4 rows per tile and whole rows)
+        th_opt = (height, width)
     tile_h = th_opt[0] if th_opt else 1
     tile_w = th_opt[1] if th_opt else width
     blocksize, bytepix = 32, 4
@@ -470,7 +509,10 @@ def compress_hdu_bytes(hdu, compression_type: str | None = None,
                     tx * tile_w: min((tx + 1) * tile_w, width)]
         if is_float:
             qres = _quantize_tile(tile, r, quantize_level, zquantiz,
-                                  dither_seed)
+                                  dither_seed,
+                                  anchor=("zero"
+                                          if zcmptype == "HCOMPRESS_1"
+                                          else "bottom"))
             if qres is None:
                 be = tile.astype(">f4" if zbitpix == -32 else ">f8").tobytes()
                 payload = _gzip_compress(be)
@@ -487,7 +529,8 @@ def compress_hdu_bytes(hdu, compression_type: str | None = None,
             arr_i4 = ints.astype(np.int32)
         else:
             arr_i4 = tile.astype(np.int32).ravel()
-        payload = _encode_tile_ints(arr_i4, zcmptype, blocksize, bytepix)
+        payload = _encode_tile_ints(arr_i4, zcmptype, blocksize, bytepix,
+                                    tile_hw=tile.shape)
         comp_descs.append((len(payload), len(heap)))
         gzfb_descs.append((0, 0))
         heap.extend(payload)
@@ -534,12 +577,18 @@ def compress_hdu_bytes(hdu, compression_type: str | None = None,
         "ZNAXIS2": height,
         "ZTILE1": tile_w,
         "ZTILE2": tile_h,
-        "ZNAME1": "BLOCKSIZE",
-        "ZVAL1": blocksize,
-        "ZNAME2": "BYTEPIX",
-        "ZVAL2": bytepix,
         "TFIELDS": len(fields),
     })
+    if zcmptype == "HCOMPRESS_1":
+        cards_src["ZNAME1"] = "SCALE"
+        cards_src["ZVAL1"] = 0.0  # lossless H-transform (ints exact)
+        cards_src["ZNAME2"] = "SMOOTH"
+        cards_src["ZVAL2"] = 0
+    else:
+        cards_src["ZNAME1"] = "BLOCKSIZE"
+        cards_src["ZVAL1"] = blocksize
+        cards_src["ZNAME2"] = "BYTEPIX"
+        cards_src["ZVAL2"] = bytepix
     for i, (name, tform) in enumerate(fields, start=1):
         cards_src[f"TTYPE{i}"] = name
         cards_src[f"TFORM{i}"] = tform

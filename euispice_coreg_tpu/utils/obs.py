@@ -35,9 +35,31 @@ def timed(label: str, level=logging.INFO):
         logger.log(level, "%s: %.3f s", label, time.perf_counter() - t0)
 
 
+# When True, Progress renders a tqdm-style console bar on stderr (in
+# addition to any logging handlers).  Toggled by the public API's
+# ``display_progress_bar=True`` (the reference shows a tqdm bar per lag
+# grid, alignment.py:478).
+_console_bar = False
+
+
+@contextlib.contextmanager
+def console_progress_bar(enabled: bool = True):
+    """Scope in which Progress draws a console bar (nestable, re-entrant)."""
+    global _console_bar
+    prev = _console_bar
+    _console_bar = bool(enabled)
+    try:
+        yield
+    finally:
+        _console_bar = prev
+
+
 class Progress:
     """Minimal progress reporter: logs every ``every`` steps (and at the
-    end), or delegates to a user callback ``cb(done, total, label)``."""
+    end), delegates to a user callback ``cb(done, total, label)``, and —
+    inside a :func:`console_progress_bar` scope — draws a tqdm-style bar."""
+
+    BAR_WIDTH = 30
 
     def __init__(self, total: int, label: str = "", every: int | None = None,
                  cb=None, enabled: bool = True):
@@ -48,11 +70,34 @@ class Progress:
         self.enabled = enabled
         self.done = 0
         self._t0 = time.perf_counter()
+        self._last_draw = 0.0
+
+    def _draw_bar(self):
+        import sys
+
+        now = time.perf_counter()
+        finished = self.done >= self.total
+        if not finished and now - self._last_draw < 0.1:
+            return
+        self._last_draw = now
+        frac = min(self.done / self.total, 1.0) if self.total else 1.0
+        filled = int(self.BAR_WIDTH * frac)
+        bar = "#" * filled + "-" * (self.BAR_WIDTH - filled)
+        dt = now - self._t0
+        rate = self.done / dt if dt > 0 else 0.0
+        sys.stderr.write(
+            f"\r{self.label}: |{bar}| {self.done}/{self.total} "
+            f"[{dt:.1f}s, {rate:.1f}/s]")
+        if finished:
+            sys.stderr.write("\n")
+        sys.stderr.flush()
 
     def step(self, n: int = 1):
         self.done += n
         if not self.enabled:
             return
+        if _console_bar:
+            self._draw_bar()
         if self.cb is not None:
             self.cb(self.done, self.total, self.label)
         elif self.done % self.every == 0 or self.done == self.total:

@@ -71,10 +71,10 @@ def make_header(
     return hdr
 
 
-def render_helioprojective(hdr, seed=0):
+def render_helioprojective(hdr, seed=0, width_deg=0.02):
     """Render the analytic scene onto a header's pixel grid."""
     lon, lat = coords.header_world_grid(hdr)
-    return scene_helioprojective(lon, lat, seed=seed)
+    return scene_helioprojective(lon, lat, seed=seed, width_deg=width_deg)
 
 
 def make_helioprojective_pair(
@@ -153,7 +153,8 @@ def make_spice_l2_header(
     return hdr
 
 
-def render_spice_l2_cube(hdr, seed=0, line_profile=(0.1, 0.4, 0.4, 0.1)):
+def render_spice_l2_cube(hdr, seed=0, line_profile=(0.1, 0.4, 0.4, 0.1),
+                         width_deg=0.02):
     """Render the analytic helioprojective scene into a SPICE L2 cube whose
     spectral sum reproduces the scene."""
     from euispice_coreg_tpu.hdrshift.alignment_spice import (
@@ -164,20 +165,27 @@ def render_spice_l2_cube(hdr, seed=0, line_profile=(0.1, 0.4, 0.4, 0.1)):
     nlam = int(hdr["NAXIS3"])
     hdr2 = spatial_header_from_spice_l2(hdr, nx, ny)
     lon, lat = coords.header_world_grid(hdr2)
-    scene = scene_helioprojective(lon, lat)
+    scene = scene_helioprojective(lon, lat, seed=seed, width_deg=width_deg)
     prof = np.asarray(line_profile[:nlam], dtype=np.float64)
     prof = prof / prof.sum()
     cube = scene[None, None, :, :] * prof[None, :, None, None]
     return np.asarray(cube, dtype=np.float64)
 
 
-def make_spice_pair(tmp_path, true_shift_arcsec=(8.0, -4.0), seed=0):
-    """Imager + SPICE L2 cube pair with known injected mispointing."""
-    hdr_imager = make_header((196, 196), (12.0, 12.0), (0.0, 0.0), 0.0)
-    data_imager = render_helioprojective(hdr_imager, seed=seed)
+def make_spice_pair(tmp_path, true_shift_arcsec=(8.0, -4.0), seed=0,
+                    width_deg=0.02, imager_naxis=(196, 196),
+                    imager_cdelt=(12.0, 12.0)):
+    """Imager + SPICE L2 cube pair with known injected mispointing.
+
+    ``width_deg`` sets the scene's blob scale: smaller widths sharpen the
+    correlation peak (sub-pixel Gaussian-fit tests) but need a finer
+    ``imager_cdelt`` to stay alias-free."""
+    hdr_imager = make_header(imager_naxis, imager_cdelt, (0.0, 0.0), 0.0)
+    data_imager = render_helioprojective(hdr_imager, seed=seed,
+                                         width_deg=width_deg)
 
     hdr_true = make_spice_l2_header(crval_arcsec=(120.0, 80.0))
-    cube = render_spice_l2_cube(hdr_true, seed=seed)
+    cube = render_spice_l2_cube(hdr_true, seed=seed, width_deg=width_deg)
     hdr_given = make_spice_l2_header(
         crval_arcsec=(120.0 - true_shift_arcsec[0], 80.0 - true_shift_arcsec[1])
     )

@@ -355,3 +355,97 @@ def test_rice_truncated_stream_raises():
         rice_decode(comp[: len(comp) // 2], 1024, 32, 4)
     with pytest.raises(RuntimeError):
         rice_decode(np.zeros(0, dtype=np.uint8), 16, 32, 4)
+
+
+# ---------------------------------------------------------------------------
+# HCOMPRESS_1 (native codec, io/native/hcompress.cpp)
+# ---------------------------------------------------------------------------
+
+def test_hcompress_codec_roundtrip_shapes():
+    from euispice_coreg_tpu.io.native import hcomp_decode, hcomp_encode
+
+    rng = np.random.default_rng(5)
+    for shape in [(64, 64), (37, 53), (5, 9), (1, 16), (31, 1)]:
+        a = (rng.normal(size=shape) * 500).astype(np.int32)
+        comp = hcomp_encode(a, scale=0)
+        dec, nx, ny = hcomp_decode(comp, a.size)
+        assert (nx, ny) == shape
+        np.testing.assert_array_equal(dec, a)
+
+
+def test_hcompress_lossy_scale_bounded():
+    from euispice_coreg_tpu.io.native import hcomp_decode, hcomp_encode
+
+    rng = np.random.default_rng(6)
+    y, x = np.mgrid[0:96, 0:96]
+    a = (800 * np.exp(-((x - 40) ** 2 + (y - 50) ** 2) / 500)
+         + rng.normal(0, 2, size=(96, 96))).astype(np.int32)
+    lossless = hcomp_encode(a, scale=0)
+    lossy = hcomp_encode(a, scale=16)
+    assert len(lossy) < len(lossless)
+    dec, _, _ = hcomp_decode(lossy, a.size)
+    assert np.abs(dec.astype(np.int64) - a).max() <= 16
+
+
+def test_hcompress_integer_hdu_roundtrip(tmp_path):
+    rng = np.random.default_rng(7)
+    img = rng.integers(-500, 3000, size=(48, 40)).astype(np.int32)
+    path = tmp_path / "hc.fits"
+    fits.write(path, [fits.PrimaryHDU(),
+                      fits.CompImageHDU(data=img, name="W",
+                                        compression_type="HCOMPRESS_1")])
+    got = fits.open(path)["W"]
+    assert got.header["ZCMPTYPE"] == "HCOMPRESS_1"
+    np.testing.assert_array_equal(got.data, img)
+
+
+def test_hcompress_tiled_hdu_roundtrip(tmp_path):
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 1000, size=(50, 35)).astype(np.int32)
+    path = tmp_path / "hct.fits"
+    fits.write(path, [fits.PrimaryHDU(),
+                      fits.CompImageHDU(data=img, name="W",
+                                        compression_type="HCOMPRESS_1",
+                                        tile_shape=(16, 35))])
+    np.testing.assert_array_equal(fits.open(path)["W"].data, img)
+
+
+def test_hcompress_quantized_float_roundtrip(tmp_path):
+    data = _smooth_float_image(seed=13)
+    data[4, 6] = np.nan
+    path = tmp_path / "hcq.fits"
+    fits.write(path, [fits.PrimaryHDU(),
+                      fits.CompImageHDU(data=data, name="W",
+                                        compression_type="HCOMPRESS_1",
+                                        quantize_level=32.0,
+                                        tile_shape=(8, 53))])
+    got = fits.open(path)["W"].data
+    assert got.dtype == np.float32
+    assert np.isnan(got[4, 6])
+    fin = np.isfinite(data)
+    assert np.abs(got[fin] - data[fin]).max() < 0.15
+
+
+def test_hcompress_alignment_end_to_end(tmp_path):
+    """A RICE-era flow with HCOMPRESS windows through the full public API."""
+    import fixtures as fx
+    from euispice_coreg_tpu.hdrshift.alignment import Alignment
+
+    dl, hl, ds, hs = fx.make_helioprojective_pair(true_shift_arcsec=(8.0, -4.0))
+    p_large = str(tmp_path / "large.fits")
+    p_small = str(tmp_path / "small_hc.fits")
+    fits.write(p_large, [fits.PrimaryHDU(data=dl.astype(np.float32),
+                                         header=hl)])
+    comp = fits.CompImageHDU(data=ds.astype(np.float32), header=hs,
+                             name="HRI", compression_type="HCOMPRESS_1")
+    comp.quantize_level = 64.0
+    fits.write(p_small, [fits.PrimaryHDU(), comp])
+    A = Alignment(
+        large_fov_known_pointing=p_large, small_fov_to_correct=p_small,
+        lag_crval1=np.arange(-2, 19, 2.0), lag_crval2=np.arange(-14, 7, 2.0),
+        lag_cdelt1=None, lag_cdelt2=None, lag_crota=None,
+        small_fov_window="HRI", large_fov_window=0)
+    corr = A.align_using_helioprojective(return_type="corr")
+    mi = np.unravel_index(np.nanargmax(corr), corr.shape)
+    assert A.lag_crval1[mi[0]] == pytest.approx(8.0)
+    assert A.lag_crval2[mi[1]] == pytest.approx(-4.0)

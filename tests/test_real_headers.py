@@ -1,0 +1,251 @@
+"""Realistic-header fixture battery (VERDICT r1 missing #1).
+
+The reference's de-facto correctness spec is golden argmaxes on live Solar
+Orbiter files (`/root/reference/euispice_coreg/hdrshift/test/test_alignment.py:34-35`);
+real L2 headers come in many WCS spellings that clean synthetic TAN headers
+never exercise.  Each archetype here replicates a real-world header quirk,
+injects a known pointing error, and must recover it through the FULL public
+API (`Alignment.align_using_helioprojective`), plus a corrected-write
+round-trip for the scaled-integer case.
+
+Archetypes:
+  1. CUNIT deg (both axes in degrees, as SPICE L2 spatial axes are written)
+  2. CUNIT mixed (deg on axis 1, arcsec on axis 2)
+  3. CD-matrix header (CDi_j only: no PC, no CDELT, no CROTA)
+  4. CROTA2-only header (no PC matrix; AIPS-era spelling)
+  5. BLANK/BSCALE/BZERO int16 window (onboard-quantized integers)
+  6. RICE_1 tile-compressed window in an image extension, selected by EXTNAME
+  7. gzip-compressed file (.fits.gz)
+  8. 4-D SPICE-style cube header on disk (time+spectral axes) through
+     AlignmentSpice
+"""
+import gzip
+
+import numpy as np
+import pytest
+
+import fixtures as fx
+from euispice_coreg_tpu.core.header import Header, pc_from_crota
+from euispice_coreg_tpu.hdrshift.alignment import Alignment
+from euispice_coreg_tpu.io import fits
+
+TRUE_SHIFT = (8.0, -4.0)
+LAGS1 = np.arange(-2, 19, 2.0)
+LAGS2 = np.arange(-14, 7, 2.0)
+
+
+def run_alignment(p_large, p_small, small_window=0, **kwargs):
+    A = Alignment(
+        large_fov_known_pointing=p_large,
+        small_fov_to_correct=p_small,
+        lag_crval1=LAGS1,
+        lag_crval2=LAGS2,
+        lag_cdelt1=None, lag_cdelt2=None, lag_crota=None,
+        small_fov_window=small_window, large_fov_window=0,
+        **kwargs,
+    )
+    corr = A.align_using_helioprojective(method="correlation",
+                                         return_type="corr")
+    mi = np.unravel_index(np.nanargmax(corr), corr.shape)
+    return A.lag_crval1[mi[0]], A.lag_crval2[mi[1]], A
+
+
+def assert_recovers(p_large, p_small, small_window=0, **kwargs):
+    s1, s2, A = run_alignment(p_large, p_small, small_window, **kwargs)
+    assert s1 == pytest.approx(TRUE_SHIFT[0]), f"crval1 argmax {s1}"
+    assert s2 == pytest.approx(TRUE_SHIFT[1]), f"crval2 argmax {s2}"
+    return A
+
+
+def standard_pair():
+    return fx.make_helioprojective_pair(true_shift_arcsec=TRUE_SHIFT)
+
+
+def rewrite_header(hdr_arcsec, transform):
+    """Copy a fixture header and apply an archetype transform in place."""
+    hdr = hdr_arcsec.copy()
+    transform(hdr)
+    return hdr
+
+
+# --------------------------------------------------------------------------
+# 1. CUNIT deg on both axes
+# --------------------------------------------------------------------------
+
+def to_deg_units(hdr):
+    for ax in (1, 2):
+        hdr[f"CRVAL{ax}"] = float(hdr[f"CRVAL{ax}"]) / 3600.0
+        hdr[f"CDELT{ax}"] = float(hdr[f"CDELT{ax}"]) / 3600.0
+        hdr[f"CUNIT{ax}"] = "deg"
+
+
+def test_cunit_deg(tmp_path):
+    dl, hl, ds, hs = standard_pair()
+    hs = rewrite_header(hs, to_deg_units)
+    p_large, p_small = fx.write_pair_fits(tmp_path, dl, hl, ds, hs)
+    assert_recovers(p_large, p_small)
+
+
+# --------------------------------------------------------------------------
+# 2. CUNIT mixed deg / arcsec
+# --------------------------------------------------------------------------
+
+def to_mixed_units(hdr):
+    hdr["CRVAL1"] = float(hdr["CRVAL1"]) / 3600.0
+    hdr["CDELT1"] = float(hdr["CDELT1"]) / 3600.0
+    hdr["CUNIT1"] = "deg"
+    # axis 2 stays arcsec
+
+
+def test_cunit_mixed(tmp_path):
+    dl, hl, ds, hs = standard_pair()
+    hs = rewrite_header(hs, to_mixed_units)
+    p_large, p_small = fx.write_pair_fits(tmp_path, dl, hl, ds, hs)
+    assert_recovers(p_large, p_small)
+
+
+# --------------------------------------------------------------------------
+# 3. CD-matrix header (no PC, no CDELT, no CROTA)
+# --------------------------------------------------------------------------
+
+def to_cd_matrix(hdr):
+    cdelt1, cdelt2 = float(hdr["CDELT1"]), float(hdr["CDELT2"])
+    pc11, pc12 = float(hdr["PC1_1"]), float(hdr["PC1_2"])
+    pc21, pc22 = float(hdr["PC2_1"]), float(hdr["PC2_2"])
+    hdr["CD1_1"], hdr["CD1_2"] = cdelt1 * pc11, cdelt1 * pc12
+    hdr["CD2_1"], hdr["CD2_2"] = cdelt2 * pc21, cdelt2 * pc22
+    for k in ("PC1_1", "PC1_2", "PC2_1", "PC2_2", "CDELT1", "CDELT2",
+              "CROTA"):
+        del hdr[k]
+
+
+def test_cd_matrix(tmp_path):
+    dl, hl, ds, hs = standard_pair()
+    hs = rewrite_header(hs, to_cd_matrix)
+    assert "CDELT1" not in hs and "PC1_1" not in hs
+    p_large, p_small = fx.write_pair_fits(tmp_path, dl, hl, ds, hs)
+    assert_recovers(p_large, p_small)
+
+
+# --------------------------------------------------------------------------
+# 4. CROTA2-only header (AIPS spelling, no PC)
+# --------------------------------------------------------------------------
+
+def to_crota2(hdr):
+    crota = float(hdr["CROTA"])
+    for k in ("PC1_1", "PC1_2", "PC2_1", "PC2_2", "CROTA"):
+        del hdr[k]
+    hdr["CROTA2"] = crota
+
+
+def test_crota2_only(tmp_path):
+    dl, hl, ds, hs = standard_pair()
+    hs = rewrite_header(hs, to_crota2)
+    p_large, p_small = fx.write_pair_fits(tmp_path, dl, hl, ds, hs)
+    assert_recovers(p_large, p_small)
+
+
+# --------------------------------------------------------------------------
+# 5. BLANK/BSCALE/BZERO int16 window
+# --------------------------------------------------------------------------
+
+def test_bscale_int16(tmp_path):
+    dl, hl, ds, hs = standard_pair()
+    # punch some NaN pixels to exercise BLANK round-tripping
+    ds = ds.copy()
+    ds[5:9, 5:9] = np.nan
+
+    lo, hi = np.nanmin(ds), np.nanmax(ds)
+    bzero = (hi + lo) / 2.0
+    bscale = (hi - lo) / 60000.0
+    blank = -32768
+    quant = np.where(
+        np.isfinite(ds),
+        np.round((ds - bzero) / bscale),
+        blank,
+    ).astype(np.int16)
+    hs = hs.copy()
+    hs["BSCALE"], hs["BZERO"], hs["BLANK"] = bscale, bzero, blank
+
+    p_large = str(tmp_path / "large.fits")
+    p_small = str(tmp_path / "small_int16.fits")
+    fits.write(p_large, [fits.PrimaryHDU(data=dl.astype(np.float32),
+                                         header=hl)])
+    fits.write(p_small, [fits.PrimaryHDU(data=quant, header=hs)])
+
+    # the scaled data must read back as floats with NaN at BLANK
+    rd = fits.open(p_small)[0].data
+    assert np.isnan(rd[6, 6])
+    finite = np.isfinite(ds)
+    np.testing.assert_allclose(rd[finite], ds[finite], atol=bscale)
+
+    A = assert_recovers(p_large, p_small)
+
+    # corrected-write round-trip keeps data intact
+    res_corr = A.align_using_helioprojective(method="correlation")
+    out = str(tmp_path / "corrected_int16.fits")
+    res_corr.write_corrected_fits(window_list_to_apply_shift=[0],
+                                  path_to_l3_output=out)
+    back = fits.open(out)[0].data
+    np.testing.assert_allclose(back[finite], rd[finite], rtol=1e-6)
+
+
+# --------------------------------------------------------------------------
+# 6. RICE_1 tile-compressed window, selected by EXTNAME
+# --------------------------------------------------------------------------
+
+def test_rice_compressed_window(tmp_path):
+    dl, hl, ds, hs = standard_pair()
+    p_large = str(tmp_path / "large.fits")
+    p_small = str(tmp_path / "small_rice.fits")
+    fits.write(p_large, [fits.PrimaryHDU(data=dl.astype(np.float32),
+                                         header=hl)])
+    hs = hs.copy()
+    hs["EXTNAME"] = "HRI_EUV"
+    comp = fits.CompImageHDU(data=ds.astype(np.float32), header=hs,
+                             compression_type="RICE_1")
+    comp.quantize_level = 64.0
+    fits.write(p_small, [fits.PrimaryHDU(), comp])
+    assert_recovers(p_large, p_small, small_window="HRI_EUV")
+
+
+# --------------------------------------------------------------------------
+# 7. gzip-compressed whole file
+# --------------------------------------------------------------------------
+
+def test_gzipped_file(tmp_path):
+    dl, hl, ds, hs = standard_pair()
+    p_large, p_small = fx.write_pair_fits(tmp_path, dl, hl, ds, hs)
+    p_gz = str(tmp_path / "small.fits.gz")
+    with open(p_small, "rb") as f_in, gzip.open(p_gz, "wb") as f_out:
+        f_out.write(f_in.read())
+    assert_recovers(p_large, p_gz)
+
+
+# --------------------------------------------------------------------------
+# 8. 4-D SPICE cube file (x, y, lambda, t axes) through AlignmentSpice
+# --------------------------------------------------------------------------
+
+def test_spice_4d_cube_header(tmp_path):
+    from euispice_coreg_tpu.hdrshift.alignment_spice import AlignmentSpice
+
+    p_imager, p_spice = fx.make_spice_pair(tmp_path,
+                                           true_shift_arcsec=TRUE_SHIFT)
+    # the on-disk cube really is 4-D with WAVE/UTC axes
+    hdu = fits.open(p_spice)[0]
+    assert hdu.data.ndim == 4
+    assert hdu.header["CTYPE3"] == "WAVE"
+    assert hdu.header["CTYPE4"] == "UTC"
+
+    A = AlignmentSpice(
+        large_fov_known_pointing=p_imager,
+        small_fov_to_correct=p_spice,
+        lag_crval1=LAGS1, lag_crval2=LAGS2,
+        lag_cdelt1=None, lag_cdelt2=None, lag_crota=None,
+        small_fov_window=0, large_fov_window=0,
+    )
+    corr = A.align_using_helioprojective(method="correlation",
+                                         return_type="corr")
+    mi = np.unravel_index(np.nanargmax(corr), corr.shape)
+    assert A.lag_crval1[mi[0]] == pytest.approx(TRUE_SHIFT[0])
+    assert A.lag_crval2[mi[1]] == pytest.approx(TRUE_SHIFT[1])
