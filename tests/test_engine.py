@@ -43,6 +43,7 @@ def test_helioprojective_results_object(tmp_path):
     assert res.shift_arcsec[1] == pytest.approx(-4.0, abs=1.0)
 
 
+@pytest.mark.slow
 def test_helioprojective_subpixel_shift(tmp_path):
     A = make_alignment(tmp_path, true_shift=(8.6, -3.4))
     res = A.align_using_helioprojective(method="correlation")
@@ -86,6 +87,7 @@ def test_thresholds_nan_small_fov(tmp_path):
         A.align_using_helioprojective(return_type="corr")
 
 
+@pytest.mark.slow
 def test_mesh_sharded_matches_single_device(tmp_path):
     A1 = make_alignment(tmp_path, use_device_mesh=False)
     corr1 = A1.align_using_helioprojective(return_type="corr")
@@ -96,6 +98,7 @@ def test_mesh_sharded_matches_single_device(tmp_path):
     np.testing.assert_allclose(corr1, corr2, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_float32_vs_float64_argmax(tmp_path):
     A1 = make_alignment(tmp_path, compute_dtype="float64")
     c64 = A1.align_using_helioprojective(return_type="corr")
@@ -106,6 +109,7 @@ def test_float32_vs_float64_argmax(tmp_path):
     np.testing.assert_allclose(c32, c64, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_initial_carrington_recovery(tmp_path):
     # CAR-frame pair: plain linear WCS in carrington lon/lat
     from euispice_coreg_tpu.utils import coords
@@ -201,6 +205,7 @@ def test_remove_fov_limits_runs(tmp_path):
     assert A.lag_crval1[mi[0]] == pytest.approx(8.0)
 
 
+@pytest.mark.slow
 def test_fov_limits_crops(tmp_path):
     A = make_alignment(tmp_path)
     corr = A.align_using_helioprojective(
@@ -245,6 +250,7 @@ def test_carrington_multiple_solar_r(tmp_path):
         assert (mi[0], mi[1]) == (1, 0)
 
 
+@pytest.mark.slow
 def test_device_cache_reuse_and_invalidation(tmp_path):
     """devcache: repeat alignments from the same file reuse one device
     buffer; thresholds/mutations and file rewrites invalidate it."""

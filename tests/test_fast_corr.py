@@ -199,6 +199,7 @@ def test_select_engine_matches_gather_engine():
     np.testing.assert_allclose(select, gather, rtol=1e-10, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_fast_path_sharded_matches_single_device():
     """FFT fast path with the field batch sharded over the 8-device mesh."""
     ds, ref_img, lon, lat, base = build_inputs(nan_border=True)

@@ -67,6 +67,7 @@ def test_general_engine_on_nondefault_mesh():
     np.testing.assert_allclose(out.ravel(), ref_out, rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_fft_fast_path_on_nondefault_mesh():
     small, ref, lon, lat, base, l1 = synthetic_inputs()
     mesh = nondefault_mesh(4)

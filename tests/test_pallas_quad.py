@@ -237,6 +237,7 @@ def test_carrington_select_pallas_matches_xla():
         np.unravel_index(np.nanargmax(xla), xla.shape)
 
 
+@pytest.mark.slow
 def test_supertile_parity_interpret():
     """The 2x2 super-tile kernel (256^2 output per grid step) matches the
     128-tile kernel exactly up to f32 reduction order."""

@@ -23,6 +23,7 @@ def build_inputs(seed=0):
 
 
 @pytest.mark.parametrize("l5", [[0.0], [0.75]])
+@pytest.mark.slow
 def test_pallas_matches_general(l5):
     ds, ref_img, lon, lat, base = build_inputs()
     l1 = np.arange(0, 17, 8.0) / 3600.0

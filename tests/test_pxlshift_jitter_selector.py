@@ -87,6 +87,7 @@ def test_pxlshift_matches_reference_formula(tmp_path):
 # jitter correction
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_jitter_correction_helioprojective(tmp_path):
     from euispice_coreg_tpu.jitter_correction import jitter_correction_imagers
 
@@ -242,6 +243,7 @@ def test_alignment_spice_selector(tmp_path):
     assert A.lag_crval2[mi[1]] == pytest.approx(-4.0)
 
 
+@pytest.mark.slow
 def test_align_movie_to_reference(tmp_path):
     from euispice_coreg_tpu.jitter_correction.jitter_correction import (
         align_movie_to_reference,

@@ -79,6 +79,7 @@ def to_deg_units(hdr):
         hdr[f"CUNIT{ax}"] = "deg"
 
 
+@pytest.mark.slow
 def test_cunit_deg(tmp_path):
     dl, hl, ds, hs = standard_pair()
     hs = rewrite_header(hs, to_deg_units)
@@ -97,6 +98,7 @@ def to_mixed_units(hdr):
     # axis 2 stays arcsec
 
 
+@pytest.mark.slow
 def test_cunit_mixed(tmp_path):
     dl, hl, ds, hs = standard_pair()
     hs = rewrite_header(hs, to_mixed_units)
@@ -119,6 +121,7 @@ def to_cd_matrix(hdr):
         del hdr[k]
 
 
+@pytest.mark.slow
 def test_cd_matrix(tmp_path):
     dl, hl, ds, hs = standard_pair()
     hs = rewrite_header(hs, to_cd_matrix)
@@ -138,6 +141,7 @@ def to_crota2(hdr):
     hdr["CROTA2"] = crota
 
 
+@pytest.mark.slow
 def test_crota2_only(tmp_path):
     dl, hl, ds, hs = standard_pair()
     hs = rewrite_header(hs, to_crota2)
@@ -149,6 +153,7 @@ def test_crota2_only(tmp_path):
 # 5. BLANK/BSCALE/BZERO int16 window
 # --------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_bscale_int16(tmp_path):
     dl, hl, ds, hs = standard_pair()
     # punch some NaN pixels to exercise BLANK round-tripping
@@ -194,6 +199,7 @@ def test_bscale_int16(tmp_path):
 # 6. RICE_1 tile-compressed window, selected by EXTNAME
 # --------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_rice_compressed_window(tmp_path):
     dl, hl, ds, hs = standard_pair()
     p_large = str(tmp_path / "large.fits")

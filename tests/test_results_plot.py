@@ -92,6 +92,7 @@ def test_plot_correlation_smoke(tmp_path):
     assert os.path.getsize(out) > 1000
 
 
+@pytest.mark.slow
 def test_plot_co_alignment_smoke(tmp_path):
     from euispice_coreg_tpu.hdrshift.alignment import Alignment
 

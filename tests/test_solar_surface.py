@@ -77,6 +77,7 @@ def test_reproject_howard_differential_drift():
     assert np.nanmax(np.abs(rigid[c] - v2[c])) > 0.3
 
 
+@pytest.mark.slow
 def test_align_sunpy_mode_recovers_shift(tmp_path):
     dl, hl, ds, hs = fx.make_carrington_pair(true_shift_arcsec=(20.0, -10.0))
     p_large, p_small = fx.write_pair_fits(tmp_path, dl, hl, ds, hs)

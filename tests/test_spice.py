@@ -105,6 +105,7 @@ def test_spice_sub_fov_and_cut(tmp_path, recwarn):
                 if "Cannot compute shift" in str(w.message)]
 
 
+@pytest.mark.slow
 def test_spice_subpixel_gaussian_fit(tmp_path, recwarn):
     """The SPICE flow exercises the 2-D Gaussian sub-pixel fit end-to-end:
     a fractional injected shift is recovered below the lag step

@@ -77,6 +77,7 @@ def test_tile_fft_argmax_matches_exact(cfg):
     assert abs(np.nanmax(c_t) - np.nanmax(c_e)) < 1e-3
 
 
+@pytest.mark.slow
 def test_tile_fft_matches_select_values(cfg):
     """The tile approximation's marginal error vs the same-prewarp select
     evaluator must be far below the double-interpolation difference."""
