@@ -51,15 +51,21 @@ def synthesize_pair():
         "crota": 0.75,
     }
     x, y = coords.pixel_grid(N_REF, N_REF)
-    lon, lat = _wcs.tan_pixel_to_world(base, x, y, xp=np)
-    ref_img = scene(lon, lat)
+    lon_true, lat_true = _wcs.tan_pixel_to_world(base, x, y, xp=np)
 
     # render the small image through its TRUE pointing, then hand the engine
     # a header mispointed by -8 arcsec: the search must find +8
     true_shift = 8.0 / 3600.0
-    small_img = scene(lon, lat)
+    small_img = scene(lon_true, lat_true)
     small_base = dict(base)
     small_base["crval1"] = base["crval1"] - true_shift
+
+    # comparison grid = the small header's OWN pixel grid (exactly what the
+    # public API's submap step builds, alignment.py:987-1016); the reference
+    # leg is the scene sampled at those world coordinates.  The engine's
+    # fast paths (incl. the per-combo block path) rely on this invariant.
+    lon, lat = _wcs.tan_pixel_to_world(small_base, x, y, xp=np)
+    ref_img = scene(lon, lat)
     return small_img, ref_img, lon, lat, small_base
 
 
@@ -105,26 +111,41 @@ def run_tpu(small_img, ref_img, lon, lat, base):
 
 def cpu_reference_per_lag(small_img, ref_img, lon, lat, base):
     """One lag step the reference way: astropy-equivalent WCS (numpy),
-    scipy map_coordinates order=2, numba-equivalent Pearson (numpy)."""
+    scipy map_coordinates order=2, numba-equivalent Pearson (numpy).
+
+    All multi-MB buffers are allocated and touched ONCE before timing: this
+    host's memory can degrade to ~6 MB/s on FIRST touch of fresh
+    allocations (CLAUDE.md), which once inflated the measured baseline ~9x
+    and with it the reported speedup."""
     from scipy.ndimage import map_coordinates
 
     from euispice_coreg_tpu.core import wcs as _wcs
 
-    times = []
-    for k in range(CPU_PROBE_LAGS):
+    out = np.empty(lon.size)
+    coords_arr = np.empty((2, lon.size))
+    ref_flat = np.ascontiguousarray(ref_img.ravel())
+    out[:] = 0.0
+    coords_arr[:] = 0.0
+
+    def one_lag(k):
         p = dict(base)
-        t0 = time.perf_counter()
         p["crval1"] = base["crval1"] + k * 0.5 / 3600.0
         x, y = _wcs.tan_world_to_pixel(p, lon, lat, xp=np)
-        out = np.empty(x.shape)
-        coords_arr = np.stack((y.ravel(), x.ravel()), axis=0)
+        coords_arr[0] = y.ravel()
+        coords_arr[1] = x.ravel()
         map_coordinates(small_img, coords_arr, order=2, mode="constant",
-                        cval=np.nan, output=out.ravel(), prefilter=False)
-        mask = np.isfinite(ref_img.ravel()) & np.isfinite(out.ravel())
-        a = ref_img.ravel()[mask]
-        b = out.ravel()[mask]
+                        cval=np.nan, output=out, prefilter=False)
+        mask = np.isfinite(ref_flat) & np.isfinite(out)
+        a = ref_flat[mask]
+        b = out[mask]
         ca, cb = a - a.mean(), b - b.mean()
-        _ = np.sum(ca * cb) / np.sqrt(np.sum(ca * ca) * np.sum(cb * cb))
+        return np.sum(ca * cb) / np.sqrt(np.sum(ca * ca) * np.sum(cb * cb))
+
+    one_lag(0)  # warm every internal buffer once (first-touch page faults)
+    times = []
+    for k in range(CPU_PROBE_LAGS):
+        t0 = time.perf_counter()
+        one_lag(k)
         times.append(time.perf_counter() - t0)
     return min(times)
 
@@ -149,8 +170,10 @@ def run_full_api(tmp_dir, small_img, ref_img, base):
             "PC1_1": pc[0], "PC1_2": pc[1], "PC2_1": pc[2], "PC2_2": pc[3],
         })
 
+    # ref_img is the scene sampled on the small header's own grid
+    # (synthesize_pair), i.e. a correctly-pointed image UNDER THAT WCS:
+    # its header is the same WCS it was rendered through
     ref_params = dict(base)
-    ref_params["crval1"] = base["crval1"] + 8.0 / 3600.0  # truth
     p_large = f"{tmp_dir}/bench_large.fits"
     p_small = f"{tmp_dir}/bench_small.fits"
     fits.write(p_large, [fits.PrimaryHDU(data=ref_img.astype(np.float32),
@@ -179,6 +202,114 @@ def run_full_api(tmp_dir, small_img, ref_img, base):
         t_best = dt if t_best is None else min(t_best, dt)
     mi = np.unravel_index(np.nanargmax(corr), corr.shape)
     assert abs(lag[mi[0]] - 8.0) < 1.0, f"API argmax off: {lag[mi[0]]}"
+    return t_best
+
+
+def run_mixed_grid(small_img, ref_img, lon, lat, base):
+    """Mixed-grid leg: 21x21 CRVAL x 3 CROTA on the 2048^2 pair — exercises
+    the per-combo block fast path (one warp + FFT surfaces per combo), which
+    the headline CRVAL-only metric never touches."""
+    import jax.numpy as jnp
+
+    from euispice_coreg_tpu.engine import lag_search
+
+    step = 1.0 / 3600.0  # +-10" span: must cover the injected 8" shift
+    lag1 = (np.arange(21) - 10) * step
+    lag2 = (np.arange(21) - 10) * step
+    lag5 = np.array([-0.05, 0.0, 0.05])
+
+    small_d = jnp.asarray(small_img)
+    ref_d = jnp.asarray(ref_img)
+    lon_d = jnp.asarray(lon)
+    lat_d = jnp.asarray(lat)
+
+    def run():
+        return lag_search.evaluate_lag_grid(
+            small_d, ref_d, lon_d, lat_d, base,
+            lag1, lag2, [0.0], [0.0], lag5,
+            order=2, method="correlation", kind="tan",
+            compute_dtype="float32", batch_size=16, mesh=None,
+            allow_fast="block",
+        )
+
+    corr = run()  # warm
+    t_best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        corr = run()
+        dt = time.perf_counter() - t0
+        t_best = dt if t_best is None else min(t_best, dt)
+    # sanity on the crota=0 plane (the smooth synthetic scene is nearly
+    # crota-flat, so the 5-D argmax can drift a lag step between planes)
+    plane = corr[:, :, 0, 0, 1]
+    mi = np.unravel_index(np.nanargmax(plane), plane.shape)
+    assert abs(lag1[mi[0]] * 3600.0 - 8.0) < 1.5, f"mixed argmax: {lag1[mi[0]]*3600}"
+    return t_best
+
+
+def run_synras_spice(tmp_dir):
+    """SPICE/synras leg: build a synthetic raster from an imager time series
+    and align a SPICE L2 cube against it through the public API (the flows
+    of synras/map_builder.py + hdrshift/alignment_spice.py)."""
+    import sys as _sys
+
+    _sys.path.insert(0, "tests")
+    import fixtures as fx
+    from euispice_coreg_tpu.hdrshift.alignment_spice import AlignmentSpice
+    from euispice_coreg_tpu.io import fits
+    from euispice_coreg_tpu.synras.map_builder import SPICEComposedMapBuilder
+    from euispice_coreg_tpu.utils import timeutils
+
+    paths = []
+    t0p = timeutils.parse_fits_time("2022-03-17T09:45:00")
+    for k in range(5):
+        hdr = fx.make_header((1024, 1024), (2.4, 2.4), (0.0, 0.0), 0.0)
+        hdr["DATE-AVG"] = timeutils.format_fits_time(t0p + 90.0 * k)
+        data = fx.render_helioprojective(hdr, seed=0)  # static sun
+        p = f"{tmp_dir}/bench_imager_{k}.fits"
+        fits.write(p, [fits.PrimaryHDU(data=data.astype(np.float32),
+                                       header=hdr)])
+        paths.append(p)
+
+    hdr_true = fx.make_spice_l2_header(nx=96, ny=128,
+                                      crval_arcsec=(120.0, 80.0))
+    cube = fx.render_spice_l2_cube(hdr_true)
+    hdr_given = fx.make_spice_l2_header(nx=96, ny=128,
+                                        crval_arcsec=(112.0, 84.0))
+    p_spice = f"{tmp_dir}/solo_L2_bench_spice.fits"
+    fits.write(p_spice, [fits.PrimaryHDU(data=cube.astype(np.float32),
+                                         header=hdr_given)])
+
+    def run():
+        builder = SPICEComposedMapBuilder(
+            path_to_spectro=p_spice,
+            list_imager_paths=paths,
+            threshold_time=900.0,
+            window_imager=0,
+            window_spectro=0,
+        )
+        raster = builder.process(folder_path_output=tmp_dir, level=2,
+                                 print_filename=False,
+                                 return_synras_name=True)
+        A = AlignmentSpice(
+            large_fov_known_pointing=raster,
+            small_fov_to_correct=p_spice,
+            lag_crval1=np.arange(2.0, 15.0, 1.0),
+            lag_crval2=np.arange(-10.0, 3.0, 1.0),
+            large_fov_window=0, small_fov_window=0,
+        )
+        return A.align_using_helioprojective(return_type="corr")
+
+    corr = run()  # warm
+    t_best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        corr = run()
+        dt = time.perf_counter() - t0
+        t_best = dt if t_best is None else min(t_best, dt)
+    mi = np.unravel_index(np.nanargmax(corr), corr.shape)
+    # truth: given header is (112, 84), true pointing (120, 80) -> (+8, -4)
+    assert abs((np.arange(2.0, 15.0, 1.0))[mi[0]] - 8.0) < 1.5
     return t_best
 
 
@@ -280,6 +411,20 @@ def main():
     except Exception as exc:  # noqa: BLE001
         print(f"# carrington config failed: {exc}", file=sys.stderr)
 
+    t_mixed = None
+    try:
+        t_mixed = with_retries(run_mixed_grid, retries=2)(
+            small32, ref32, lon32, lat32, base)
+    except Exception as exc:  # noqa: BLE001
+        print(f"# mixed-grid config failed: {exc}", file=sys.stderr)
+
+    t_synras = None
+    try:
+        with tempfile.TemporaryDirectory() as td:
+            t_synras = run_synras_spice(td)
+    except Exception as exc:  # noqa: BLE001
+        print(f"# synras/spice config failed: {exc}", file=sys.stderr)
+
     t_cpu_lag = cpu_reference_per_lag(small_img, ref_img, lon, lat, base)
     t_cpu_total = t_cpu_lag * n_lags / CPU_BASELINE_PROCS
     speedup = t_cpu_total / t_tpu
@@ -292,6 +437,8 @@ def main():
         "wall_clock_s": round(t_tpu, 4),
         "end_to_end_api_s": round(t_api, 4) if t_api is not None else None,
         "carrington_121x121_2048_s": round(t_carr, 4) if t_carr is not None else None,
+        "mixed_grid_21x21x3_2048_s": round(t_mixed, 4) if t_mixed is not None else None,
+        "synras_spice_e2e_s": round(t_synras, 4) if t_synras is not None else None,
         "cpu_baseline_s_20core_est": round(t_cpu_total, 2),
     }))
 

@@ -95,13 +95,38 @@ def fft2(x, m: int):
     return _fft2_core(xp, m, inverse=False)
 
 
+def _dft_last_real(x, m: int):
+    """Length-m DFT along the last axis of a REAL array: the first-stage
+    matmul splits into two real x real products (half the MXU work of the
+    complex x complex form used on already-complex data)."""
+    m1, m2, F1, tw, F2 = _plan(m)
+    F1r = jnp.asarray(np.real(F1))
+    F1i = jnp.asarray(np.imag(F1))
+    tw_ = jnp.asarray(tw)
+    F2_ = jnp.asarray(F2)
+    lead = x.shape[:-1]
+    xr = x.reshape(lead + (m1, m2))
+    ar = jnp.einsum("rp,...pq->...rq", F1r, xr, precision=_HI)
+    ai = jnp.einsum("rp,...pq->...rq", F1i, xr, precision=_HI)
+    b = (ar + 1j * ai).astype(jnp.complex64) * tw_
+    c = jnp.einsum("sq,...rq->...sr", F2_, b, precision=_HI)
+    return c.reshape(lead + (m,))
+
+
 @partial(jax.jit, static_argnames=("m",))
 def rfft2(x, m: int):
     """Real-input 2-D DFT, half-spectrum layout (..., m, m//2 + 1).
 
-    Drop-in for ``jnp.fft.rfft2(x, s=(m, m))`` (full transform internally;
-    the half-spectrum slice keeps downstream product memory identical)."""
-    return fft2(x, m)[..., :, : m // 2 + 1]
+    Drop-in for ``jnp.fft.rfft2(x, s=(m, m))``.  Exploits the real input
+    twice: the x-axis stage runs as two real matmuls, and only the kept
+    half-spectrum columns (m//2 + 1 of m) enter the y-axis stage — together
+    ~half the full-complex transform's MXU work."""
+    h, w = x.shape[-2], x.shape[-1]
+    pad = [(0, 0)] * (x.ndim - 2) + [(0, m - h), (0, m - w)]
+    xp = jnp.pad(x.astype(jnp.float32), pad)
+    X1 = _dft_last_real(xp, m)[..., : m // 2 + 1]   # (..., m, K) over kx
+    X2 = _dft_last(jnp.swapaxes(X1, -1, -2), m, inverse=False)
+    return jnp.swapaxes(X2, -1, -2)
 
 
 def _full_from_half(Xh, m: int):
