@@ -656,7 +656,7 @@ def _carrington_select(small_img, ref_img, sc, delta_t, rate_wave,
                         vals_t = tile_fft.evaluate_select_tile_fft(
                             coeffs, warped_d, ref_d, order=order, h=h, w=w,
                             method=method, scale_det_per_grid=scale,
-                            compute_dtype=compute_dtype)
+                            compute_dtype=compute_dtype, mesh=mesh)
                     if vals_t is not None:
                         _log.info("carrington select: tile-FFT surfaces")
                         out[:, :, i3, i4, i5] = vals_t.reshape(

@@ -210,14 +210,13 @@ def _weights_1d(frac, order):
     ], axis=-1)
 
 
-@partial(jax.jit, static_argnames=(
-    "order", "score", "T", "n_ty", "n_tx", "m", "by", "bx", "precise"))
-def _evaluate_tiles(g_stack, r_pad, coeffs_d, o_min, order, score,
-                    T, n_ty, n_tx, m, by, bx, precise):
-    """Scan over tiles: per tile build the 58 surface FFTs, evaluate the 66
-    correlation surfaces on the static offset box with two partial
+def _tiles_sum(g_stack, r_pad, coeffs_d, o_min, tile_ids, order, score,
+               T, n_ty, n_tx, m, by, bx, precise, vary_axis=None):
+    """Scan over ``tile_ids``: per tile build the 58 surface FFTs, evaluate
+    the 66 correlation surfaces on the static offset box with two partial
     matmul-DFTs, gather per-lag values (one row-gather), apply fractional
-    tap weights, and accumulate the global score sums (L, 6)."""
+    tap weights, and accumulate the score sums (L, 6).  Ids >= n_ty*n_tx
+    are padding (multi-chip round-up) and contribute zero."""
     nt = _tap_count(order) ** 2
     npairs = nt * (nt + 1) // 2
     L = coeffs_d.shape[0]
@@ -244,6 +243,8 @@ def _evaluate_tiles(g_stack, r_pad, coeffs_d, o_min, order, score,
     span_x = bx - 1
 
     def one_tile(sums, t):
+        valid = (t < n_ty * n_tx).astype(dt)
+        t = jnp.minimum(t, n_ty * n_tx - 1)
         ty = t // n_tx
         tx = t % n_tx
         y0 = (ty * T).astype(jnp.int32)
@@ -318,18 +319,65 @@ def _evaluate_tiles(g_stack, r_pad, coeffs_d, o_min, order, score,
             jnp.sum(pair_w * vals[:, 3 + 2 * nt: 3 + 2 * nt + npairs],
                     axis=1),
         ], axis=-1)                                       # (L, 6)
-        return sums + upd, None
+        return sums + upd * valid, None
 
     init = jnp.zeros((L, 6), dtype=dt)
-    sums, _ = jax.lax.scan(one_tile, init,
-                           jnp.arange(n_ty * n_tx, dtype=jnp.int32))
+    if vary_axis is not None:
+        # under shard_map the carry must be marked device-varying up front
+        # (the scanned tile_ids are sharded, so the output varies too)
+        init = jax.lax.pvary(init, vary_axis)
+    sums, _ = jax.lax.scan(one_tile, init, tile_ids)
     return sums
+
+
+@partial(jax.jit, static_argnames=(
+    "order", "score", "T", "n_ty", "n_tx", "m", "by", "bx", "precise"))
+def _evaluate_tiles(g_stack, r_pad, coeffs_d, o_min, order, score,
+                    T, n_ty, n_tx, m, by, bx, precise):
+    """Single-device evaluation over all tiles."""
+    ids = jnp.arange(n_ty * n_tx, dtype=jnp.int32)
+    return _tiles_sum(g_stack, r_pad, coeffs_d, o_min, ids, order, score,
+                      T, n_ty, n_tx, m, by, bx, precise)
+
+
+def _evaluate_tiles_sharded(mesh, g_stack, r_pad, coeffs_d, o_min,
+                            order, score, T, n_ty, n_tx, m, by, bx, precise):
+    """Multi-chip evaluation: the tile axis is sharded over the mesh's
+    ``lags`` axis (fields replicated in every chip's HBM — the TPU-native
+    form of the reference's process fan-out); each device scans its tile
+    subset and the (L, 6) partial sums are combined with one psum over ICI."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from .lag_search import mesh_put
+
+    ndev = mesh.devices.size
+    n_tiles = n_ty * n_tx
+    n_pad = -(-n_tiles // ndev) * ndev
+    ids = np.arange(n_pad, dtype=np.int32)  # >= n_tiles pad -> zero update
+
+    def local(tile_ids, g, r, cf, om):
+        s = _tiles_sum(g, r, cf, om, tile_ids, order, score,
+                       T, n_ty, n_tx, m, by, bx, precise,
+                       vary_axis="lags")
+        return jax.lax.psum(s, "lags")
+
+    fn = jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=(P("lags"), P(), P(), P(), P()),
+        out_specs=P()))
+    with mesh:
+        return fn(mesh_put(ids, mesh, P("lags")),
+                  mesh_put(g_stack, mesh),
+                  mesh_put(r_pad, mesh),
+                  mesh_put(coeffs_d, mesh),
+                  mesh_put(o_min, mesh))
 
 
 def evaluate_select_tile_fft(coeffs, warped, ref_img, *, order, h, w,
                              method="correlation", scale_det_per_grid=1.0,
                              tol_det=TOL_DET_PX, compute_dtype=jnp.float32,
-                             tile_size=None, precise=None):
+                             tile_size=None, precise=None, mesh=None):
     """Score ``L`` quadratic-displacement lags via tile-local FFT surfaces.
 
     Same inputs/semantics as pallas_quad.evaluate_select_carr_pallas;
@@ -361,12 +409,20 @@ def evaluate_select_tile_fft(coeffs, warped, ref_img, *, order, h, w,
     span = o_max - o_min
     bx, by = int(span[0]) + 1, int(span[1]) + 1
     m = _round128(T + max(by, bx) - 1)
-    if m > 2 * max(hp, wp):
-        return None  # offsets comparable to the image: not worth it
+    if max(by, bx) - 1 > 2 * max(hp, wp):
+        return None  # offsets far beyond the image extent: not worth it
 
     score = "pearson" if method == "correlation" else "residus"
-    warped_d = jnp.asarray(warped, dtype=compute_dtype)
-    ref_d = jnp.asarray(ref_img, dtype=compute_dtype)
+    if mesh is not None:
+        # explicit mesh placement: never round-trip through the default
+        # device (see lag_search.mesh_put)
+        from .lag_search import mesh_put
+
+        warped_d = mesh_put(warped, mesh, dtype=compute_dtype)
+        ref_d = mesh_put(ref_img, mesh, dtype=compute_dtype)
+    else:
+        warped_d = jnp.asarray(warped, dtype=compute_dtype)
+        ref_d = jnp.asarray(ref_img, dtype=compute_dtype)
     if precise is None:
         precise = precise_fft.use_precise_fft(
             None if not isinstance(warped_d, jax.Array)
@@ -388,11 +444,22 @@ def evaluate_select_tile_fft(coeffs, warped, ref_img, *, order, h, w,
                          dx0: dx0 + (sx1 - sx0)].set(
             r_stack[:, sy0:sy1, sx0:sx1])
 
-    coeffs_d = jnp.asarray(coeffs, dtype=compute_dtype)
-    o_min_d = jnp.asarray(o_min, dtype=jnp.int32)
+    if mesh is not None:
+        from .lag_search import mesh_put
 
-    sums = _evaluate_tiles(g_stack, r_pad, coeffs_d, o_min_d, order, score,
-                           T, n_ty, n_tx, m, by, bx, precise)
+        coeffs_d = mesh_put(coeffs, mesh, dtype=compute_dtype)
+        o_min_d = mesh_put(o_min.astype(np.int32), mesh)
+    else:
+        coeffs_d = jnp.asarray(coeffs, dtype=compute_dtype)
+        o_min_d = jnp.asarray(o_min, dtype=jnp.int32)
+
+    if mesh is not None and mesh.devices.size > 1:
+        sums = _evaluate_tiles_sharded(
+            mesh, g_stack, r_pad, coeffs_d, o_min_d, order, score,
+            T, n_ty, n_tx, m, by, bx, precise)
+    else:
+        sums = _evaluate_tiles(g_stack, r_pad, coeffs_d, o_min_d, order,
+                               score, T, n_ty, n_tx, m, by, bx, precise)
     S = np.asarray(sums, dtype=np.float64)  # (L, 6)
 
     n = S[:, 0]

@@ -134,3 +134,28 @@ def test_gate_rejects_undersampled_grid(tmp_path):
     mi = np.unravel_index(np.nanargmax(corr), corr.shape)
     assert A.lag_crval1[mi[0]] == pytest.approx(20.0)
     assert A.lag_crval2[mi[1]] == pytest.approx(-10.0)
+
+
+def test_tile_fft_sharded_matches_single_device(cfg):
+    """Tile axis sharded over a NON-default-device mesh: one psum combines
+    the per-device partial sums; values must match the unsharded run."""
+    import jax
+    from jax.sharding import Mesh
+
+    devs = jax.devices()
+    if len(devs) < 5:
+        pytest.skip("needs >= 5 virtual devices")
+    mesh = Mesh(np.array(devs[1:5]), axis_names=("lags",))
+
+    hdr, small, ref, lonlims, latlims, shape, l1 = cfg
+    ref_out = carr.evaluate_lag_grid_carrington(
+        small, ref, hdr, lonlims, latlims, shape,
+        l1, l1, [0.0], [0.0], [0.0],
+        d_solar_r=1.004, reference_date=hdr["DATE-OBS"], rate_wave="171",
+        order=2, compute_dtype="float64", lag_mode="tile_fft", mesh=None)
+    out = carr.evaluate_lag_grid_carrington(
+        small, ref, hdr, lonlims, latlims, shape,
+        l1, l1, [0.0], [0.0], [0.0],
+        d_solar_r=1.004, reference_date=hdr["DATE-OBS"], rate_wave="171",
+        order=2, compute_dtype="float64", lag_mode="tile_fft", mesh=mesh)
+    np.testing.assert_allclose(out, ref_out, rtol=1e-9, atol=1e-12)
