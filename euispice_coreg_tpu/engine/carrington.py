@@ -301,9 +301,11 @@ def _warp_to_grid(small_d, combo, lonlims, latlims, shape, delta_t,
         "x0": x0, "y0": y0,
         "cdelt1": combo["cdelt1_arcsec"], "cdelt2": combo["cdelt2_arcsec"],
     }
-    scal = {k: jnp.asarray(v, dtype=compute_dtype) for k, v in scal.items()}
+    # host scalars: jit places them on the execution devices (the
+    # committed image operand decides), never the default device
+    scal = {k: np.asarray(v, dtype=compute_dtype) for k, v in scal.items()}
     return _warp_to_grid_jit(small_d, scal,
-                             jnp.asarray(delta_t, dtype=compute_dtype),
+                             np.asarray(delta_t, dtype=compute_dtype),
                              shape[1], shape[0], order, rate_wave)
 
 
@@ -453,16 +455,17 @@ def evaluate_lag_grid_carrington(
         lon, lat = carrington_grid(lonlims, latlims, shape)
     lon_rot = lon - diff_rot_shift_deg(lat, delta_t, rate_wave)
     x3, yy, zz = observer_geometry(lon_rot, lat, sc["obs_lon"], sc["obs_lat"])
-    geom = {
-        "x3": jnp.asarray(x3, dtype=compute_dtype),
-        "yy": jnp.asarray(yy, dtype=compute_dtype),
-        "zz": jnp.asarray(zz, dtype=compute_dtype),
-    }
-    base = {k: jnp.asarray(v, dtype=compute_dtype) for k, v in sc.items()
+    if mesh is not None:
+        # explicit mesh placement: never round-trip through the (possibly
+        # non-mesh, possibly unhealthy) default device (lag_search.mesh_put)
+        put = lambda a: lag_search.mesh_put(a, mesh, dtype=compute_dtype)
+    else:
+        put = lambda a: jnp.asarray(a, dtype=compute_dtype)
+    geom = {"x3": put(x3), "yy": put(yy), "zz": put(zz)}
+    base = {k: put(v) for k, v in sc.items()
             if k not in ("obs_lon", "obs_lat")}
-    small_d = jnp.asarray(small_img, dtype=compute_dtype)
-    ref_d = jnp.asarray(ref_img, dtype=compute_dtype)
-    lags_d = jnp.asarray(lags, dtype=compute_dtype)
+    small_d = put(small_img)
+    ref_d = put(ref_img)
 
     if mesh is None:
         out = lag_search.run_chunked(
@@ -474,12 +477,14 @@ def evaluate_lag_grid_carrington(
             label="carrington gather lag search")
     else:
         from jax import shard_map
+        from jax.sharding import PartitionSpec as _P
 
         ndev = mesh.devices.size
         n_pad = math.ceil(n_lags / ndev) * ndev
-        if n_pad != n_lags:
-            lags_d = jnp.concatenate(
-                [lags_d, jnp.zeros((n_pad - n_lags, 5), dtype=compute_dtype)], axis=0)
+        lags_p = lags if n_pad == n_lags else np.concatenate(
+            [lags, np.zeros((n_pad - n_lags, 5), dtype=lags.dtype)], axis=0)
+        lags_d = lag_search.mesh_put(lags_p, mesh, _P("lags"),
+                                     dtype=compute_dtype)
 
         def local_eval(lags_, small_, ref_, geom_, base_):
             f = lambda d: _score_one_lag_carr(d, small_, ref_, geom_, base_, order, method)
@@ -521,16 +526,18 @@ def _eval_select_carr(coeffs, shifts, warped_padded, ref_img, order, method,
     return jax.lax.map(one, (coeffs, shifts), batch_size=batch_size)
 
 
-def _probe_scale_det_per_grid(nx0p, ny0p, pxf, pyf):
-    """Max |d(detector px)/d(grid px)| from the 4x4 probe projection —
+def _probe_scale_det_per_grid(nx0p, ny0p, pxf, pyf, probe_shape):
+    """Max |d(detector px)/d(grid px)| from the probe projection —
     converts within-tile grid-pixel deviations into detector-pixel sampling
     error for the tile-FFT gate (the grid typically oversamples the
-    detector, so grid-pixel deviations overstate the error)."""
-    n = int(np.sqrt(nx0p.size))
-    nx = nx0p.reshape(n, n)
-    ny = ny0p.reshape(n, n)
-    gx = pxf.reshape(n, n)
-    gy = pyf.reshape(n, n)
+    detector, so grid-pixel deviations overstate the error).
+
+    ``probe_shape`` is (n_rows, n_cols) of the probe grid — not necessarily
+    square (np.unique collapses degenerate axes on thin grids)."""
+    nx = nx0p.reshape(probe_shape)
+    ny = ny0p.reshape(probe_shape)
+    gx = pxf.reshape(probe_shape)
+    gy = pyf.reshape(probe_shape)
     with np.errstate(invalid="ignore", divide="ignore"):
         grads = [
             np.abs(np.diff(nx, axis=1) / np.diff(gx, axis=1)),
@@ -582,7 +589,13 @@ def _carrington_select(small_img, ref_img, sc, delta_t, rate_wave,
     pinv = np.linalg.pinv(design)  # (6, 16)
 
     out = np.zeros((len(l1), len(l2), len(l3), len(l4), len(l5)))
-    small_d = jnp.asarray(small_img, dtype=compute_dtype)  # uploaded once
+    if mesh is not None:
+        # mesh placement: the pre-warp and evaluators must run on the mesh
+        # devices, never the (possibly non-mesh) default device
+        _put = lambda a: lag_search.mesh_put(a, mesh, dtype=compute_dtype)
+    else:
+        _put = lambda a: jnp.asarray(a, dtype=compute_dtype)
+    small_d = _put(small_img)  # uploaded once
     for i3, d3 in enumerate(l3):
         for i4, d4 in enumerate(l4):
             for i5, d5 in enumerate(l5):
@@ -645,13 +658,14 @@ def _carrington_select(small_img, ref_img, sc, delta_t, rate_wave,
                         small_d, combo, lonlims, latlims, shape, delta_t,
                         rate_wave, order, compute_dtype)
                     warped_d.block_until_ready()
-                ref_d = jnp.asarray(ref_img, dtype=compute_dtype)
+                ref_d = _put(ref_img)
                 coeffs_np = np.asarray(coeffs, dtype=compute_dtype)
 
                 if use_tile_fft:
                     from . import tile_fft
 
-                    scale = _probe_scale_det_per_grid(nx0p, ny0p, pxf, pyf)
+                    scale = _probe_scale_det_per_grid(
+                        nx0p, ny0p, pxf, pyf, (len(ppy), len(ppx)))
                     with _timed("carrington tile-FFT select evaluation"):
                         vals_t = tile_fft.evaluate_select_tile_fft(
                             coeffs, warped_d, ref_d, order=order, h=h, w=w,
@@ -747,7 +761,10 @@ def _carrington_block_fast(small_img, ref_img, sc, delta_t,
     dc2 = g2.ravel() * 3600.0
     L = dc1.size
 
-    small_d = jnp.asarray(small_img, dtype=compute_dtype)  # uploaded once
+    if mesh is not None and mesh.devices.size > 1:
+        small_d = lag_search.mesh_put(small_img, mesh, dtype=compute_dtype)
+    else:
+        small_d = jnp.asarray(small_img, dtype=compute_dtype)  # uploaded once
     for i3, d3 in enumerate(l3):
         for i4, d4 in enumerate(l4):
             for i5, d5 in enumerate(l5):

@@ -340,13 +340,35 @@ def _evaluate_tiles(g_stack, r_pad, coeffs_d, o_min, order, score,
                       T, n_ty, n_tx, m, by, bx, precise)
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=16)
+def _sharded_tiles_fn(mesh, order, score, T, n_ty, n_tx, m, by, bx, precise):
+    """Memoized jit(shard_map) evaluator (a fresh closure per call would
+    re-trace the 58-FFT scan body and pay a remote compile-cache round-trip
+    per alignment — CLAUDE.md)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def local(tile_ids, g, r, cf, om):
+        s = _tiles_sum(g, r, cf, om, tile_ids, order, score,
+                       T, n_ty, n_tx, m, by, bx, precise,
+                       vary_axis="lags")
+        return jax.lax.psum(s, "lags")
+
+    return jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=(P("lags"), P(), P(), P(), P()),
+        out_specs=P()))
+
+
 def _evaluate_tiles_sharded(mesh, g_stack, r_pad, coeffs_d, o_min,
                             order, score, T, n_ty, n_tx, m, by, bx, precise):
     """Multi-chip evaluation: the tile axis is sharded over the mesh's
     ``lags`` axis (fields replicated in every chip's HBM — the TPU-native
     form of the reference's process fan-out); each device scans its tile
     subset and the (L, 6) partial sums are combined with one psum over ICI."""
-    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     from .lag_search import mesh_put
@@ -356,16 +378,8 @@ def _evaluate_tiles_sharded(mesh, g_stack, r_pad, coeffs_d, o_min,
     n_pad = -(-n_tiles // ndev) * ndev
     ids = np.arange(n_pad, dtype=np.int32)  # >= n_tiles pad -> zero update
 
-    def local(tile_ids, g, r, cf, om):
-        s = _tiles_sum(g, r, cf, om, tile_ids, order, score,
-                       T, n_ty, n_tx, m, by, bx, precise,
-                       vary_axis="lags")
-        return jax.lax.psum(s, "lags")
-
-    fn = jax.jit(shard_map(
-        local, mesh=mesh,
-        in_specs=(P("lags"), P(), P(), P(), P()),
-        out_specs=P()))
+    fn = _sharded_tiles_fn(mesh, order, score, T, n_ty, n_tx, m, by, bx,
+                           precise)
     with mesh:
         return fn(mesh_put(ids, mesh, P("lags")),
                   mesh_put(g_stack, mesh),

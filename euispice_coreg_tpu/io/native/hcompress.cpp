@@ -627,6 +627,7 @@ int euicoreg_hcomp_info(const uint8_t* in, long nin, int* nx, int* ny,
 // cap is the out capacity in pixels. Returns 0 on success.
 int euicoreg_hcomp_decode(const uint8_t* in, long nin, int32_t* out,
                           long cap) {
+    if (nin < 25) return -1;  // full header: magic 2 + 3*i32 + i64 + 3
     int nx, ny, scale;
     int rc = euicoreg_hcomp_info(in, nin, &nx, &ny, &scale);
     if (rc != 0) return rc;

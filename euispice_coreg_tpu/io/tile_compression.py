@@ -80,6 +80,19 @@ def _tile_randoms(row: int, dither0: int, npix: int) -> np.ndarray:
     return out
 
 
+def _hcomp_range_ok(max_abs: float, nx: int, ny: int) -> bool:
+    """True when |codes| <= max_abs survive the H-transform in int32.
+
+    Coefficients grow coherently up to ~2^(log2n + 1) x the pixel scale on
+    constant fields (each of the log2n reduction levels can double the
+    odd-edge terms), so require max_abs * 2^(log2n + 1) < 2^31."""
+    import math
+
+    nmax = max(int(nx), int(ny), 1)
+    log2n = max(int(math.ceil(math.log2(nmax))), 0) if nmax > 1 else 0
+    return float(max_abs) < 2.0 ** (30 - log2n)
+
+
 def _nint(x: np.ndarray) -> np.ndarray:
     """cfitsio NINT: round half away from zero (NaN -> 0; callers mask)."""
     x = np.nan_to_num(x, nan=0.0)
@@ -176,8 +189,12 @@ def _decode_tile_ints(comp, npix, zcmptype, blocksize, bytepix, zbitpix,
     """Decode one COMPRESSED_DATA payload into integer (or raw float) pixels.
 
     ``tile_hw``: (rows, cols) of the tile — needed by HCOMPRESS_1, whose
-    stream embeds its own 2-D dims (transposed streams are detected and
-    fixed so either writer convention reads correctly)."""
+    stream embeds its own 2-D dims.  Streams whose dims equal the SWAPPED
+    tile dims are transposed so either writer argument order reads
+    correctly; for SQUARE tiles the two conventions are indistinguishable
+    from the dims alone and this reader assumes its own writer's
+    (rows, cols) order — verify against a cfitsio-written golden file
+    before trusting externally-produced square-tile HCOMPRESS data."""
     if zcmptype == "RICE_1":
         return native.rice_decode(np.frombuffer(bytes(comp), dtype=np.uint8),
                                   npix, blocksize, bytepix).astype(np.int64)
@@ -404,6 +421,10 @@ def _quantize_tile(tile: np.ndarray, row: int, quantize_level: float,
     finite = np.isfinite(flat)
     if anchor == "zero" and not finite.all():
         return None  # no transform-safe NULL code: lossless fallback
+    if anchor == "zero" and zquantiz == "SUBTRACTIVE_DITHER_2" \
+            and (flat == 0.0).any():
+        # the ZERO_VALUE sentinel (-2^31+2) cannot ride the H-transform
+        return None
     if not finite.any():
         return np.full(flat.shape, NULL_VALUE, dtype=np.int64), 1.0, 0.0
     vals = flat[finite]
@@ -433,9 +454,10 @@ def _quantize_tile(tile: np.ndarray, row: int, quantize_level: float,
         vmin, vmax = nonzero.min(), nonzero.max()
 
     if anchor == "zero":
-        # codes start near 0; the H-transform accumulates ~sqrt(npix) x the
-        # code range, so guard the whole transform against int32 overflow
-        if (vmax - vmin) / zscale * np.sqrt(flat.size) > 5e8:
+        # codes start near 0; guard the whole H-transform against int32
+        # overflow (coherent coefficient growth ~2^(log2(max dim)+1))
+        if not _hcomp_range_ok((vmax - vmin) / zscale + 10.0,
+                               tile.shape[0], tile.shape[1]):
             return None
         zzero = vmin - zscale * 10.0  # q(vmin) = 10
     else:
@@ -528,6 +550,14 @@ def compress_hdu_bytes(hdu, compression_type: str | None = None,
             zzeros.append(zz)
             arr_i4 = ints.astype(np.int32)
         else:
+            if zcmptype == "HCOMPRESS_1" and tile.size:
+                amax = float(np.max(np.abs(tile.astype(np.int64))))
+                if not _hcomp_range_ok(amax, tile.shape[0], tile.shape[1]):
+                    raise ValueError(
+                        "HCOMPRESS_1 cannot losslessly encode this integer "
+                        f"dynamic range (max |value| {amax:.3g} on a "
+                        f"{tile.shape} tile would overflow the int32 "
+                        "H-transform); use RICE_1 or GZIP compression")
             arr_i4 = tile.astype(np.int32).ravel()
         payload = _encode_tile_ints(arr_i4, zcmptype, blocksize, bytepix,
                                     tile_hw=tile.shape)

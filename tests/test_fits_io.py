@@ -449,3 +449,44 @@ def test_hcompress_alignment_end_to_end(tmp_path):
     mi = np.unravel_index(np.nanargmax(corr), corr.shape)
     assert A.lag_crval1[mi[0]] == pytest.approx(8.0)
     assert A.lag_crval2[mi[1]] == pytest.approx(-4.0)
+
+
+def test_hcompress_dither2_zero_pixels_roundtrip(tmp_path):
+    """SUBTRACTIVE_DITHER_2's ZERO_VALUE sentinel cannot ride the
+    H-transform: tiles with exact zeros must fall back losslessly instead
+    of silently corrupting (code-review r2 finding #1)."""
+    data = _smooth_float_image(seed=17)
+    data[3, 3] = 0.0
+    data[10, 20] = 0.0
+    path = tmp_path / "hcz.fits"
+    fits.write(path, [fits.PrimaryHDU(),
+                      fits.CompImageHDU(data=data, name="W",
+                                        compression_type="HCOMPRESS_1",
+                                        quantize_level=32.0,
+                                        quantize_method="SUBTRACTIVE_DITHER_2",
+                                        tile_shape=(8, 53))])
+    got = fits.open(path)["W"].data
+    assert got[3, 3] == 0.0 and got[10, 20] == 0.0
+    fin = np.isfinite(data)
+    assert np.abs(got[fin] - data[fin]).max() < 0.15
+
+
+def test_hcompress_int_dynamic_range_guard(tmp_path):
+    """Integer images beyond the H-transform's int32 range must fail loudly
+    at write time, not corrupt silently (code-review r2 finding #2)."""
+    big = (np.arange(33 * 65, dtype=np.int64).reshape(33, 65) % 3
+           * (1 << 27)).astype(np.int32)
+    with pytest.raises(ValueError, match="HCOMPRESS_1 cannot"):
+        fits.write(tmp_path / "hcbig.fits",
+                   [fits.PrimaryHDU(),
+                    fits.CompImageHDU(data=big, name="W",
+                                      compression_type="HCOMPRESS_1")])
+
+
+def test_hcompress_truncated_stream_rejected():
+    """A stream shorter than the 25-byte header must error, not overread."""
+    from euispice_coreg_tpu.io.native import hcomp_decode, hcomp_encode
+
+    comp = hcomp_encode(np.arange(64, dtype=np.int32).reshape(8, 8))
+    with pytest.raises(ValueError):
+        hcomp_decode(comp[:23], 64)
