@@ -53,7 +53,10 @@ from . import pallas_quad as _pq
 # path's shared pre-warp double interpolation.
 TOL_DET_PX = 0.15
 
-_TILE_SIZES = (256, 192, 128)
+# Largest-first: bigger tiles amortize the per-tile FFT cost (and 384
+# typically lands on a power-of-2 transform size); the deviation gate
+# rejects sizes whose within-tile displacement variation is too large.
+_TILE_SIZES = (512, 384, 256, 192, 128)
 _MAX_TILES = 400
 
 
