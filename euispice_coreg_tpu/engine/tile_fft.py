@@ -78,19 +78,28 @@ def _quad_eval(coeffs, u, v):
     return xp.einsum("lck,cp->lpk", coeffs, basis)
 
 
-def _offset_bounds(coeffs, h, w):
-    """Conservative per-axis [min, max] of the rounded tile-center offsets
-    over all tiles and lags (host float64; 9 probe points + curvature
-    slack — never materializes an (L, n_tiles) table)."""
-    us = np.array([0.0, (w - 1) / 2.0, float(w - 1)])
-    vs = np.array([0.0, (h - 1) / 2.0, float(h - 1)])
-    uu, vv = np.meshgrid(us, vs, indexing="ij")
-    c = _quad_eval(coeffs, uu.ravel(), vv.ravel())  # (L, 9, 2)
-    quad = np.abs(coeffs[:, 3:6, :]).max(axis=0).sum(axis=0)  # (2,)
-    slack = quad * (max(h, w) / 4.0) ** 2 / 2.0 + 1.0
-    o_min = np.floor(c.min(axis=(0, 1)) - slack - 0.5).astype(int)
-    o_max = np.floor(c.max(axis=(0, 1)) + slack + 0.5).astype(int)
-    return o_min, o_max  # each (2,) in (x, y) order
+def _per_tile_offset_bounds(coeffs, T, n_ty, n_tx):
+    """Exact per-tile [min, max] of the rounded tile-center offsets over all
+    lags, +-1 slack for the device's float32 rounding of the same quantity.
+
+    The per-lag gather only ever reads the surface at the ROUNDED offset of
+    each tile's center, so each tile needs a correlation box covering its own
+    L offsets — typically far smaller than the union over tiles (the union
+    adds the cross-tile displacement variation, which at 2048^2 bench scale
+    doubles the box and the partial-inverse cost).  Host float64, one
+    (L, 2) temporary per tile (never an (L, n_tiles) table — CLAUDE.md host
+    memory discipline)."""
+    n_tiles = n_ty * n_tx
+    o_min_t = np.empty((n_tiles, 2), dtype=np.int64)
+    o_max_t = np.empty((n_tiles, 2), dtype=np.int64)
+    for t in range(n_tiles):
+        u = (t % n_tx) * T + (T - 1) / 2.0
+        v = (t // n_tx) * T + (T - 1) / 2.0
+        c = _quad_eval(coeffs, np.array([u]), np.array([v]))[:, 0, :]  # (L,2)
+        o = np.floor(c + 0.5)
+        o_min_t[t] = o.min(axis=0) - 1
+        o_max_t[t] = o.max(axis=0) + 1
+    return o_min_t, o_max_t  # each (n_tiles, 2) in (x, y) order
 
 
 def pick_tile_size(coeffs, h, w, scale_det_per_grid, tol_det=TOL_DET_PX,
@@ -213,17 +222,20 @@ def _weights_1d(frac, order):
     ], axis=-1)
 
 
-def _tiles_sum(g_stack, r_pad, coeffs_d, o_min, tile_ids, order, score,
-               T, n_ty, n_tx, m, by, bx, precise, vary_axis=None):
+def _tiles_sum(g_stack, r_pad, coeffs_d, o_tab, o_min_g, tile_ids, order,
+               score, T, n_ty, n_tx, my, mx, by, bx, precise,
+               vary_axis=None):
     """Scan over ``tile_ids``: per tile build the 58 surface FFTs, evaluate
-    the 66 correlation surfaces on the static offset box with two partial
-    matmul-DFTs, gather per-lag values (one row-gather), apply fractional
-    tap weights, and accumulate the score sums (L, 6).  Ids >= n_ty*n_tx
-    are padding (multi-chip round-up) and contribute zero."""
+    the 66 correlation surfaces on the tile's own offset box (anchor
+    ``o_tab[t]``, static size (by, bx)) with two partial matmul-DFTs, gather
+    per-lag values (one row-gather), apply fractional tap weights, and
+    accumulate the score sums (L, 6).  Ids >= n_ty*n_tx are padding
+    (multi-chip round-up) and contribute zero.  Transform sizes (my, mx)
+    are rectangular: each only needs to cover T + its own axis span."""
     nt = _tap_count(order) ** 2
     npairs = nt * (nt + 1) // 2
     L = coeffs_d.shape[0]
-    K = m // 2 + 1
+    K = mx // 2 + 1
     dt = g_stack.dtype
 
     pi, pj, pmult = _pair_indices(nt)
@@ -231,16 +243,16 @@ def _tiles_sum(g_stack, r_pad, coeffs_d, o_min, tile_ids, order, score,
     pj_d = jnp.asarray(pj)
     pmult_d = jnp.asarray(pmult, dtype=dt)
 
-    # static partial-DFT matrices for the offset box (box start is 0 by
-    # construction: the r slice is taken at tile0 + o_min)
-    ky = jnp.arange(m, dtype=jnp.float32)
+    # static partial-DFT matrices for the offset box (box start is 0: the
+    # r slice is taken at tile0 + o_tab[t], the tile's own anchor)
+    ky = jnp.arange(my, dtype=jnp.float32)
     kx = jnp.arange(K, dtype=jnp.float32)
     yy = jnp.arange(by, dtype=jnp.float32)
     xx = jnp.arange(bx, dtype=jnp.float32)
     cdt = jnp.complex64
-    Ey = jnp.exp(2j * jnp.pi / m * yy[:, None] * ky[None, :]).astype(cdt)
-    Ex = jnp.exp(2j * jnp.pi / m * kx[:, None] * xx[None, :]).astype(cdt)
-    whalf = jnp.where((kx == 0) | ((m % 2 == 0) & (kx == m // 2)), 1.0, 2.0)
+    Ey = jnp.exp(2j * jnp.pi / my * yy[:, None] * ky[None, :]).astype(cdt)
+    Ex = jnp.exp(2j * jnp.pi / mx * kx[:, None] * xx[None, :]).astype(cdt)
+    whalf = jnp.where((kx == 0) | ((mx % 2 == 0) & (kx == mx // 2)), 1.0, 2.0)
 
     span_y = by - 1
     span_x = bx - 1
@@ -253,26 +265,30 @@ def _tiles_sum(g_stack, r_pad, coeffs_d, o_min, tile_ids, order, score,
         y0 = (ty * T).astype(jnp.int32)
         x0 = (tx * T).astype(jnp.int32)
         zero = jnp.int32(0)
+        o_t = o_tab[t]                       # (2,) int32, (x, y) anchor
+        rel_x = o_t[0] - o_min_g[0]          # >= 0: box inside global frame
+        rel_y = o_t[1] - o_min_g[1]
 
         g_tile = jax.lax.dynamic_slice(
             g_stack, (zero, y0, x0), (g_stack.shape[0], T, T))
-        g_emb = jnp.zeros((g_stack.shape[0], m, m), dtype=dt)
+        g_emb = jnp.zeros((g_stack.shape[0], my, mx), dtype=dt)
         g_emb = g_emb.at[:, :T, :T].set(g_tile)
-        # r slice starts at (tile0 + o_min); r_pad is the global r stack
-        # pre-padded by (-o_min, +o_max) so this start is always >= 0
+        # r slice starts at (tile0 + o_tab[t]); r_pad is the global r stack
+        # pre-padded by (-o_min_g, +o_max_g) so this start is always >= 0
         r_tile = jax.lax.dynamic_slice(
-            r_pad, (zero, y0, x0), (r_pad.shape[0], T + span_y, T + span_x))
-        r_emb = jnp.zeros((r_pad.shape[0], m, m), dtype=dt)
+            r_pad, (zero, y0 + rel_y, x0 + rel_x),
+            (r_pad.shape[0], T + span_y, T + span_x))
+        r_emb = jnp.zeros((r_pad.shape[0], my, mx), dtype=dt)
         r_emb = r_emb.at[:, : T + span_y, : T + span_x].set(r_tile)
 
         if precise:
-            G = precise_fft.rfft2(g_emb, m)
+            G = precise_fft.rfft2_rect(g_emb, my, mx)
             R = jnp.concatenate(
-                [precise_fft.rfft2(r_emb[k: k + 8], m)
+                [precise_fft.rfft2_rect(r_emb[k: k + 8], my, mx)
                  for k in range(0, r_emb.shape[0], 8)])
         else:
-            G = jnp.fft.rfft2(g_emb, s=(m, m))
-            R = jnp.fft.rfft2(r_emb, s=(m, m))
+            G = jnp.fft.rfft2(g_emb, s=(my, mx))
+            R = jnp.fft.rfft2(r_emb, s=(my, mx))
 
         prods = jnp.concatenate([
             jnp.conj(G[0:1]) * R[0:1],
@@ -285,12 +301,12 @@ def _tiles_sum(g_stack, r_pad, coeffs_d, o_min, tile_ids, order, score,
         ])
 
         # partial inverse on the box: S[s, oy, ox] = corr at offset
-        # (o_min + (oy, ox)); hermitian-half weights as in _box_inverse
+        # (o_tab[t] + (oy, ox)); hermitian-half weights as in _box_inverse
         Z = jnp.einsum("skx,xb->skb", prods * whalf[None, None, :], Ex,
                        precision=jax.lax.Precision.HIGHEST)
         S_box = jnp.real(jnp.einsum("yk,skb->syb", Ey, Z,
                                     precision=jax.lax.Precision.HIGHEST))
-        S_box = S_box / (m * m)                      # (66, by, bx)
+        S_box = S_box / (my * mx)                    # (66, by, bx)
 
         # per-lag integer offsets + fractional weights at the tile center
         u = x0 + (T - 1) / 2.0
@@ -300,8 +316,8 @@ def _tiles_sum(g_stack, r_pad, coeffs_d, o_min, tile_ids, order, score,
         o = jnp.floor(c + 0.5)
         frac = c - o
         oi = o.astype(jnp.int32)
-        iy = oi[:, 1] - o_min[1]
-        ix = oi[:, 0] - o_min[0]
+        iy = oi[:, 1] - o_t[1]
+        ix = oi[:, 0] - o_t[0]
         inb = ((iy >= 0) & (iy <= span_y) & (ix >= 0) & (ix <= span_x))
         idx = jnp.clip(iy, 0, span_y) * bx + jnp.clip(ix, 0, span_x)
 
@@ -334,40 +350,43 @@ def _tiles_sum(g_stack, r_pad, coeffs_d, o_min, tile_ids, order, score,
 
 
 @partial(jax.jit, static_argnames=(
-    "order", "score", "T", "n_ty", "n_tx", "m", "by", "bx", "precise"))
-def _evaluate_tiles(g_stack, r_pad, coeffs_d, o_min, order, score,
-                    T, n_ty, n_tx, m, by, bx, precise):
+    "order", "score", "T", "n_ty", "n_tx", "my", "mx", "by", "bx",
+    "precise"))
+def _evaluate_tiles(g_stack, r_pad, coeffs_d, o_tab, o_min_g, order, score,
+                    T, n_ty, n_tx, my, mx, by, bx, precise):
     """Single-device evaluation over all tiles."""
     ids = jnp.arange(n_ty * n_tx, dtype=jnp.int32)
-    return _tiles_sum(g_stack, r_pad, coeffs_d, o_min, ids, order, score,
-                      T, n_ty, n_tx, m, by, bx, precise)
+    return _tiles_sum(g_stack, r_pad, coeffs_d, o_tab, o_min_g, ids, order,
+                      score, T, n_ty, n_tx, my, mx, by, bx, precise)
 
 
 from functools import lru_cache
 
 
 @lru_cache(maxsize=16)
-def _sharded_tiles_fn(mesh, order, score, T, n_ty, n_tx, m, by, bx, precise):
+def _sharded_tiles_fn(mesh, order, score, T, n_ty, n_tx, my, mx, by, bx,
+                      precise):
     """Memoized jit(shard_map) evaluator (a fresh closure per call would
     re-trace the 58-FFT scan body and pay a remote compile-cache round-trip
     per alignment — CLAUDE.md)."""
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
-    def local(tile_ids, g, r, cf, om):
-        s = _tiles_sum(g, r, cf, om, tile_ids, order, score,
-                       T, n_ty, n_tx, m, by, bx, precise,
+    def local(tile_ids, g, r, cf, otab, omg):
+        s = _tiles_sum(g, r, cf, otab, omg, tile_ids, order, score,
+                       T, n_ty, n_tx, my, mx, by, bx, precise,
                        vary_axis="lags")
         return jax.lax.psum(s, "lags")
 
     return jax.jit(shard_map(
         local, mesh=mesh,
-        in_specs=(P("lags"), P(), P(), P(), P()),
+        in_specs=(P("lags"), P(), P(), P(), P(), P()),
         out_specs=P()))
 
 
-def _evaluate_tiles_sharded(mesh, g_stack, r_pad, coeffs_d, o_min,
-                            order, score, T, n_ty, n_tx, m, by, bx, precise):
+def _evaluate_tiles_sharded(mesh, g_stack, r_pad, coeffs_d, o_tab, o_min_g,
+                            order, score, T, n_ty, n_tx, my, mx, by, bx,
+                            precise):
     """Multi-chip evaluation: the tile axis is sharded over the mesh's
     ``lags`` axis (fields replicated in every chip's HBM — the TPU-native
     form of the reference's process fan-out); each device scans its tile
@@ -381,14 +400,15 @@ def _evaluate_tiles_sharded(mesh, g_stack, r_pad, coeffs_d, o_min,
     n_pad = -(-n_tiles // ndev) * ndev
     ids = np.arange(n_pad, dtype=np.int32)  # >= n_tiles pad -> zero update
 
-    fn = _sharded_tiles_fn(mesh, order, score, T, n_ty, n_tx, m, by, bx,
-                           precise)
+    fn = _sharded_tiles_fn(mesh, order, score, T, n_ty, n_tx, my, mx, by,
+                           bx, precise)
     with mesh:
         return fn(mesh_put(ids, mesh, P("lags")),
                   mesh_put(g_stack, mesh),
                   mesh_put(r_pad, mesh),
                   mesh_put(coeffs_d, mesh),
-                  mesh_put(o_min, mesh))
+                  mesh_put(o_tab, mesh),
+                  mesh_put(o_min_g, mesh))
 
 
 def evaluate_select_tile_fft(coeffs, warped, ref_img, *, order, h, w,
@@ -422,10 +442,20 @@ def evaluate_select_tile_fft(coeffs, warped, ref_img, *, order, h, w,
     n_tx = -(-w // T)
     hp, wp = n_ty * T, n_tx * T
 
-    o_min, o_max = _offset_bounds(coeffs, h, w)  # (x, y) each
-    span = o_max - o_min
-    bx, by = int(span[0]) + 1, int(span[1]) + 1
-    m = _round128(T + max(by, bx) - 1)
+    # per-tile offset boxes: exact rounded-offset range of each tile, a
+    # common static size (by, bx) = the largest per-tile span, anchored at
+    # each tile's own minimum.  The global frame [o_min, o_max] (the union)
+    # only sizes the padded r stack; the correlation boxes — and hence the
+    # transform sizes and partial-inverse cost — stay per-tile small.
+    o_min_t, o_max_t = _per_tile_offset_bounds(coeffs, T, n_ty, n_tx)
+    o_min = o_min_t.min(axis=0)
+    o_max = o_max_t.max(axis=0)
+    span_t = (o_max_t - o_min_t).max(axis=0)        # (2,) in (x, y)
+    bx, by = int(span_t[0]) + 1, int(span_t[1]) + 1
+    # pull anchors back so every (by, bx) box stays inside the global frame
+    o_min_t = np.minimum(o_min_t, o_max - np.array([bx - 1, by - 1]))
+    my = _round128(T + by - 1)
+    mx = _round128(T + bx - 1)
     if max(by, bx) - 1 > 2 * max(hp, wp):
         return None  # offsets far beyond the image extent: not worth it
 
@@ -447,9 +477,9 @@ def evaluate_select_tile_fft(coeffs, warped, ref_img, *, order, h, w,
 
     g_stack, r_stack = _build_fields(warped_d, ref_d, order, score, hp, wp)
     # shifted r frame: r_pad[i, j] = r_global[i + o_min_y, j + o_min_x]
-    # (zero outside), sized so every tile's slice
-    # [tile0 .. tile0 + T + span) is a plain in-bounds slice
-    span_y, span_x = by - 1, bx - 1
+    # (zero outside), sized over the GLOBAL offset union so every tile's
+    # slice [tile0 + o_tab[t] .. + T + per-tile span) is in-bounds
+    span_y, span_x = int(o_max[1] - o_min[1]), int(o_max[0] - o_min[0])
     o_min_y, o_min_x = int(o_min[1]), int(o_min[0])
     Htot, Wtot = hp + span_y, wp + span_x
     r_pad = jnp.zeros((r_stack.shape[0], Htot, Wtot), dtype=r_stack.dtype)
@@ -465,18 +495,21 @@ def evaluate_select_tile_fft(coeffs, warped, ref_img, *, order, h, w,
         from .lag_search import mesh_put
 
         coeffs_d = mesh_put(coeffs, mesh, dtype=compute_dtype)
+        o_tab_d = mesh_put(o_min_t.astype(np.int32), mesh)
         o_min_d = mesh_put(o_min.astype(np.int32), mesh)
     else:
         coeffs_d = jnp.asarray(coeffs, dtype=compute_dtype)
+        o_tab_d = jnp.asarray(o_min_t, dtype=jnp.int32)
         o_min_d = jnp.asarray(o_min, dtype=jnp.int32)
 
     if mesh is not None and mesh.devices.size > 1:
         sums = _evaluate_tiles_sharded(
-            mesh, g_stack, r_pad, coeffs_d, o_min_d, order, score,
-            T, n_ty, n_tx, m, by, bx, precise)
+            mesh, g_stack, r_pad, coeffs_d, o_tab_d, o_min_d, order, score,
+            T, n_ty, n_tx, my, mx, by, bx, precise)
     else:
-        sums = _evaluate_tiles(g_stack, r_pad, coeffs_d, o_min_d, order,
-                               score, T, n_ty, n_tx, m, by, bx, precise)
+        sums = _evaluate_tiles(g_stack, r_pad, coeffs_d, o_tab_d, o_min_d,
+                               order, score, T, n_ty, n_tx, my, mx, by, bx,
+                               precise)
     S = np.asarray(sums, dtype=np.float64)  # (L, 6)
 
     n = S[:, 0]

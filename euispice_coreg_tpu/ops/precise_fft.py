@@ -129,6 +129,22 @@ def rfft2(x, m: int):
     return jnp.swapaxes(X2, -1, -2)
 
 
+@partial(jax.jit, static_argnames=("my", "mx"))
+def rfft2_rect(x, my: int, mx: int):
+    """Real-input 2-D DFT with independent axis sizes, half-spectrum layout
+    (..., my, mx//2 + 1) — drop-in for ``jnp.fft.rfft2(x, s=(my, mx))``.
+
+    Rectangular sizes matter for correlation boxes whose spans differ per
+    axis (engine/tile_fft.py): the y-axis transform cost scales with my, so
+    my < mx saves MXU work the square :func:`rfft2` would spend on padding."""
+    h, w = x.shape[-2], x.shape[-1]
+    pad = [(0, 0)] * (x.ndim - 2) + [(0, my - h), (0, mx - w)]
+    xp = jnp.pad(x.astype(jnp.float32), pad)
+    X1 = _dft_last_real(xp, mx)[..., : mx // 2 + 1]   # (..., my, K) over kx
+    X2 = _dft_last(jnp.swapaxes(X1, -1, -2), my, inverse=False)
+    return jnp.swapaxes(X2, -1, -2)
+
+
 def _full_from_half(Xh, m: int):
     """Reconstruct the full (..., m, m) spectrum of a REAL signal from the
     half spectrum (..., m, m//2+1) via Hermitian symmetry

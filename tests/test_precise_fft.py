@@ -18,6 +18,17 @@ def test_rfft2_matches_numpy(m):
     assert np.max(np.abs(got - want)) / scale < 5e-6
 
 
+@pytest.mark.parametrize("my,mx", [(96, 256), (256, 96), (128, 128)])
+def test_rfft2_rect_matches_numpy(my, mx):
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(3, my - 5, mx - 9)).astype(np.float32) + 2.0
+    got = np.asarray(precise_fft.rfft2_rect(jnp.asarray(x), my, mx))
+    want = np.fft.rfft2(x.astype(np.float64), s=(my, mx))
+    scale = np.max(np.abs(want))
+    assert got.shape == (3, my, mx // 2 + 1)
+    assert np.max(np.abs(got - want)) / scale < 5e-6
+
+
 @pytest.mark.parametrize("m", [256, 96])
 def test_irfft2_roundtrip(m):
     rng = np.random.default_rng(1)

@@ -136,6 +136,123 @@ def test_gate_rejects_undersampled_grid(tmp_path):
     assert A.lag_crval2[mi[1]] == pytest.approx(-10.0)
 
 
+def test_tile_fft_rotation_lags_via_combo_rewarp():
+    """Rotation lags through the public Carrington engine on a strongly
+    oversampled window: the engine re-warps per (cdelt, crota) combo, so the
+    tile path sees translation-only lag sets per combo — this pins that the
+    combo factorization + tile-FFT composition matches the same-prewarp
+    select evaluator.  (Distinct per-tile anchors are exercised directly in
+    ``test_per_tile_boxes_match_global_box``.)"""
+    from euispice_coreg_tpu.engine import tile_fft
+
+    hdr, small, ref, _, _, _, _ = bench_like_config()
+    # ~0.12 deg window over 256 px -> grid px ~1.7 arcsec vs 16 arcsec
+    # detector px: scale_det_per_grid ~0.1, so the gate admits rotations
+    # large enough to split the per-tile integer anchors
+    lonlims, latlims, shape = (119.94, 120.06), (2.44, 2.56), (256, 256)
+    lon_g, lat_g = carr.carrington_grid(lonlims, latlims, shape)
+
+    def scene(lo, la):
+        out = np.full(lo.shape, 100.0)
+        rng = np.random.default_rng(11)
+        for _ in range(25):
+            cx = rng.uniform(116, 124)
+            cy = rng.uniform(-3, 7)
+            w_ = rng.uniform(0.3, 1.5)
+            out += rng.uniform(0.5, 3) * np.exp(
+                -(((lo - cx) ** 2) + ((la - cy) ** 2)) / (2 * w_ * w_))
+        return out
+
+    ref_img = scene(lon_g, lat_g)
+    l1 = (np.arange(3) - 1) * (2.0 / 3600.0)
+    lrot = np.array([-0.5, 0.0, 0.5])
+
+    calls = []
+    orig = tile_fft.evaluate_select_tile_fft
+
+    def spy(*a, **k):
+        r = orig(*a, **k)
+        calls.append(r is not None)
+        return r
+
+    def run(mode):
+        return carr.evaluate_lag_grid_carrington(
+            small, ref_img, hdr, lonlims, latlims, shape,
+            l1, l1, [0.0], [0.0], lrot,
+            d_solar_r=1.004, reference_date=hdr["DATE-OBS"],
+            rate_wave="171", order=2, compute_dtype="float64",
+            lag_mode=mode)
+
+    tile_fft.evaluate_select_tile_fft = spy
+    try:
+        c_t = run("tile_fft")
+    finally:
+        tile_fft.evaluate_select_tile_fft = orig
+    assert calls and all(calls), "tile-FFT path did not run (gate rejected)"
+    c_f = run("fast")
+    assert c_t.shape == c_f.shape
+    scale = np.nanmax(np.abs(c_f)) + 1e-30
+    np.testing.assert_allclose(c_t, c_f, atol=5e-3 * scale)
+
+
+def test_per_tile_boxes_match_global_box():
+    """Per-tile offset boxes (anchored at each tile's own offset range) must
+    reproduce the global-union-box evaluation bit-for-bit in semantics:
+    handcrafted coeffs with a strong linear displacement gradient force the
+    per-tile anchors apart by several pixels, so the per-tile rel-slicing of
+    the padded r frame is genuinely exercised."""
+    from euispice_coreg_tpu.engine import tile_fft
+
+    h = w = 256
+    T = 128
+    rng = np.random.default_rng(7)
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    ref = (100 + np.sin(xx / 9.0) * np.cos(yy / 13.0) * 10
+           + rng.normal(size=(h, w)))
+    warped = (100 + np.sin((xx + 1.2) / 9.0) * np.cos((yy - 0.8) / 13.0) * 10
+              + rng.normal(size=(h, w)))
+    ref[:6, :] = np.nan       # masked border + interior NaN block
+    warped[40:44, 80:90] = np.nan
+
+    # coeffs columns [u, v, 1, u^2, v^2, u*v] -> (dx, dy); linear gradient
+    # 0.02 px/px => ~2.6 px anchor difference between adjacent tile centers
+    L = 5
+    coeffs = np.zeros((L, 6, 2))
+    coeffs[:, 2, 0] = np.linspace(-3.0, 3.0, L)       # per-lag dx constant
+    coeffs[:, 2, 1] = np.linspace(2.0, -2.0, L)       # per-lag dy constant
+    coeffs[:, 0, 0] = 0.02                            # dx grows with u
+    coeffs[:, 1, 1] = -0.015                          # dy shrinks with v
+
+    n_ty = n_tx = 2
+    o_min_t, _ = tile_fft._per_tile_offset_bounds(coeffs, T, n_ty, n_tx)
+    spread = o_min_t.max(axis=0) - o_min_t.min(axis=0)
+    assert spread.max() >= 2, f"anchors degenerate: spread={spread}"
+
+    kw = dict(order=2, h=h, w=w, method="correlation",
+              compute_dtype="float64", tile_size=T)
+    got = tile_fft.evaluate_select_tile_fft(coeffs, warped, ref, **kw)
+
+    orig_bounds = tile_fft._per_tile_offset_bounds
+
+    def global_bounds(cf, T_, n_ty_, n_tx_):
+        omin, omax = orig_bounds(cf, T_, n_ty_, n_tx_)
+        n = n_ty_ * n_tx_
+        return (np.tile(omin.min(axis=0), (n, 1)),
+                np.tile(omax.max(axis=0), (n, 1)))
+
+    tile_fft._per_tile_offset_bounds = global_bounds
+    try:
+        want = tile_fft.evaluate_select_tile_fft(coeffs, warped, ref, **kw)
+    finally:
+        tile_fft._per_tile_offset_bounds = orig_bounds
+
+    assert got is not None and want is not None
+    # the two runs use different transform sizes (per-tile boxes are
+    # smaller), so complex64 partial-DFT rounding differs at ~1e-7; an
+    # anchor/slicing bug would show at the 1e-2 level (wrong offset read)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
 def test_tile_fft_sharded_matches_single_device(cfg):
     """Tile axis sharded over a NON-default-device mesh: one psum combines
     the per-device partial sums; values must match the unsharded run."""
