@@ -222,26 +222,47 @@ def _weights_1d(frac, order):
     ], axis=-1)
 
 
+# How the per-lag surface values are read out of the stacked boxes:
+# "take" = batched take_along_axis (hardware gather); "onehot" = 0/1
+# contraction on the MXU.  Selected by TPU measurement (see commit).
+_READOUT = "take"
+
+# MXU precision of the partial-inverse DFT matmuls.  bf16_3x (HIGH)
+# carries ~f32 dot-product accuracy — far above the 1e-6 x scale the peak
+# ordering needs — at half the passes of HIGHEST.  Measured on the TPU
+# bench config: leg 1.41 -> 1.34 s, max |corr - pallas-exact| unchanged at
+# 2.4e-3 of the peak range (shared pre-warp interpolation dominates),
+# argmax identical.
+_INV_PRECISION = jax.lax.Precision.HIGH
+
+
 def _tiles_sum(g_stack, r_pad, coeffs_d, o_tab, o_min_g, tile_ids, order,
                score, T, n_ty, n_tx, my, mx, by, bx, precise,
                vary_axis=None):
-    """Scan over ``tile_ids``: per tile build the 58 surface FFTs, evaluate
-    the 66 correlation surfaces on the tile's own offset box (anchor
-    ``o_tab[t]``, static size (by, bx)) with two partial matmul-DFTs, gather
-    per-lag values (one row-gather), apply fractional tap weights, and
-    accumulate the score sums (L, 6).  Ids >= n_ty*n_tx are padding
-    (multi-chip round-up) and contribute zero.  Transform sizes (my, mx)
-    are rectangular: each only needs to cover T + its own axis span."""
+    """Two stages.  Stage 1 scans ``tile_ids``: per tile build the 58
+    surface FFTs and evaluate the 66 correlation surfaces on the tile's own
+    offset box (anchor ``o_tab[t]``, static size (by, bx)) with two partial
+    matmul-DFTs; the scan emits the (66, by, bx) boxes.  Stage 2 combines
+    per-lag values for ALL tiles in one batched computation with the lag
+    axis minor (lane-resident) — doing this inside the scan cost ~6x the
+    FFT work in small-shape VPU ops (measured on TPU: 0.73 s of a 0.88 s
+    scan at L=14641).  Ids >= n_ty*n_tx are padding (multi-chip round-up)
+    and contribute zero.  Transform sizes (my, mx) are rectangular: each
+    only needs to cover T + its own axis span."""
+    S_stack = _tiles_surfaces(g_stack, r_pad, o_tab, o_min_g, tile_ids,
+                              order, score, T, n_ty, n_tx, my, mx, by, bx,
+                              precise)
+    return _combine_lags(S_stack, coeffs_d, o_tab, tile_ids, order, score,
+                         T, n_tx, n_ty * n_tx, by, bx, g_stack.dtype)
+
+
+def _tiles_surfaces(g_stack, r_pad, o_tab, o_min_g, tile_ids, order,
+                    score, T, n_ty, n_tx, my, mx, by, bx, precise):
+    """Stage 1: scan tiles, emit the stacked (Tn, 66, by, bx) boxes."""
     nt = _tap_count(order) ** 2
     npairs = nt * (nt + 1) // 2
-    L = coeffs_d.shape[0]
     K = mx // 2 + 1
     dt = g_stack.dtype
-
-    pi, pj, pmult = _pair_indices(nt)
-    pi_d = jnp.asarray(pi)
-    pj_d = jnp.asarray(pj)
-    pmult_d = jnp.asarray(pmult, dtype=dt)
 
     # static partial-DFT matrices for the offset box (box start is 0: the
     # r slice is taken at tile0 + o_tab[t], the tile's own anchor)
@@ -256,10 +277,10 @@ def _tiles_sum(g_stack, r_pad, coeffs_d, o_tab, o_min_g, tile_ids, order,
 
     span_y = by - 1
     span_x = bx - 1
+    n_real = n_ty * n_tx
 
-    def one_tile(sums, t):
-        valid = (t < n_ty * n_tx).astype(dt)
-        t = jnp.minimum(t, n_ty * n_tx - 1)
+    def one_tile(carry, t):
+        t = jnp.minimum(t, n_real - 1)
         ty = t // n_tx
         tx = t % n_tx
         y0 = (ty * T).astype(jnp.int32)
@@ -301,52 +322,84 @@ def _tiles_sum(g_stack, r_pad, coeffs_d, o_tab, o_min_g, tile_ids, order,
         ])
 
         # partial inverse on the box: S[s, oy, ox] = corr at offset
-        # (o_tab[t] + (oy, ox)); hermitian-half weights as in _box_inverse
-        Z = jnp.einsum("skx,xb->skb", prods * whalf[None, None, :], Ex,
-                       precision=jax.lax.Precision.HIGHEST)
-        S_box = jnp.real(jnp.einsum("yk,skb->syb", Ey, Z,
-                                    precision=jax.lax.Precision.HIGHEST))
+        # (o_tab[t] + (oy, ox)); hermitian-half weights as in _box_inverse.
+        # Contract the Y axis FIRST (by < my, so the intermediate is the
+        # smaller (66, by, K) instead of (66, my, bx)), and compute only the
+        # REAL part of the final X contraction as two real matmuls — the
+        # result is real, and a full complex matmul costs 2x the flops.
+        ZY = jnp.einsum("yk,skx->syx", Ey, prods * whalf[None, None, :],
+                        precision=_INV_PRECISION)
+        Exr = jnp.real(Ex)
+        Exi = jnp.imag(Ex)
+        S_box = (jnp.einsum("syx,xb->syb", jnp.real(ZY), Exr,
+                            precision=_INV_PRECISION)
+                 - jnp.einsum("syx,xb->syb", jnp.imag(ZY), Exi,
+                              precision=_INV_PRECISION))
         S_box = S_box / (my * mx)                    # (66, by, bx)
+        return carry, S_box
 
-        # per-lag integer offsets + fractional weights at the tile center
-        u = x0 + (T - 1) / 2.0
-        v = y0 + (T - 1) / 2.0
-        c = _quad_eval(coeffs_d, jnp.array([u], dtype=dt),
-                       jnp.array([v], dtype=dt))[:, 0, :]  # (L, 2) [x, y]
-        o = jnp.floor(c + 0.5)
-        frac = c - o
-        oi = o.astype(jnp.int32)
-        iy = oi[:, 1] - o_t[1]
-        ix = oi[:, 0] - o_t[0]
-        inb = ((iy >= 0) & (iy <= span_y) & (ix >= 0) & (ix <= span_x))
-        idx = jnp.clip(iy, 0, span_y) * bx + jnp.clip(ix, 0, span_x)
+    _, S_stack = jax.lax.scan(one_tile, jnp.int32(0), tile_ids)
+    return S_stack
 
-        flat = S_box.reshape(S_box.shape[0], by * bx).T   # (by*bx, 66)
-        vals = flat[idx] * inb[:, None].astype(dt)        # (L, 66) row gather
 
-        wx = _weights_1d(frac[:, 0], order)               # (L, ntap)
-        wy = _weights_1d(frac[:, 1], order)
-        w2 = (wy[:, :, None] * wx[:, None, :]).reshape(L, nt)
-        pair_w = w2[:, pi_d] * w2[:, pj_d] * pmult_d[None, :]
+def _combine_lags(S_stack, coeffs_d, o_tab, tile_ids, order, score,
+                  T, n_tx, n_real, by, bx, dt):
+    """Batched per-lag readout + fractional-tap weighting over all tiles.
 
-        upd = jnp.stack([
-            vals[:, 0],
-            vals[:, 1],
-            vals[:, 2],
-            jnp.sum(w2 * vals[:, 3: 3 + nt], axis=1),
-            jnp.sum(w2 * vals[:, 3 + nt: 3 + 2 * nt], axis=1),
-            jnp.sum(pair_w * vals[:, 3 + 2 * nt: 3 + 2 * nt + npairs],
-                    axis=1),
-        ], axis=-1)                                       # (L, 6)
-        return sums + upd * valid, None
+    Layouts keep the lag axis L minor so every elementwise op runs with
+    full lanes: vals (Tn, 66, L), weights (Tn, nt, L).  Returns (L, 6)."""
+    nt = _tap_count(order) ** 2
+    npairs = nt * (nt + 1) // 2
+    L = coeffs_d.shape[0]
+    Tn = tile_ids.shape[0]
 
-    init = jnp.zeros((L, 6), dtype=dt)
-    if vary_axis is not None:
-        # under shard_map the carry must be marked device-varying up front
-        # (the scanned tile_ids are sharded, so the output varies too)
-        init = jax.lax.pvary(init, vary_axis)
-    sums, _ = jax.lax.scan(one_tile, init, tile_ids)
-    return sums
+    pi, pj, pmult = _pair_indices(nt)
+    pi_d = jnp.asarray(pi)
+    pj_d = jnp.asarray(pj)
+    pmult_d = jnp.asarray(pmult, dtype=dt)
+
+    valid_t = (tile_ids < n_real).astype(dt)                    # (Tn,)
+    tt = jnp.minimum(tile_ids, n_real - 1)
+    u = ((tt % n_tx) * T).astype(dt) + (T - 1) / 2.0            # (Tn,)
+    v = ((tt // n_tx) * T).astype(dt) + (T - 1) / 2.0
+    c = _quad_eval(coeffs_d, u, v)                              # (L, Tn, 2)
+    o = jnp.floor(c + 0.5)
+    frac = c - o
+    oi = o.astype(jnp.int32)
+    anchors = o_tab[tt]                                         # (Tn, 2)
+    iy = oi[..., 1] - anchors[None, :, 1]                       # (L, Tn)
+    ix = oi[..., 0] - anchors[None, :, 0]
+    inb = ((iy >= 0) & (iy <= by - 1) & (ix >= 0) & (ix <= bx - 1))
+    idx = jnp.clip(iy, 0, by - 1) * bx + jnp.clip(ix, 0, bx - 1)
+
+    flat = S_stack.reshape(Tn, S_stack.shape[1], by * bx)       # (Tn, 66, P)
+    mask = inb.T[:, None, :].astype(dt) * valid_t[:, None, None]
+    if _READOUT == "onehot":
+        pos = jnp.arange(by * bx, dtype=jnp.int32)
+        oneh = (idx.T[:, :, None] == pos).astype(dt)            # (Tn, L, P)
+        vals = jnp.einsum("tlp,tkp->tkl", oneh, flat,
+                          precision=jax.lax.Precision.HIGHEST) * mask
+    else:
+        vals = jnp.take_along_axis(
+            flat, idx.T[:, None, :], axis=2) * mask             # (Tn, 66, L)
+
+    wx = _weights_1d(frac[..., 0], order)                       # (L, Tn, nta)
+    wy = _weights_1d(frac[..., 1], order)
+    w2 = (wy[..., :, None] * wx[..., None, :]).reshape(L, Tn, nt)
+    w2t = jnp.moveaxis(w2, 0, 2)                                # (Tn, nt, L)
+    pair_w = (w2t[:, pi_d, :] * w2t[:, pj_d, :]
+              * pmult_d[None, :, None])                         # (Tn, np, L)
+
+    comp = jnp.stack([
+        jnp.sum(vals[:, 0, :], axis=0),
+        jnp.sum(vals[:, 1, :], axis=0),
+        jnp.sum(vals[:, 2, :], axis=0),
+        jnp.sum(w2t * vals[:, 3: 3 + nt, :], axis=(0, 1)),
+        jnp.sum(w2t * vals[:, 3 + nt: 3 + 2 * nt, :], axis=(0, 1)),
+        jnp.sum(pair_w * vals[:, 3 + 2 * nt: 3 + 2 * nt + npairs, :],
+                axis=(0, 1)),
+    ], axis=-1)                                                 # (L, 6)
+    return comp
 
 
 @partial(jax.jit, static_argnames=(
