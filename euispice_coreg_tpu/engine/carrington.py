@@ -260,6 +260,23 @@ def _sample_jit(img, x, y, order):
     return resample.sample_image(img, x, y, order=order, cval=jnp.nan)
 
 
+@partial(jax.jit, static_argnames=("h", "w", "rate_wave"))
+def _grid_coords_jit(scal, delta_t, h, w, rate_wave):
+    """Device-side detector-pixel coordinates of the Carrington grid (the
+    coordinate part of :func:`_warp_to_grid_jit`)."""
+    dt = scal["lon0"].dtype
+    j = jax.lax.broadcasted_iota(dt, (h, w), 1)
+    i = jax.lax.broadcasted_iota(dt, (h, w), 0)
+    lon = scal["lon0"] + j * scal["dlon"]
+    lat = scal["lat0"] + i * scal["dlat"]
+    lon_rot = lon - diff_rot_shift_deg(lat, delta_t, rate_wave, xp=jnp)
+    x3, yy, zz = observer_geometry(lon_rot, lat, scal["obs_lon"],
+                                   scal["obs_lat"], xp=jnp)
+    return spherical_project(x3, yy, zz, scal["dist"], scal["roll"],
+                             scal["x0"], scal["y0"],
+                             scal["cdelt1"], scal["cdelt2"])
+
+
 @partial(jax.jit, static_argnames=("h", "w", "order", "rate_wave"))
 def _warp_to_grid_jit(small, scal, delta_t, h, w, order, rate_wave):
     """Full device-side Carrington warp: grid from iota, differential
@@ -269,17 +286,7 @@ def _warp_to_grid_jit(small, scal, delta_t, h, w, order, rate_wave):
     per call at 2048^2).  ``scal`` carries the per-combo spherical scalars
     as traced values (same compiled program for every (cdelt, crota) combo
     and ``d_solar_r``)."""
-    dt = small.dtype
-    j = jax.lax.broadcasted_iota(dt, (h, w), 1)
-    i = jax.lax.broadcasted_iota(dt, (h, w), 0)
-    lon = scal["lon0"] + j * scal["dlon"]
-    lat = scal["lat0"] + i * scal["dlat"]
-    lon_rot = lon - diff_rot_shift_deg(lat, delta_t, rate_wave, xp=jnp)
-    x3, yy, zz = observer_geometry(lon_rot, lat, scal["obs_lon"],
-                                   scal["obs_lat"], xp=jnp)
-    nx, ny = spherical_project(x3, yy, zz, scal["dist"], scal["roll"],
-                               scal["x0"], scal["y0"],
-                               scal["cdelt1"], scal["cdelt2"])
+    nx, ny = _grid_coords_jit(scal, delta_t, h, w, rate_wave)
     return resample.sample_image(small, nx, ny, order=order, cval=jnp.nan)
 
 
@@ -304,8 +311,20 @@ def _warp_to_grid(small_d, combo, lonlims, latlims, shape, delta_t,
     # host scalars: jit places them on the execution devices (the
     # committed image operand decides), never the default device
     scal = {k: np.asarray(v, dtype=compute_dtype) for k, v in scal.items()}
-    return _warp_to_grid_jit(small_d, scal,
-                             np.asarray(delta_t, dtype=compute_dtype),
+    dt_arr = np.asarray(delta_t, dtype=compute_dtype)
+    # gather-free tile-contraction sampler when the grid oversamples the
+    # detector (the usual Carrington case; ~0.3 s/warp saved at 2048^2).
+    # Only for default-device-placed images: computing the coordinate
+    # fields must not touch a (possibly different-backend) default device
+    # when the image lives on mesh devices.
+    on_default = (not isinstance(small_d, jax.Array)) or (
+        len(small_d.devices()) == 1
+        and next(iter(small_d.devices())) == jax.devices()[0])
+    if on_default:
+        nx, ny = _grid_coords_jit(scal, dt_arr, shape[1], shape[0],
+                                  rate_wave)
+        return resample.sample_image_auto(small_d, nx, ny, order=order)
+    return _warp_to_grid_jit(small_d, scal, dt_arr,
                              shape[1], shape[0], order, rate_wave)
 
 

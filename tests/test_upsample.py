@@ -1,0 +1,183 @@
+"""sample_image_upsample parity with the gather sampler.
+
+The tile-contraction sampler must reproduce sample_image exactly-to-f32 on
+smooth upsampling maps, including the quirky semantics: mirror tap
+extension at the image edge, NaN infection by ANY of the stencil taps
+(even zero-weight ones), and cval for NaN/out-of-range coordinates.
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from euispice_coreg_tpu.core import resample
+
+
+def make_map(h_src, w_src, H, W, rot_deg=0.4, seed=0):
+    """Smooth upsampling map covering most of the source, slight rotation +
+    quadratic distortion (like a WCS warp)."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.meshgrid(np.arange(H, dtype=np.float64),
+                         np.arange(W, dtype=np.float64), indexing="ij")
+    sx = (w_src - 4.0) / W
+    sy = (h_src - 4.0) / H
+    th = np.deg2rad(rot_deg)
+    u = 1.5 + sx * (np.cos(th) * xx - np.sin(th) * yy)
+    v = 1.5 + sy * (np.sin(th) * xx + np.cos(th) * yy)
+    u = u + 1e-6 * (xx - W / 2) ** 2 / W + rng.normal() * 0.1
+    v = v + 1e-6 * (yy - H / 2) ** 2 / H
+    return u, v
+
+
+def src_image(h, w, seed=1, with_nans=True):
+    rng = np.random.default_rng(seed)
+    img = rng.normal(size=(h, w)).astype(np.float32) * 3 + 50
+    if with_nans:
+        img[5:7, 10:13] = np.nan
+        img[0, 0] = np.nan
+    return img
+
+
+@pytest.mark.parametrize("order", [0, 1, 2, 3])
+def test_upsample_matches_gather(order):
+    img = src_image(40, 52)
+    u, v = make_map(40, 52, 300, 280)
+    want = np.asarray(resample.sample_image(img, u, v, order=order))
+    got = resample.sample_image_upsample(img, u, v, order=order, tile=128)
+    assert got is not None
+    got = np.asarray(got)
+    assert np.array_equal(np.isnan(got), np.isnan(want))
+    np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-5)
+
+
+def test_upsample_edge_coords_and_mirror():
+    """Coordinates pinned to the exact image border exercise the mirrored
+    taps (tap -1 -> 1, tap n -> n-2)."""
+    img = src_image(16, 16, with_nans=False)
+    H = W = 96
+    u = np.linspace(0.0, 15.0, W)[None, :].repeat(H, axis=0)
+    v = np.linspace(0.0, 15.0, H)[:, None].repeat(W, axis=1)
+    want = np.asarray(resample.sample_image(img, u, v, order=2))
+    got = resample.sample_image_upsample(img, u, v, order=2, tile=32)
+    assert got is not None
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-6, atol=2e-5)
+
+
+def test_upsample_invalid_and_all_nan_tiles():
+    """Out-of-range and NaN coordinates give cval; tiles whose coords are
+    all invalid must not poison neighbours."""
+    img = src_image(30, 30, with_nans=False)
+    u, v = make_map(30, 30, 128, 128)
+    u[:40, :40] = np.nan                      # all-invalid tile region
+    v[50:60, 50:55] = -7.0                    # out of range
+    u[0, -1] = 40.0                           # beyond w-1
+    want = np.asarray(resample.sample_image(img, u, v, order=2))
+    got = resample.sample_image_upsample(img, u, v, order=2, tile=32)
+    assert got is not None
+    got = np.asarray(got)
+    assert np.array_equal(np.isnan(got), np.isnan(want))
+    np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-5)
+
+
+def test_upsample_nan_infection_matches_gather():
+    """A NaN source pixel infects every output whose 3x3 stencil touches
+    it — including taps whose weight is zero — exactly like the gather
+    sampler."""
+    img = src_image(24, 24, with_nans=False)
+    img[12, 12] = np.nan
+    H = W = 240
+    u = np.linspace(1.0, 22.5, W)[None, :].repeat(H, axis=0)
+    v = np.linspace(1.0, 22.5, H)[:, None].repeat(W, axis=1)
+    want = np.asarray(resample.sample_image(img, u, v, order=2))
+    got = resample.sample_image_upsample(img, u, v, order=2, tile=64)
+    assert got is not None
+    got = np.asarray(got)
+    assert np.array_equal(np.isnan(got), np.isnan(want))
+
+
+def test_upsample_gate_rejects_downsampling():
+    """A map whose tiles span a large source window (downsampling) must
+    return None (fallback to the gather path)."""
+    img = src_image(400, 400, with_nans=False)
+    H = W = 64
+    u = np.linspace(0, 399, W)[None, :].repeat(H, axis=0)
+    v = np.linspace(0, 399, H)[:, None].repeat(W, axis=1)
+    got = resample.sample_image_upsample(img, u, v, order=2, tile=32,
+                                         max_patch=48)
+    assert got is None
+
+
+def test_auto_routes_near_identity_to_select():
+    """Same-shape map within a few px of identity must take the select
+    sampler and match the gather sampler exactly."""
+    h = w = 160
+    img = src_image(h, w)
+    rng = np.random.default_rng(3)
+    yy, xx = np.meshgrid(np.arange(h, dtype=np.float64),
+                         np.arange(w, dtype=np.float64), indexing="ij")
+    th = np.deg2rad(0.05)
+    u = np.cos(th) * (xx - w / 2) - np.sin(th) * (yy - h / 2) + w / 2 + 1.3
+    v = np.sin(th) * (xx - w / 2) + np.cos(th) * (yy - h / 2) + h / 2 - 0.8
+    want = np.asarray(resample.sample_image(img, u, v, order=2))
+    called = []
+    orig = resample._select_sample_jit
+
+    def spy(*a, **k):
+        called.append(True)
+        return orig(*a, **k)
+
+    resample._select_sample_jit = spy
+    try:
+        got = np.asarray(resample.sample_image_auto(img, u, v, order=2,
+                                                    tile=64))
+    finally:
+        resample._select_sample_jit = orig
+    assert called, "near-identity map did not take the select route"
+    assert np.array_equal(np.isnan(got), np.isnan(want))
+    np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-5)
+
+
+def test_auto_routes_upsampling_to_tiles():
+    img = src_image(40, 52)
+    u, v = make_map(40, 52, 300, 280)
+    want = np.asarray(resample.sample_image(img, u, v, order=2))
+    called = []
+    orig = resample._upsample_eval
+
+    def spy(*a, **k):
+        called.append(True)
+        return orig(*a, **k)
+
+    resample._upsample_eval = spy
+    try:
+        got = np.asarray(resample.sample_image_auto(img, u, v, order=2,
+                                                    tile=128))
+    finally:
+        resample._upsample_eval = orig
+    assert called, "oversampling map did not take the tile route"
+    assert np.array_equal(np.isnan(got), np.isnan(want))
+    np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-5)
+
+
+def test_auto_falls_back_to_gather():
+    """Downsampling, non-identity map: neither fast route applies."""
+    img = src_image(400, 400, with_nans=False)
+    H = W = 64
+    u = np.linspace(0, 399, W)[None, :].repeat(H, axis=0)
+    v = np.linspace(0, 399, H)[:, None].repeat(W, axis=1)
+    want = np.asarray(resample.sample_image(img, u, v, order=2))
+    got = np.asarray(resample.sample_image_auto(img, u, v, order=2,
+                                                tile=32, max_patch=48))
+    np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-5)
+
+
+def test_upsample_non_divisible_shapes():
+    img = src_image(33, 47)
+    u, v = make_map(33, 47, 190, 170)
+    want = np.asarray(resample.sample_image(img, u, v, order=2))
+    got = resample.sample_image_upsample(img, u, v, order=2, tile=64)
+    assert got is not None
+    got = np.asarray(got)
+    assert got.shape == want.shape
+    assert np.array_equal(np.isnan(got), np.isnan(want))
+    np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-5)
