@@ -125,8 +125,27 @@ def rfft2(x, m: int):
     pad = [(0, 0)] * (x.ndim - 2) + [(0, m - h), (0, m - w)]
     xp = jnp.pad(x.astype(jnp.float32), pad)
     X1 = _dft_last_real(xp, m)[..., : m // 2 + 1]   # (..., m, K) over kx
-    X2 = _dft_last(jnp.swapaxes(X1, -1, -2), m, inverse=False)
-    return jnp.swapaxes(X2, -1, -2)
+    return _dft_axis2(X1, m)                        # y stage transpose-free
+
+
+def _dft_axis2(x, m: int):
+    """Length-m DFT along axis -2 of a complex array (..., m, K), WITHOUT
+    transposing: both Cooley-Tukey stages contract the split second-to-last
+    axis directly (dot_general handles the non-minor contraction on the
+    MXU), and the (s, r) output axes land adjacent so the final flat
+    reshape k = m1*s + r is free.  Two explicit (..., m, K) swapaxes cost
+    ~1.7 GB of relayout traffic per tile at engine scale."""
+    m1, m2, F1, tw, F2 = _plan(m)
+    F1_ = jnp.asarray(F1)
+    F2_ = jnp.asarray(F2)
+    tw_ = jnp.asarray(tw)
+    lead = x.shape[:-2]
+    K = x.shape[-1]
+    xr = x.reshape(lead + (m1, m2, K))                  # y = m2 p + q
+    a = jnp.einsum("rp,...pqk->...rqk", F1_, xr, precision=_HI)
+    b = a * tw_[:, :, None]
+    c = jnp.einsum("sq,...rqk->...srk", F2_, b, precision=_HI)
+    return c.reshape(lead + (m, K))                     # ky = m1 s + r
 
 
 @partial(jax.jit, static_argnames=("my", "mx"))
@@ -136,13 +155,13 @@ def rfft2_rect(x, my: int, mx: int):
 
     Rectangular sizes matter for correlation boxes whose spans differ per
     axis (engine/tile_fft.py): the y-axis transform cost scales with my, so
-    my < mx saves MXU work the square :func:`rfft2` would spend on padding."""
+    my < mx saves MXU work the square :func:`rfft2` would spend on padding.
+    The y stage runs transpose-free (:func:`_dft_axis2`)."""
     h, w = x.shape[-2], x.shape[-1]
     pad = [(0, 0)] * (x.ndim - 2) + [(0, my - h), (0, mx - w)]
     xp = jnp.pad(x.astype(jnp.float32), pad)
     X1 = _dft_last_real(xp, mx)[..., : mx // 2 + 1]   # (..., my, K) over kx
-    X2 = _dft_last(jnp.swapaxes(X1, -1, -2), my, inverse=False)
-    return jnp.swapaxes(X2, -1, -2)
+    return _dft_axis2(X1, my)
 
 
 def _full_from_half(Xh, m: int):
