@@ -102,6 +102,69 @@ def sample_image(image, x, y, order: int = 2, cval=jnp.nan):
     return jnp.where(invalid, cval, acc)
 
 
+def sample_image_np(image, x, y, order: int = 2, cval=np.nan):
+    """Host-numpy twin of :func:`sample_image` (same taps, mirror extension,
+    NaN/out-of-range rules — the formulas are shared).
+
+    For small point counts the device path is absurd on a tunneled TPU: a
+    4 MB image upload to sample a few thousand slit coordinates costs
+    ~100 ms of transfer for microseconds of host work (synras raster
+    columns, SPICE context rasters).  Callers route by size
+    (engine/lag_search.resample_to_grid)."""
+    image = np.asarray(image)
+    h, w = image.shape
+    flat = image.ravel()
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    invalid = (np.isnan(x) | np.isnan(y)
+               | (x < 0) | (x > w - 1) | (y < 0) | (y > h - 1))
+    xs = np.where(invalid, 0.0, x)
+    ys = np.where(invalid, 0.0, y)
+
+    def taps_np(c):
+        if order == 0:
+            return [np.floor(c + 0.5).astype(np.int64)], [np.ones_like(c)]
+        if order == 1:
+            k = np.floor(c)
+            t = c - k
+            k = k.astype(np.int64)
+            return [k, k + 1], [1.0 - t, t]
+        if order == 2:
+            k = np.floor(c + 0.5)
+            t = c - k
+            k = k.astype(np.int64)
+            return [k - 1, k, k + 1], [0.5 * (0.5 - t) ** 2, 0.75 - t * t,
+                                       0.5 * (0.5 + t) ** 2]
+        if order == 3:
+            k = np.floor(c)
+            t = c - k
+            k = k.astype(np.int64)
+            t2, t3 = t * t, t * t * t
+            return [k - 1, k, k + 1, k + 2], [
+                (1.0 - 3.0 * t + 3.0 * t2 - t3) / 6.0,
+                (4.0 - 6.0 * t2 + 3.0 * t3) / 6.0,
+                (1.0 + 3.0 * t + 3.0 * t2 - 3.0 * t3) / 6.0,
+                t3 / 6.0]
+        raise NotImplementedError(f"spline order {order} not supported")
+
+    def mirror_np(idx, n):
+        if n == 1:
+            return np.zeros_like(idx)
+        period = 2 * n - 2
+        idx = np.abs(idx) % period
+        return np.where(idx >= n, period - idx, idx)
+
+    tx, wx = taps_np(xs)
+    ty, wy = taps_np(ys)
+    acc = np.zeros(np.broadcast_shapes(x.shape, y.shape), dtype=image.dtype)
+    for iy, wyi in zip(ty, wy):
+        iym = mirror_np(iy, h)
+        for ix, wxi in zip(tx, wx):
+            ixm = mirror_np(ix, w)
+            acc = acc + (wyi * wxi) * flat[iym * w + ixm]
+    return np.where(invalid, cval, acc)
+
+
 def _mirror(idx, n):
     """Mirror an (possibly out-of-range) tap index about the edge pixels,
     scipy 'mirror' convention (period 2n-2, edge not repeated)."""

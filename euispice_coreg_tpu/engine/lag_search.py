@@ -522,11 +522,19 @@ def resample_to_grid(image, x, y, order=2, compute_dtype=jnp.float32):
 
     Routes through the gather-free select sampler when the coordinate field
     is a bounded-residual translation (e.g. same-instrument jitter movies),
-    falling back to the hardware gather otherwise.
+    falling back to the hardware gather otherwise.  Tiny point counts on
+    host-resident images sample on the HOST instead: shipping a multi-MB
+    image through the tunnel to read a few thousand slit coordinates costs
+    ~100 ms of transfer for microseconds of numpy work (synras raster
+    columns, SPICE context rasters).
     """
-    img = jnp.asarray(image, dtype=compute_dtype)
     x = np.asarray(x)
     y = np.asarray(y)
+    if (isinstance(image, np.ndarray) and image.ndim == 2
+            and x.size * 32 < image.size):
+        return resample.sample_image_np(
+            image.astype(np.dtype(compute_dtype)), x, y, order=order)
+    img = jnp.asarray(image, dtype=compute_dtype)
 
     cfg = None
     if (order in (0, 1, 2) and x.ndim == 2

@@ -181,3 +181,20 @@ def test_upsample_non_divisible_shapes():
     assert got.shape == want.shape
     assert np.array_equal(np.isnan(got), np.isnan(want))
     np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-5)
+
+
+@pytest.mark.parametrize("order", [0, 1, 2, 3])
+def test_host_sampler_matches_device(order):
+    """sample_image_np is the host twin used for tiny point counts
+    (synras slit columns): exact semantic parity with sample_image."""
+    img = src_image(40, 52)
+    rng = np.random.default_rng(9)
+    u = rng.uniform(-3, 55, size=(37, 21))
+    v = rng.uniform(-3, 43, size=(37, 21))
+    u[0, 0] = np.nan
+    v[1, 1] = np.nan
+    u[2, :] = np.linspace(0, 51, 21)          # exact edge coords
+    want = np.asarray(resample.sample_image(img, u, v, order=order))
+    got = resample.sample_image_np(img, u, v, order=order)
+    assert np.array_equal(np.isnan(got), np.isnan(want))
+    np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-5)
