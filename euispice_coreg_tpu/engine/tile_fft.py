@@ -274,6 +274,9 @@ def _tiles_surfaces(g_stack, r_pad, o_tab, o_min_g, tile_ids, order,
     Ey = jnp.exp(2j * jnp.pi / my * yy[:, None] * ky[None, :]).astype(cdt)
     Ex = jnp.exp(2j * jnp.pi / mx * kx[:, None] * xx[None, :]).astype(cdt)
     whalf = jnp.where((kx == 0) | ((mx % 2 == 0) & (kx == mx // 2)), 1.0, 2.0)
+    scale = (whalf / (my * mx)).astype(jnp.float32)
+    Exr = jnp.real(Ex) * scale[:, None]
+    Exi = jnp.imag(Ex) * scale[:, None]
 
     span_y = by - 1
     span_x = bx - 1
@@ -303,9 +306,15 @@ def _tiles_surfaces(g_stack, r_pad, o_tab, o_min_g, tile_ids, order,
         r_emb = r_emb.at[:, : T + span_y, : T + span_x].set(r_tile)
 
         if precise:
-            G = precise_fft.rfft2_rect(g_emb, my, mx)
+            # _INV_PRECISION (bf16_3x) for the forward DFTs too: the tile
+            # path's error budget is dominated by the shared pre-warp
+            # interpolation (~1e-3 of peak range), three orders above the
+            # ~1e-5 a HIGH-precision transform carries
+            G = precise_fft.rfft2_rect(g_emb, my, mx,
+                                       precision=_INV_PRECISION)
             R = jnp.concatenate(
-                [precise_fft.rfft2_rect(r_emb[k: k + 8], my, mx)
+                [precise_fft.rfft2_rect(r_emb[k: k + 8], my, mx,
+                                        precision=_INV_PRECISION)
                  for k in range(0, r_emb.shape[0], 8)])
         else:
             G = jnp.fft.rfft2(g_emb, s=(my, mx))
@@ -327,15 +336,15 @@ def _tiles_surfaces(g_stack, r_pad, o_tab, o_min_g, tile_ids, order,
         # smaller (66, by, K) instead of (66, my, bx)), and compute only the
         # REAL part of the final X contraction as two real matmuls — the
         # result is real, and a full complex matmul costs 2x the flops.
-        ZY = jnp.einsum("yk,skx->syx", Ey, prods * whalf[None, None, :],
+        # whalf and the 1/(my*mx) normalization are diagonal in kx, so they
+        # fold into the small Ex matrices (Exr/Exi below) instead of two
+        # full elementwise passes over the (66, my, K) spectrum per tile.
+        ZY = jnp.einsum("yk,skx->syx", Ey, prods,
                         precision=_INV_PRECISION)
-        Exr = jnp.real(Ex)
-        Exi = jnp.imag(Ex)
         S_box = (jnp.einsum("syx,xb->syb", jnp.real(ZY), Exr,
                             precision=_INV_PRECISION)
                  - jnp.einsum("syx,xb->syb", jnp.imag(ZY), Exi,
-                              precision=_INV_PRECISION))
-        S_box = S_box / (my * mx)                    # (66, by, bx)
+                              precision=_INV_PRECISION))           # (66, by, bx)
         return carry, S_box
 
     _, S_stack = jax.lax.scan(one_tile, jnp.int32(0), tile_ids)

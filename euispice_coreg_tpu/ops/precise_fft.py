@@ -62,7 +62,7 @@ def _plan(m: int):
     return m1, m2, F1, tw, F2
 
 
-def _dft_last(x, m: int, inverse: bool):
+def _dft_last(x, m: int, inverse: bool, prec=_HI):
     """Length-m DFT along the last axis of a complex64 array (..., m)."""
     m1, m2, F1, tw, F2 = _plan(m)
     F1 = jnp.asarray(np.conj(F1) if inverse else F1)
@@ -70,9 +70,9 @@ def _dft_last(x, m: int, inverse: bool):
     tw = jnp.asarray(np.conj(tw) if inverse else tw)
     lead = x.shape[:-1]
     xr = x.reshape(lead + (m1, m2))                       # x[p, q] = x[m2 p + q]
-    a = jnp.einsum("rp,...pq->...rq", F1, xr, precision=_HI)
+    a = jnp.einsum("rp,...pq->...rq", F1, xr, precision=prec)
     b = a * tw
-    c = jnp.einsum("sq,...rq->...sr", F2, b, precision=_HI)
+    c = jnp.einsum("sq,...rq->...sr", F2, b, precision=prec)
     out = c.reshape(lead + (m,))                          # flat k = m1 s + r
     if inverse:
         out = out / m
@@ -95,7 +95,7 @@ def fft2(x, m: int):
     return _fft2_core(xp, m, inverse=False)
 
 
-def _dft_last_real(x, m: int):
+def _dft_last_real(x, m: int, prec=_HI):
     """Length-m DFT along the last axis of a REAL array: the first-stage
     matmul splits into two real x real products (half the MXU work of the
     complex x complex form used on already-complex data)."""
@@ -106,10 +106,10 @@ def _dft_last_real(x, m: int):
     F2_ = jnp.asarray(F2)
     lead = x.shape[:-1]
     xr = x.reshape(lead + (m1, m2))
-    ar = jnp.einsum("rp,...pq->...rq", F1r, xr, precision=_HI)
-    ai = jnp.einsum("rp,...pq->...rq", F1i, xr, precision=_HI)
+    ar = jnp.einsum("rp,...pq->...rq", F1r, xr, precision=prec)
+    ai = jnp.einsum("rp,...pq->...rq", F1i, xr, precision=prec)
     b = (ar + 1j * ai).astype(jnp.complex64) * tw_
-    c = jnp.einsum("sq,...rq->...sr", F2_, b, precision=_HI)
+    c = jnp.einsum("sq,...rq->...sr", F2_, b, precision=prec)
     return c.reshape(lead + (m,))
 
 
@@ -128,7 +128,7 @@ def rfft2(x, m: int):
     return _dft_axis2(X1, m)                        # y stage transpose-free
 
 
-def _dft_axis2(x, m: int):
+def _dft_axis2(x, m: int, prec=_HI):
     """Length-m DFT along axis -2 of a complex array (..., m, K), WITHOUT
     transposing: both Cooley-Tukey stages contract the split second-to-last
     axis directly (dot_general handles the non-minor contraction on the
@@ -142,26 +142,30 @@ def _dft_axis2(x, m: int):
     lead = x.shape[:-2]
     K = x.shape[-1]
     xr = x.reshape(lead + (m1, m2, K))                  # y = m2 p + q
-    a = jnp.einsum("rp,...pqk->...rqk", F1_, xr, precision=_HI)
+    a = jnp.einsum("rp,...pqk->...rqk", F1_, xr, precision=prec)
     b = a * tw_[:, :, None]
-    c = jnp.einsum("sq,...rqk->...srk", F2_, b, precision=_HI)
+    c = jnp.einsum("sq,...rqk->...srk", F2_, b, precision=prec)
     return c.reshape(lead + (m, K))                     # ky = m1 s + r
 
 
-@partial(jax.jit, static_argnames=("my", "mx"))
-def rfft2_rect(x, my: int, mx: int):
+@partial(jax.jit, static_argnames=("my", "mx", "precision"))
+def rfft2_rect(x, my: int, mx: int, precision=_HI):
     """Real-input 2-D DFT with independent axis sizes, half-spectrum layout
     (..., my, mx//2 + 1) — drop-in for ``jnp.fft.rfft2(x, s=(my, mx))``.
 
     Rectangular sizes matter for correlation boxes whose spans differ per
     axis (engine/tile_fft.py): the y-axis transform cost scales with my, so
     my < mx saves MXU work the square :func:`rfft2` would spend on padding.
-    The y stage runs transpose-free (:func:`_dft_axis2`)."""
+    The y stage runs transpose-free (:func:`_dft_axis2`).  ``precision``
+    selects the MXU pass count: HIGHEST (default, ~3e-6 relative — needed
+    where peak ordering rides 1e-6 margins, see fast_corr) or HIGH
+    (bf16_3x, ~1e-5 — enough for consumers whose error budget is dominated
+    elsewhere, e.g. tile_fft's pre-warp interpolation)."""
     h, w = x.shape[-2], x.shape[-1]
     pad = [(0, 0)] * (x.ndim - 2) + [(0, my - h), (0, mx - w)]
     xp = jnp.pad(x.astype(jnp.float32), pad)
-    X1 = _dft_last_real(xp, mx)[..., : mx // 2 + 1]   # (..., my, K) over kx
-    return _dft_axis2(X1, my)
+    X1 = _dft_last_real(xp, mx, prec=precision)[..., : mx // 2 + 1]
+    return _dft_axis2(X1, my, prec=precision)
 
 
 def _full_from_half(Xh, m: int):
