@@ -352,8 +352,11 @@ def _upsample_eval(image, x, y, starts, cval, *, order, th, tw, n_ty, n_tx,
         An = jnp.einsum("pj,ij->pi", Ix, pnan.astype(dt))
         hit_nan = jnp.sum(An * Iy, axis=-1) > 0.5
 
-        out_t = jnp.where(inv_t | hit_nan.reshape(th, tw),
-                          cval, val.reshape(th, tw))
+        # NaN-touched stencils propagate NaN (like the gather's w*NaN
+        # arithmetic); cval applies ONLY to invalid coordinates
+        out_t = jnp.where(hit_nan.reshape(th, tw), jnp.nan,
+                          val.reshape(th, tw))
+        out_t = jnp.where(inv_t, cval, out_t)
         return carry, out_t
 
     _, tiles = jax.lax.scan(one_tile, jnp.int32(0),
@@ -449,9 +452,10 @@ def _gather_sample_jit(image, x, y, cval, order):
 
 
 @partial(jax.jit, static_argnames=("order", "m", "pad", "h", "w"))
-def _select_sample_jit(padded, x, y, order, m, pad, h, w):
+def _select_sample_jit(padded, x, y, cval, order, m, pad, h, w):
     return sample_image_select(padded, x, y, order, 0, 0,
-                               residual_bound=m, pad=pad, h=h, w=w)
+                               residual_bound=m, pad=pad, h=h, w=w,
+                               cval=cval)
 
 
 def sample_image_auto(image, x, y, order: int = 2, cval=jnp.nan,
@@ -511,7 +515,9 @@ def sample_image_auto(image, x, y, order: int = 2, cval=jnp.nan,
         m = max(4, int(-(-int(np.ceil(r + 1e-6)) // 4) * 4))
         pad = m + 2
         padded = _pad_reflect_jit(image, pad)
-        return _select_sample_jit(padded, x, y, order, m, pad, h, w)
+        return _select_sample_jit(padded, x, y,
+                                  jnp.asarray(cval, image.dtype),
+                                  order, m, pad, h, w)
 
     up = _upsample_from_bbox(image, xp_, yp_, bbox, order, cval,
                              th, tw, n_ty, n_tx, H, W, max_patch)
@@ -539,8 +545,30 @@ def _upsample_from_bbox(image, xp_, yp_, bbox, order, cval, th, tw,
     x1p = np.clip(np.where(empty, 0.0, kxmax), None, w - 1)
     y0p = np.clip(np.where(empty, 0.0, kymin), 0, None)
     y1p = np.clip(np.where(empty, 0.0, kymax), None, h - 1)
+    # taps that stick out past the image edge MIRROR back inside
+    # (tap -j -> j, tap (n-1)+j -> (n-1)-j): the patch must cover the
+    # mirrored positions too, or the tap-presence masks (and hence the
+    # any-tap NaN infection) silently miss them at exact-border coords
+    with np.errstate(invalid="ignore"):
+        x1p = np.maximum(x1p, np.where(kxmin < 0,
+                                       np.minimum(-kxmin, w - 1), 0.0))
+        x0p = np.minimum(x0p, np.where(kxmax > w - 1,
+                                       np.maximum(2 * (w - 1) - kxmax, 0.0),
+                                       w - 1.0))
+        y1p = np.maximum(y1p, np.where(kymin < 0,
+                                       np.minimum(-kymin, h - 1), 0.0))
+        y0p = np.minimum(y0p, np.where(kymax > h - 1,
+                                       np.maximum(2 * (h - 1) - kymax, 0.0),
+                                       h - 1.0))
+    x0p = np.where(empty, 0.0, x0p)
+    y0p = np.where(empty, 0.0, y0p)
+    # quantize the static patch size so nearby warps (per-combo pre-warps
+    # whose bbox shifts by a pixel or two) reuse one compiled program —
+    # remote TPU compiles are minutes and flaky (CLAUDE.md)
     Px = int(max(np.max(x1p - x0p) + 1, 1))
     Py = int(max(np.max(y1p - y0p) + 1, 1))
+    Px = min(-(-Px // 8) * 8, w)
+    Py = min(-(-Py // 8) * 8, h)
     if Px > min(max_patch, w) or Py > min(max_patch, h):
         return None
     starts = np.stack([np.clip(y0p, 0, h - Py),

@@ -237,8 +237,7 @@ _INV_PRECISION = jax.lax.Precision.HIGH
 
 
 def _tiles_sum(g_stack, r_pad, coeffs_d, o_tab, o_min_g, tile_ids, order,
-               score, T, n_ty, n_tx, my, mx, by, bx, precise,
-               vary_axis=None):
+               score, T, n_ty, n_tx, my, mx, by, bx, precise):
     """Two stages.  Stage 1 scans ``tile_ids``: per tile build the 58
     surface FFTs and evaluate the 66 correlation surfaces on the tile's own
     offset box (anchor ``o_tab[t]``, static size (by, bx)) with two partial
@@ -252,7 +251,7 @@ def _tiles_sum(g_stack, r_pad, coeffs_d, o_tab, o_min_g, tile_ids, order,
     S_stack = _tiles_surfaces(g_stack, r_pad, o_tab, o_min_g, tile_ids,
                               order, score, T, n_ty, n_tx, my, mx, by, bx,
                               precise)
-    return _combine_lags(S_stack, coeffs_d, o_tab, tile_ids, order, score,
+    return _combine_lags(S_stack, coeffs_d, o_tab, tile_ids, order,
                          T, n_tx, n_ty * n_tx, by, bx, g_stack.dtype)
 
 
@@ -351,7 +350,7 @@ def _tiles_surfaces(g_stack, r_pad, o_tab, o_min_g, tile_ids, order,
     return S_stack
 
 
-def _combine_lags(S_stack, coeffs_d, o_tab, tile_ids, order, score,
+def _combine_lags(S_stack, coeffs_d, o_tab, tile_ids, order,
                   T, n_tx, n_real, by, bx, dt):
     """Batched per-lag readout + fractional-tap weighting over all tiles.
 
@@ -436,8 +435,7 @@ def _sharded_tiles_fn(mesh, order, score, T, n_ty, n_tx, my, mx, by, bx,
 
     def local(tile_ids, g, r, cf, otab, omg):
         s = _tiles_sum(g, r, cf, otab, omg, tile_ids, order, score,
-                       T, n_ty, n_tx, my, mx, by, bx, precise,
-                       vary_axis="lags")
+                       T, n_ty, n_tx, my, mx, by, bx, precise)
         return jax.lax.psum(s, "lags")
 
     return jax.jit(shard_map(
@@ -518,7 +516,10 @@ def evaluate_select_tile_fft(coeffs, warped, ref_img, *, order, h, w,
     o_min_t = np.minimum(o_min_t, o_max - np.array([bx - 1, by - 1]))
     my = _round128(T + by - 1)
     mx = _round128(T + bx - 1)
-    if max(by, bx) - 1 > 2 * max(hp, wp):
+    # the GLOBAL union sizes the padded r frame (Htot, Wtot below): guard it,
+    # not just the per-tile spans — strong cross-tile displacement gradients
+    # would otherwise allocate an unbounded r_pad on device
+    if int((o_max - o_min).max()) > 2 * max(hp, wp):
         return None  # offsets far beyond the image extent: not worth it
 
     score = "pearson" if method == "correlation" else "residus"

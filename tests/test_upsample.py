@@ -198,3 +198,56 @@ def test_host_sampler_matches_device(order):
     got = resample.sample_image_np(img, u, v, order=order)
     assert np.array_equal(np.isnan(got), np.isnan(want))
     np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-5)
+
+
+@pytest.mark.parametrize("order", [1, 3])
+def test_upsample_border_mirror_nan_infection(order):
+    """Odd-order taps at exact-border coordinates mirror OUTSIDE the naive
+    patch (tap n -> n-2, tap n+1 -> n-3): a NaN there must still infect the
+    output exactly like the gather sampler (regression: the patch bounds
+    were computed from unmirrored tap indices)."""
+    w = h = 16
+    img = src_image(h, w, with_nans=False)
+    img[:, w - 3] = np.nan
+    img[h - 3, :] = np.nan
+    H = W = 64
+    u = np.full((H, W), float(w - 1))
+    v = np.full((H, W), float(h - 1))
+    want = np.asarray(resample.sample_image(img, u, v, order=order))
+    got = resample.sample_image_upsample(img, u, v, order=order, tile=32)
+    assert got is not None
+    got = np.asarray(got)
+    assert np.array_equal(np.isnan(got), np.isnan(want))
+
+
+def test_auto_and_upsample_honor_cval():
+    """Non-NaN cval: invalid coords give cval on every route, while
+    NaN-infected stencils still propagate NaN (not cval), matching
+    sample_image."""
+    # upsample route
+    img = src_image(40, 52)                    # has interior NaNs
+    u, v = make_map(40, 52, 300, 280)
+    u[0, :5] = np.nan                          # invalid coords
+    want = np.asarray(resample.sample_image(img, u, v, order=2, cval=-99.0))
+    got = resample.sample_image_upsample(img, u, v, order=2, cval=-99.0,
+                                         tile=128)
+    assert got is not None
+    got = np.asarray(got)
+    assert np.array_equal(got == -99.0, want == -99.0)
+    assert np.array_equal(np.isnan(got), np.isnan(want))
+    np.testing.assert_allclose(got[np.isfinite(want)],
+                               want[np.isfinite(want)], rtol=2e-6, atol=2e-5)
+
+    # select route (near-identity map)
+    h = w = 96
+    img2 = src_image(h, w, with_nans=False)
+    yy, xx = np.meshgrid(np.arange(h, dtype=np.float64),
+                         np.arange(w, dtype=np.float64), indexing="ij")
+    u2 = xx + 1.7
+    v2 = yy - 0.4
+    want2 = np.asarray(resample.sample_image(img2, u2, v2, order=2,
+                                             cval=-7.0))
+    got2 = np.asarray(resample.sample_image_auto(img2, u2, v2, order=2,
+                                                 cval=-7.0, tile=48))
+    assert np.array_equal(got2 == -7.0, want2 == -7.0)
+    np.testing.assert_allclose(got2, want2, rtol=2e-6, atol=2e-5)
