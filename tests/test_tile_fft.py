@@ -253,9 +253,14 @@ def test_per_tile_boxes_match_global_box():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
-def test_tile_fft_sharded_matches_single_device(cfg):
+def test_tile_fft_sharded_matches_single_device():
     """Tile axis sharded over a NON-default-device mesh: one psum combines
-    the per-device partial sums; values must match the unsharded run."""
+    the per-device partial sums; values must match the unsharded run.
+
+    Uses a dedicated SMALL config (128^2, 5x5 lags): the sharded parity
+    logic (tile padding to the device count, per-device scan, psum,
+    explicit mesh placement) is shape-independent, and the module cfg costs
+    ~200 s through the float64 matmul-DFTs on the 1-CPU host."""
     import jax
     from jax.sharding import Mesh
 
@@ -264,7 +269,8 @@ def test_tile_fft_sharded_matches_single_device(cfg):
         pytest.skip("needs >= 5 virtual devices")
     mesh = Mesh(np.array(devs[1:5]), axis_names=("lags",))
 
-    hdr, small, ref, lonlims, latlims, shape, l1 = cfg
+    hdr, small, ref, lonlims, latlims, shape, l1 = bench_like_config(
+        n=128, grid=5)
     ref_out = carr.evaluate_lag_grid_carrington(
         small, ref, hdr, lonlims, latlims, shape,
         l1, l1, [0.0], [0.0], [0.0],
