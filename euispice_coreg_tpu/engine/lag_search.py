@@ -125,7 +125,8 @@ def _sharded_evaluator(mesh, order, method, kind, batch_size):
     return jax.jit(sharded)
 
 
-def run_chunked(fn, per_lag_arrays, n_lags, chunk_size, label="lag chunks"):
+def run_chunked(fn, per_lag_arrays, n_lags, chunk_size, label="lag chunks",
+                retries: int = 2, backoff_s: float = 5.0):
     """Evaluate a per-lag device function in bounded host-side chunks.
 
     One giant ``lax.map`` program over >10k lags can run for minutes, which
@@ -137,8 +138,21 @@ def run_chunked(fn, per_lag_arrays, n_lags, chunk_size, label="lag chunks"):
     Dispatch is pipelined one chunk ahead: chunk k+1's operands are shipped
     and its program enqueued before blocking on chunk k's result, so the
     (slow, ~20-100 MB/s tunnel) uploads overlap device compute.
-    """
-    from ..utils.obs import Progress
+
+    Transient worker failures (the async dispatch surfaces them at
+    materialization) re-enqueue ONLY the failed chunk — completed chunks are
+    already host-side.  Persistent errors propagate to the caller (the
+    public API adds a whole-call retry that also re-uploads operands,
+    hdrshift/alignment.py)."""
+    import time as _time
+
+    from jax.errors import JaxRuntimeError
+
+    from ..utils.jaxcfg import is_transient_runtime_error, with_retries
+    from ..utils.obs import Progress, logger
+
+    # enqueue-time transient errors (rare: most surface at materialization)
+    dispatch = with_retries(fn, retries=retries, backoff_s=backoff_s)
 
     def slice_args(s):
         e = min(s + chunk_size, n_lags)
@@ -154,19 +168,34 @@ def run_chunked(fn, per_lag_arrays, n_lags, chunk_size, label="lag chunks"):
             args.append(part if xp is jnp else jnp.asarray(part))
         return e - s, args
 
+    def materialize(length, args, result):
+        for attempt in range(retries + 1):
+            try:
+                return np.asarray(result)[:length]
+            except JaxRuntimeError as exc:
+                if (not is_transient_runtime_error(str(exc))
+                        or attempt == retries):
+                    raise
+                logger.warning(
+                    "transient failure on a lag chunk (attempt %d/%d): %s",
+                    attempt + 1, retries, str(exc).splitlines()[0])
+                _time.sleep(backoff_s)
+                result = dispatch(*args)  # re-enqueue just this chunk
+        raise AssertionError("unreachable")
+
     outs = []
     prog = Progress(total=n_lags, label=label,
                     enabled=n_lags > chunk_size)
     starts = list(range(0, n_lags, chunk_size))
-    pending = None  # (length, async device result)
+    pending = None  # (length, chunk args, async device result)
     for i, s in enumerate(starts):
         length, args = slice_args(s)
-        result = fn(*args)  # enqueues; does not block
+        result = dispatch(*args)  # enqueues; does not block
         if pending is not None:
-            outs.append(np.asarray(pending[1])[: pending[0]])
+            outs.append(materialize(*pending))
             prog.step(pending[0])
-        pending = (length, result)
-    outs.append(np.asarray(pending[1])[: pending[0]])
+        pending = (length, args, result)
+    outs.append(materialize(*pending))
     prog.step(pending[0])
     return np.concatenate(outs)
 

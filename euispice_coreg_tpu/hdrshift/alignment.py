@@ -300,7 +300,8 @@ class Alignment:
         if np.all(np.isnan(self.data_small)):
             raise ValueError("minimum or maximum value have set all small FOV to nan")
 
-        corr = self._run_projected_search(wrap=True)
+        corr = self._with_engine_retries(
+            lambda: self._run_projected_search(wrap=True))
         if return_type == "corr":
             return corr
         return self._make_results(corr)
@@ -317,10 +318,26 @@ class Alignment:
         self._apply_thresholds()
         if np.all(np.isnan(self.data_small)):
             raise ValueError("minimum or maximum value have set all small FOV to nan")
-        corr = self._run_projected_search(wrap=False)
+        corr = self._with_engine_retries(
+            lambda: self._run_projected_search(wrap=False))
         if return_type == "corr":
             return corr
         return self._make_results(corr)
+
+    def _with_engine_retries(self, fn):
+        """Whole-search failure recovery (SURVEY.md section 5): a transient
+        TPU runtime error (worker crash/restart, tunnel drop) re-runs the
+        search body after clearing the device-array cache — buffers that
+        died with the worker must be re-uploaded, and every search body
+        re-fetches its operands through ``_small_dev``/``_large_dev``.
+        Chunk-level retries inside ``lag_search.run_chunked`` recover the
+        cheap cases first; this is the outer net.  Persistent errors
+        (version mismatch, OOM) propagate immediately
+        (``utils.jaxcfg.is_transient_runtime_error``)."""
+        from ..utils import devcache
+        from ..utils.jaxcfg import with_retries
+
+        return with_retries(fn, on_retry=devcache.clear)()
 
     def _run_projected_search(self, wrap: bool):
         """Shared helioprojective / initial-carrington search body."""
@@ -525,7 +542,7 @@ class Alignment:
             raise ValueError("minimum or maximum value have set all small FOV to nan")
 
         if method_carrington_reprojection == "sunpy":
-            corr = self._run_solar_surface_search()
+            corr = self._with_engine_retries(self._run_solar_surface_search)
             if return_type == "corr":
                 return corr
             return self._make_results(corr)
@@ -561,6 +578,15 @@ class Alignment:
         wave = self.hdr_large.get("WAVELNTH")
         rate_wave = self.rat_wave.get(str(int(wave))) if wave is not None else None
 
+        corr = self._with_engine_retries(
+            lambda: self._run_carrington_fa_search(rate_wave))
+        if return_type == "corr":
+            return corr
+        return self._make_results(corr)
+
+    def _run_carrington_fa_search(self, rate_wave):
+        """Carrington explicit-grid search body (one reprojection + lag
+        search per ``lag_solar_r``; alignment.py:144-261)."""
         l1, l2, l3, l4, l5 = self._lags_deg(wrap=True)
         corr_parts = []
         for d_solar_r in self.lag_solar_r:
@@ -596,7 +622,4 @@ class Alignment:
                     lag_mode=self.lag_search_mode,
                 )
             corr_parts.append(corr5)
-        corr = np.stack(corr_parts, axis=-1)
-        if return_type == "corr":
-            return corr
-        return self._make_results(corr)
+        return np.stack(corr_parts, axis=-1)

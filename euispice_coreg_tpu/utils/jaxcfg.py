@@ -59,7 +59,8 @@ def is_transient_runtime_error(msg: str) -> bool:
     return any(t in m for t in _TRANSIENT_MARKERS)
 
 
-def with_retries(fn, retries: int = 2, backoff_s: float = 5.0):
+def with_retries(fn, retries: int = 2, backoff_s: float = 5.0,
+                 on_retry=None):
     """Failure-detection wrapper for flaky accelerator runtimes.
 
     Some TPU deployments surface transient worker crashes/restarts as
@@ -67,6 +68,10 @@ def with_retries(fn, retries: int = 2, backoff_s: float = 5.0):
     callable after a short backoff — the persistent compile cache makes the
     retry cheap.  The reference has no failure handling at all (a dead worker
     hangs its process pool, SURVEY.md section 5).
+
+    ``on_retry``: optional zero-arg callback invoked before each retry —
+    e.g. ``utils.devcache.clear`` so a re-run re-uploads operands whose
+    device buffers died with the crashed worker.
     """
     import functools
     import time
@@ -90,6 +95,8 @@ def with_retries(fn, retries: int = 2, backoff_s: float = 5.0):
                     "transient TPU runtime error (attempt %d/%d): %s",
                     attempt + 1, retries, msg.splitlines()[0])
                 time.sleep(backoff_s)
+                if on_retry is not None:
+                    on_retry()
         raise last  # unreachable
 
     return wrapped
