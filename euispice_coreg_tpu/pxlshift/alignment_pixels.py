@@ -61,14 +61,18 @@ class AlignmentPixels:
                 self._check_boundaries(slc, self.data_large.shape)
 
         # embed the small image in large-frame coordinates; NaN elsewhere
+        from ..utils.jaxcfg import with_retries
+
         corr = np.zeros((len(lag_dx), len(lag_dy), len(lag_drot)))
         for kk, drot in enumerate(lag_drot):
             small_rot = self._rotate_small(float(drot), unit_rot)
             canvas = np.full(self.data_large.shape, np.nan)
             canvas[self.slc_small_ref] = small_rot
-            corr[:, :, kk] = fast_corr.pearson_integer_shifts(
-                canvas, self.data_large, lag_dx, lag_dy,
-            )
+            # operands are host-side, so a transient-TPU retry re-uploads
+            # everything it needs (same recovery as hdrshift/alignment.py)
+            corr[:, :, kk] = np.asarray(with_retries(
+                fast_corr.pearson_integer_shifts)(
+                    canvas, self.data_large, lag_dx, lag_dy))
         return corr
 
     def _rotate_small(self, drot: float, unit_rot: str):
