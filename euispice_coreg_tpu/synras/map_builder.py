@@ -144,7 +144,11 @@ class ComposedMapBuilder(MapBuilder):
                 p.as_dict(), lon_spice[:, cols], lat_spice[:, cols],
                 kind=p.kind, xp=np,
             )
-            sampled = lag_search.resample_to_grid(data_imager, x_im, y_im, order=2)
+            # host operands: a transient-TPU retry re-uploads what it needs
+            from ..utils.jaxcfg import with_retries
+
+            sampled = np.asarray(with_retries(lag_search.resample_to_grid)(
+                data_imager, x_im, y_im, order=2))
             self.data_composed[:, cols] = sampled
             list_hdr_imagers_used.extend([hdr_imager] * len(cols))
 
