@@ -512,12 +512,13 @@ def sample_image_auto(image, x, y, order: int = 2, cval=jnp.nan,
     if np.isfinite(r) and r <= max_resid:
         # round the residual bound up to a multiple of 4: the select jit is
         # static in m, so nearby lag combos reuse one compiled program
-        m = max(4, int(-(-int(np.ceil(r + 1e-6)) // 4) * 4))
-        pad = m + 2
-        padded = _pad_reflect_jit(image, pad)
-        return _select_sample_jit(padded, x, y,
-                                  jnp.asarray(cval, image.dtype),
-                                  order, m, pad, h, w)
+        if order in (0, 1, 2):  # select sampler's supported orders
+            m = max(4, int(-(-int(np.ceil(r + 1e-6)) // 4) * 4))
+            pad = m + 2
+            padded = _pad_reflect_jit(image, pad)
+            return _select_sample_jit(padded, x, y,
+                                      jnp.asarray(cval, image.dtype),
+                                      order, m, pad, h, w)
 
     up = _upsample_from_bbox(image, xp_, yp_, bbox, order, cval,
                              th, tw, n_ty, n_tx, H, W, max_patch)

@@ -139,16 +139,19 @@ def run_chunked(fn, per_lag_arrays, n_lags, chunk_size, label="lag chunks",
     and its program enqueued before blocking on chunk k's result, so the
     (slow, ~20-100 MB/s tunnel) uploads overlap device compute.
 
-    Transient worker failures (the async dispatch surfaces them at
+    Transient TRANSPORT failures (the async dispatch surfaces them at
     materialization) re-enqueue ONLY the failed chunk — completed chunks are
-    already host-side.  Persistent errors propagate to the caller (the
-    public API adds a whole-call retry that also re-uploads operands,
-    hdrshift/alignment.py)."""
+    already host-side.  A worker RESTART propagates immediately instead:
+    the chunk's operand buffers died with the worker, so re-dispatching
+    them cannot succeed — recovery belongs to the whole-call retry that
+    re-uploads operands (hdrshift/alignment.py).  Persistent errors
+    propagate as well."""
     import time as _time
 
     from jax.errors import JaxRuntimeError
 
-    from ..utils.jaxcfg import is_transient_runtime_error, with_retries
+    from ..utils.jaxcfg import (is_transient_runtime_error,
+                                is_worker_restart, with_retries)
     from ..utils.obs import Progress, logger
 
     # enqueue-time transient errors (rare: most surface at materialization)
@@ -174,6 +177,7 @@ def run_chunked(fn, per_lag_arrays, n_lags, chunk_size, label="lag chunks",
                 return np.asarray(result)[:length]
             except JaxRuntimeError as exc:
                 if (not is_transient_runtime_error(str(exc))
+                        or is_worker_restart(str(exc))
                         or attempt == retries):
                     raise
                 logger.warning(

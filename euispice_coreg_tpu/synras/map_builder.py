@@ -124,7 +124,11 @@ class ComposedMapBuilder(MapBuilder):
         self.data_composed = np.empty((ny, naxis_long), dtype=np.float64)
         list_hdr_imagers_used = []
 
-        # batched sampling: one device resample per distinct imager frame
+        # batched sampling: one device resample per distinct imager frame;
+        # host operands, so a transient-TPU retry re-uploads what it needs
+        from ..utils.jaxcfg import with_retries
+
+        resample_retry = with_retries(lag_search.resample_to_grid)
         for idx in np.unique(selection):
             cols = np.nonzero(selection == idx)[0]
             path = self.list_imager_paths[idx]
@@ -144,11 +148,8 @@ class ComposedMapBuilder(MapBuilder):
                 p.as_dict(), lon_spice[:, cols], lat_spice[:, cols],
                 kind=p.kind, xp=np,
             )
-            # host operands: a transient-TPU retry re-uploads what it needs
-            from ..utils.jaxcfg import with_retries
-
-            sampled = np.asarray(with_retries(lag_search.resample_to_grid)(
-                data_imager, x_im, y_im, order=2))
+            sampled = np.asarray(resample_retry(data_imager, x_im, y_im,
+                                                order=2))
             self.data_composed[:, cols] = sampled
             list_hdr_imagers_used.extend([hdr_imager] * len(cols))
 

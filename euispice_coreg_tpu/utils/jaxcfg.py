@@ -46,6 +46,19 @@ _TRANSIENT_MARKERS = (
 )
 
 
+# The worker process itself died: device buffers are gone, so re-dispatching
+# a program over the SAME operand buffers cannot succeed — only a layer that
+# re-uploads its operands (Alignment._with_engine_retries) can recover.
+_RESTART_MARKERS = ("crashed or restarted",)
+
+
+def is_worker_restart(msg: str) -> bool:
+    """True when a runtime error indicates the device worker restarted
+    (transient for a full re-run, fatal for buffer-reusing retries)."""
+    m = msg.lower()
+    return any(r in m for r in _RESTART_MARKERS)
+
+
 def is_transient_runtime_error(msg: str) -> bool:
     """True when a JaxRuntimeError message describes a transient failure.
 

@@ -91,8 +91,11 @@ def test_with_retries_on_retry_callback():
     assert calls["cleared"] == 1
 
 
+TRANSPORT_HICCUP = "UNAVAILABLE: Socket closed while reading the response."
+
+
 def test_run_chunked_retries_failed_chunk_only():
-    """A transient materialization failure re-enqueues ONLY that chunk."""
+    """A transient TRANSPORT failure re-enqueues ONLY that chunk."""
     import numpy as np
     from jax.errors import JaxRuntimeError
 
@@ -108,7 +111,7 @@ def test_run_chunked_retries_failed_chunk_only():
 
         def __array__(self, dtype=None, copy=None):
             if fail_once.pop(self.chunk, False):
-                raise JaxRuntimeError(WORKER_CRASH)
+                raise JaxRuntimeError(TRANSPORT_HICCUP)
             return np.asarray(self.value, dtype=dtype)
 
     def fn(part):
@@ -123,6 +126,32 @@ def test_run_chunked_retries_failed_chunk_only():
     np.testing.assert_array_equal(out, data * 2.0)
     # chunk 1 dispatched twice (retry), chunks 0 and 2 once
     assert sorted(calls["dispatch"]) == [0, 1, 1, 2]
+
+
+def test_run_chunked_worker_restart_escalates():
+    """A worker restart must NOT burn chunk retries: the chunk's operand
+    buffers died with the worker, so only the whole-call layer (which
+    re-uploads) can recover."""
+    import numpy as np
+    import pytest
+    from jax.errors import JaxRuntimeError
+
+    from euispice_coreg_tpu.engine import lag_search
+
+    calls = {"dispatch": 0}
+
+    class DeadResult:
+        def __array__(self, dtype=None, copy=None):
+            raise JaxRuntimeError(WORKER_CRASH)
+
+    def fn(part):
+        calls["dispatch"] += 1
+        return DeadResult()
+
+    with pytest.raises(JaxRuntimeError):
+        lag_search.run_chunked(fn, [np.arange(4.0)], n_lags=4, chunk_size=4,
+                               backoff_s=0.0)
+    assert calls["dispatch"] == 1  # no buffer-reusing re-dispatch
 
 
 def test_run_chunked_persistent_error_propagates():
@@ -191,3 +220,11 @@ def test_alignment_search_retries_with_cache_clear(tmp_path, monkeypatch):
     assert state["evals"] == 2 and state["cleared"] == 1
     assert res.shift_arcsec[0] == pytest.approx(8.0, abs=1.0)
     assert res.shift_arcsec[1] == pytest.approx(-4.0, abs=1.0)
+
+
+def test_worker_restart_classifier():
+    from euispice_coreg_tpu.utils.jaxcfg import is_worker_restart
+
+    assert is_worker_restart(WORKER_CRASH)
+    assert not is_worker_restart(TRANSPORT_HICCUP)
+    assert not is_worker_restart(LIBTPU_MISMATCH)

@@ -257,28 +257,45 @@ def test_tile_fft_sharded_matches_single_device():
     """Tile axis sharded over a NON-default-device mesh: one psum combines
     the per-device partial sums; values must match the unsharded run.
 
-    Uses a dedicated SMALL config (128^2, 5x5 lags): the sharded parity
-    logic (tile padding to the device count, per-device scan, psum,
-    explicit mesh placement) is shape-independent, and the module cfg costs
-    ~200 s through the float64 matmul-DFTs on the 1-CPU host."""
+    Calls the tile-FFT evaluator DIRECTLY (like ``dryrun_multichip``): the
+    public Carrington dispatch routes small/smooth configs to the
+    block-fast path first, so a public-API version of this test silently
+    stops exercising the sharded evaluator (caught in review: the shrunken
+    128^2 config's displacement spread sits under the block-fast gate).
+    A 3-device mesh over 4 tiles also exercises the tile padding (ids >=
+    n_tiles contribute zero through the psum)."""
     import jax
     from jax.sharding import Mesh
 
-    devs = jax.devices()
-    if len(devs) < 5:
-        pytest.skip("needs >= 5 virtual devices")
-    mesh = Mesh(np.array(devs[1:5]), axis_names=("lags",))
+    from euispice_coreg_tpu.engine import tile_fft
 
-    hdr, small, ref, lonlims, latlims, shape, l1 = bench_like_config(
-        n=128, grid=5)
-    ref_out = carr.evaluate_lag_grid_carrington(
-        small, ref, hdr, lonlims, latlims, shape,
-        l1, l1, [0.0], [0.0], [0.0],
-        d_solar_r=1.004, reference_date=hdr["DATE-OBS"], rate_wave="171",
-        order=2, compute_dtype="float64", lag_mode="tile_fft", mesh=None)
-    out = carr.evaluate_lag_grid_carrington(
-        small, ref, hdr, lonlims, latlims, shape,
-        l1, l1, [0.0], [0.0], [0.0],
-        d_solar_r=1.004, reference_date=hdr["DATE-OBS"], rate_wave="171",
-        order=2, compute_dtype="float64", lag_mode="tile_fft", mesh=mesh)
-    np.testing.assert_allclose(out, ref_out, rtol=1e-9, atol=1e-12)
+    devs = jax.devices()
+    if len(devs) < 4:
+        pytest.skip("needs >= 4 virtual devices")
+    mesh = Mesh(np.array(devs[1:4]), axis_names=("lags",))
+
+    h = w = 256
+    T = 128  # 2x2 tiles over a 3-device mesh -> padded to 6 tile ids
+    rng = np.random.default_rng(3)
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    ref = (100 + np.sin(xx / 9.0) * np.cos(yy / 13.0) * 10
+           + rng.normal(size=(h, w)))
+    warped = (100 + np.sin((xx + 1.2) / 9.0) * np.cos((yy - 0.8) / 13.0) * 10
+              + rng.normal(size=(h, w)))
+    ref[:6, :] = np.nan
+    warped[40:44, 80:90] = np.nan
+
+    L = 7
+    coeffs = np.zeros((L, 6, 2))
+    coeffs[:, 2, 0] = np.linspace(-3.0, 3.0, L)
+    coeffs[:, 2, 1] = np.linspace(2.0, -2.0, L)
+    coeffs[:, 0, 0] = 0.02
+    coeffs[:, 1, 1] = -0.015
+
+    kw = dict(order=2, h=h, w=w, method="correlation",
+              compute_dtype="float64", tile_size=T)
+    want = tile_fft.evaluate_select_tile_fft(coeffs, warped, ref, **kw)
+    got = tile_fft.evaluate_select_tile_fft(coeffs, warped, ref, mesh=mesh,
+                                            **kw)
+    assert want is not None and got is not None
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)

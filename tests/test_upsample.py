@@ -251,3 +251,20 @@ def test_auto_and_upsample_honor_cval():
                                                  cval=-7.0, tile=48))
     assert np.array_equal(got2 == -7.0, want2 == -7.0)
     np.testing.assert_allclose(got2, want2, rtol=2e-6, atol=2e-5)
+
+
+def test_auto_order3_near_identity_falls_back():
+    """order=3 has no select sampler: a near-identity map must fall through
+    to the upsample/gather routes instead of raising (review finding:
+    Alignment(reprojection_order=3) on a same-shape pair hit this)."""
+    h = w = 48
+    img = src_image(h, w)
+    yy, xx = np.meshgrid(np.arange(h, dtype=np.float64),
+                         np.arange(w, dtype=np.float64), indexing="ij")
+    u = xx + 1.3
+    v = yy - 0.6
+    want = np.asarray(resample.sample_image(img, u, v, order=3))
+    got = np.asarray(resample.sample_image_auto(img, u, v, order=3, tile=24))
+    assert np.array_equal(np.isnan(got), np.isnan(want))
+    np.testing.assert_allclose(got[np.isfinite(want)],
+                               want[np.isfinite(want)], rtol=2e-6, atol=2e-5)
