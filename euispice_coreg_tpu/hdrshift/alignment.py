@@ -124,6 +124,11 @@ class Alignment:
         self.large_fov_window = large_fov_window
         self.small_fov_window = small_fov_window
         self.path_save_figure = path_save_figure
+        if reprojection_order not in (0, 1, 2, 3):
+            raise ValueError(
+                f"reprojection_order must be 0..3 (scipy map_coordinates "
+                f"spline orders the resampler implements), got "
+                f"{reprojection_order!r}")
         self.order = reprojection_order
         self.force_crota_0 = force_crota_0
         self.parallelism = parallelism

@@ -301,3 +301,12 @@ def test_device_cache_reuse_and_invalidation(tmp_path):
     assert abs(res.shift_arcsec[0] - 8.0) < 1.0
     assert abs(res.shift_arcsec[1] + 4.0) < 1.0
     devcache.clear()
+
+
+def test_invalid_reprojection_order_rejected(tmp_path):
+    with pytest.raises(ValueError, match="reprojection_order"):
+        Alignment(
+            large_fov_known_pointing="x.fits", small_fov_to_correct="y.fits",
+            lag_crval1=[0.0], lag_crval2=[0.0],
+            lag_cdelt1=None, lag_cdelt2=None, lag_crota=None,
+            reprojection_order=5)
