@@ -382,9 +382,39 @@ def run_carrington(lon, lat):
     return t_best
 
 
+def _require_live_backend(timeout_s: float = 300.0):
+    """Fail fast instead of hanging forever when the TPU tunnel is down.
+
+    Backend init blocks indefinitely in that state (the main thread is
+    stuck inside the client's C++ connect), so a daemon watchdog hard-exits
+    with a clear stderr message if the first tiny device op has not
+    completed in ``timeout_s``."""
+    import os
+    import threading
+
+    done = threading.Event()
+
+    def watchdog():
+        if not done.wait(timeout_s):
+            print(f"# TPU backend unreachable (init did not complete in "
+                  f"{timeout_s:.0f}s); aborting bench", file=sys.stderr,
+                  flush=True)
+            os._exit(2)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+    from euispice_coreg_tpu.utils import jaxcfg
+
+    jaxcfg.enable_persistent_compile_cache()
+    import jax.numpy as jnp
+
+    float(np.asarray(jnp.zeros(())))
+    done.set()
+
+
 def main():
     import tempfile
 
+    _require_live_backend()
     small_img, ref_img, lon, lat, base = synthesize_pair()
     small32 = small_img.astype(np.float32)
     ref32 = ref_img.astype(np.float32)
