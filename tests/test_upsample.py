@@ -268,3 +268,42 @@ def test_auto_order3_near_identity_falls_back():
     assert np.array_equal(np.isnan(got), np.isnan(want))
     np.testing.assert_allclose(got[np.isfinite(want)],
                                want[np.isfinite(want)], rtol=2e-6, atol=2e-5)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 5, 6, 7])
+def test_auto_fuzz_matches_gather(seed):
+    """Seeded property test: random map/image/order/cval configs through
+    sample_image_auto must match the gather sampler exactly in NaN pattern
+    and to fp tolerance in values (the review fuzz over this space caught
+    the order-3 select crash; keep it as a permanent net)."""
+    rng = np.random.default_rng(100 + seed)
+    h = int(rng.integers(12, 60))
+    w = int(rng.integers(12, 60))
+    img = src_image(h, w, seed=seed, with_nans=bool(seed % 2))
+    order = int(rng.integers(0, 4))
+    cval = float(rng.choice([np.nan, -99.0, 0.0]))
+
+    kind = seed % 3
+    if kind == 0:       # oversampling map (upsample route candidate)
+        H, W = int(rng.integers(100, 200)), int(rng.integers(100, 200))
+        u, v = make_map(h, w, H, W, rot_deg=float(rng.uniform(-1, 1)),
+                        seed=seed)
+    elif kind == 1:     # near-identity (select route candidate)
+        yy, xx = np.meshgrid(np.arange(h, dtype=np.float64),
+                             np.arange(w, dtype=np.float64), indexing="ij")
+        u = xx + float(rng.uniform(-3, 3))
+        v = yy + float(rng.uniform(-3, 3))
+    else:               # wild map incl. out-of-range + NaN coords (gather)
+        H = W = int(rng.integers(40, 90))
+        u = rng.uniform(-5, w + 5, size=(H, W))
+        v = rng.uniform(-5, h + 5, size=(H, W))
+        u[rng.uniform(size=(H, W)) < 0.02] = np.nan
+
+    want = np.asarray(resample.sample_image(img, u, v, order=order,
+                                            cval=cval))
+    got = np.asarray(resample.sample_image_auto(img, u, v, order=order,
+                                                cval=cval, tile=32))
+    assert got.shape == want.shape
+    assert np.array_equal(np.isnan(got), np.isnan(want))
+    fin = np.isfinite(want)
+    np.testing.assert_allclose(got[fin], want[fin], rtol=2e-6, atol=2e-5)
