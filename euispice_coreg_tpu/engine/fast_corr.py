@@ -560,3 +560,200 @@ def evaluate_from_displacements(small_img, ref_img, c, spread, *,
         var = Sdd / n - mean * mean
         val = np.sqrt(np.maximum(var, 0.0))
     return val
+
+
+# ---------------------------------------------------------------------------
+# Batched movie path: data parallelism over a fleet of image pairs
+# ---------------------------------------------------------------------------
+
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=8)
+def _movie_eval_fn(mesh, axis, order, m, by, bx, precise, score):
+    """Memoized evaluator for :func:`evaluate_movie_from_displacements`.
+
+    ``mesh=None`` returns a plain jitted sequential map on the default
+    device; otherwise a ``jit(shard_map)`` with the FRAME axis sharded over
+    the mesh (each device builds the correlation surfaces of its own frame
+    subset — the fleet-of-pairs data parallelism SURVEY.md section 2.2 marks
+    as the natural multi-chip extension of the reference's single-pair
+    process fan-out, alignment.py:667-721)."""
+
+    def local_eval(small_blk, ref_blk, iyr_blk, ixr_blk, y0, x0):
+        def one(args):
+            small, ref, iy_, ix_ = args
+            prods = _build_surfaces.__wrapped__(
+                small, ref, order, m, precise=precise, score=score)
+            box = _box_inverse.__wrapped__(prods, m, y0, x0, by, bx)
+            return box[:, iy_, ix_]
+
+        # sequential over local frames: one frame's (n_surf, m, m//2+1)
+        # product stack in HBM at a time (same ceiling as the single-pair
+        # path), not the whole fleet's
+        return jax.lax.map(one, (small_blk, ref_blk, iyr_blk, ixr_blk))
+
+    if mesh is None:
+        return jax.jit(local_eval)
+
+    from jax import shard_map
+
+    shard = lag_search.P(axis)
+    repl = lag_search.P()
+    return jax.jit(shard_map(
+        local_eval, mesh=mesh,
+        in_specs=(shard, shard, shard, shard, repl, repl),
+        out_specs=shard))
+
+
+def evaluate_movie_from_displacements(smalls, refs, cs, *, order: int = 2,
+                                      compute_dtype=jnp.float32, mesh=None,
+                                      method: str = "correlation"):
+    """Scores for F constant-displacement pair searches evaluated together.
+
+    The reference aligns a movie frame-by-frame, each frame fanned out over
+    OS processes (``alignment.py:667-721``); the TPU-native fleet form
+    shards the FRAME axis over the device mesh instead — every chip builds
+    the full FFT correlation surfaces of its own frames and only the tiny
+    (F, n_surf, L) readout crosses ICI/host.
+
+    Args:
+      smalls: (F, h, w) moving images (one per frame).
+      refs:   (F, h, w) comparison canvases (the reference image resampled
+        on each frame's own grid — the per-frame submap).
+      cs:     (F, L, 2) per-frame constant pixel displacements (x/y order),
+        one row per lag, from :func:`displacement_per_lag` per frame.
+      mesh: optional 1-axis ``jax.sharding.Mesh``; frames are sharded over
+        it (padding F up to a device multiple with dummy frames).  Without a
+        mesh the frames run sequentially on the default device in ONE
+        dispatch.
+
+    Returns the (F, L) float64 score array, or None when a precondition
+    fails (caller falls back to the per-frame path).  Semantics per frame
+    are identical to :func:`evaluate_from_displacements` with the box
+    readout (all frames share one offset bounding box).
+    """
+    if method not in ("correlation", "residus_masked"):
+        return None
+    score = "pearson" if method == "correlation" else "residus"
+
+    cs = np.asarray(cs, dtype=np.float64)
+    if cs.ndim != 3 or cs.shape[-1] != 2:
+        return None
+    F, L, _ = cs.shape
+    smalls_np = np.asarray(smalls)
+    refs_np = np.asarray(refs)
+    if smalls_np.shape != refs_np.shape or smalls_np.ndim != 3 \
+            or smalls_np.shape[0] != F or F == 0:
+        return None
+    h, w = smalls_np.shape[1:]
+
+    dint = np.floor(cs + 0.5).astype(np.int64)
+    dfrac = cs - dint
+    maxd = int(np.max(np.abs(dint)))
+    if maxd + 2 >= min(h, w) // 4:
+        return None
+    m = _fft_size(max(h, w) + maxd + 4)
+
+    # one offset bounding box for the whole fleet (static shapes -> one
+    # compiled program; per-frame pointing only moves the readout indices)
+    y_min, y_max = int(dint[..., 1].min()), int(dint[..., 1].max())
+    x_min, x_max = int(dint[..., 0].min()), int(dint[..., 0].max())
+    by = -(-(y_max - y_min + 1) // 64) * 64
+    bx = -(-(x_max - x_min + 1) // 64) * 64
+    if by > m or bx > m:
+        return None
+    iyr = (dint[..., 1] - y_min).astype(np.int32)  # (F, L)
+    ixr = (dint[..., 0] - x_min).astype(np.int32)
+
+    use_mesh = mesh is not None and mesh.devices.size > 1
+    if use_mesh:
+        n_dev = int(mesh.devices.size)
+        Fp = -(-F // n_dev) * n_dev
+        platform = mesh.devices.ravel()[0].platform
+    else:
+        Fp = F
+        platform = jax.default_backend()
+    precise = precise_fft.use_precise_fft(platform)
+
+    if Fp != F:
+        zpad = ((0, Fp - F), (0, 0), (0, 0))
+        smalls_np = np.pad(smalls_np, zpad)
+        refs_np = np.pad(refs_np, zpad)
+        iyr = np.pad(iyr, ((0, Fp - F), (0, 0)))
+        ixr = np.pad(ixr, ((0, Fp - F), (0, 0)))
+
+    if use_mesh:
+        axis = mesh.axis_names[0]
+        shard = lag_search.P(axis)
+        put = lambda a, sp, dt=None: lag_search.mesh_put(a, mesh, spec=sp,
+                                                         dtype=dt)
+        smalls_d = put(smalls_np, shard, compute_dtype)
+        refs_d = put(refs_np, shard, compute_dtype)
+        iyr_d = put(iyr, shard)
+        ixr_d = put(ixr, shard)
+        y0 = put(np.int32(y_min), lag_search.P())
+        x0 = put(np.int32(x_min), lag_search.P())
+        fn = _movie_eval_fn(mesh, axis, order, m, by, bx, precise, score)
+    else:
+        smalls_d = jnp.asarray(smalls_np, dtype=compute_dtype)
+        refs_d = jnp.asarray(refs_np, dtype=compute_dtype)
+        iyr_d = jnp.asarray(iyr)
+        ixr_d = jnp.asarray(ixr)
+        y0 = jnp.int32(y_min)
+        x0 = jnp.int32(x_min)
+        fn = _movie_eval_fn(None, None, order, m, by, bx, precise, score)
+
+    S = np.asarray(fn(smalls_d, refs_d, iyr_d, ixr_d, y0, x0),
+                   dtype=np.float64)[:F]  # (F, n_surf, L)
+
+    taps = _tap_offsets(order)
+    nt = len(taps) ** 2
+    npairs = nt * (nt + 1) // 2
+
+    def weights_1d(frac):
+        t = np.asarray(frac, dtype=np.float64)
+        if order == 0:
+            return np.ones(t.shape + (1,))
+        return np.stack([
+            0.5 * (0.5 - t) ** 2,
+            0.75 - t * t,
+            0.5 * (0.5 + t) ** 2,
+        ], axis=-1)
+
+    wx = weights_1d(dfrac[..., 0])  # (F, L, ntap)
+    wy = weights_1d(dfrac[..., 1])
+    w2 = (wy[..., :, None] * wx[..., None, :]).reshape(F, L, nt)
+
+    pair_w = np.zeros((F, L, npairs))
+    k = 0
+    for i in range(nt):
+        for j in range(i, nt):
+            pair_w[..., k] = w2[..., i] * w2[..., j] * (1.0 if i == j else 2.0)
+            k += 1
+
+    n = S[:, 0]
+    if score == "pearson":
+        Sa = S[:, 1]
+        Saa = S[:, 2]
+        Sb = np.einsum("flt,ftl->fl", w2, S[:, 3 : 3 + nt])
+        Sab = np.einsum("flt,ftl->fl", w2, S[:, 3 + nt : 3 + 2 * nt])
+        Sbb = np.einsum("flp,fpl->fl", pair_w,
+                        S[:, 3 + 2 * nt : 3 + 2 * nt + npairs])
+        with np.errstate(invalid="ignore", divide="ignore"):
+            num = Sab - Sa * Sb / n
+            den = np.sqrt((Saa - Sa * Sa / n) * (Sbb - Sb * Sb / n))
+            return num / den
+
+    Ssqa = S[:, 1]
+    Sa_ = S[:, 2]
+    Sbosq = np.einsum("flt,ftl->fl", w2, S[:, 3 : 3 + nt])
+    Sb_ = np.einsum("flt,ftl->fl", w2, S[:, 3 + nt : 3 + 2 * nt])
+    Sb2oa = np.einsum("flp,fpl->fl", pair_w,
+                      S[:, 3 + 2 * nt : 3 + 2 * nt + npairs])
+    with np.errstate(invalid="ignore", divide="ignore"):
+        Sd = Ssqa - Sbosq
+        Sdd = Sa_ - 2.0 * Sb_ + Sb2oa
+        mean = Sd / n
+        var = Sdd / n - mean * mean
+        return np.sqrt(np.maximum(var, 0.0))

@@ -344,18 +344,22 @@ class Alignment:
 
         return with_retries(fn, on_retry=devcache.clear)()
 
-    def _run_projected_search(self, wrap: bool):
-        """Shared helioprojective / initial-carrington search body."""
-        from ..utils.obs import logger, timed
+    def _prepare_projected_operands(self, wrap: bool):
+        """Comparison-grid world coordinates + reference submap + base WCS
+        for a projected (helioprojective / initial-carrington) search.
+
+        Shared by :meth:`_run_projected_search` and the batched movie path
+        (``jitter_correction.align_movie_to_reference(mesh=...)``), which
+        hoists this per-frame prep out of the engine fan-out.
+
+        Returns ``(lon, lat, ref_img, base, kind)`` with the arrays on the
+        default device.
+        """
+        from ..utils.obs import timed
 
         small_params = wcs_params_from_header(self.hdr_small)
         large_params = wcs_params_from_header(self.hdr_large)
         kind = small_params.kind
-
-        if self.display_progress_bar:
-            from ..utils.obs import enable_console_logging
-
-            enable_console_logging()
 
         # world coordinates of the comparison grid (= the small image's own
         # grid) and the reference-image submap (alignment.py:987-1016), both
@@ -415,8 +419,21 @@ class Alignment:
                 lon, lat, ref_img = lag_search.prepare_grid_and_submap(
                     self._large_dev(), sp, lp, h, w, kind, do_wrap, self.order)
 
-        l1, l2, l3, l4, l5 = self._lags_deg(wrap=wrap)
         base = {**small_params.as_dict(), "crota": get_crota(self.hdr_small)}
+        return lon, lat, ref_img, base, kind
+
+    def _run_projected_search(self, wrap: bool):
+        """Shared helioprojective / initial-carrington search body."""
+        from ..utils.obs import logger, timed
+
+        if self.display_progress_bar:
+            from ..utils.obs import enable_console_logging
+
+            enable_console_logging()
+
+        lon, lat, ref_img, base, kind = self._prepare_projected_operands(wrap)
+
+        l1, l2, l3, l4, l5 = self._lags_deg(wrap=wrap)
         n_lags = len(l1) * len(l2) * len(l3) * len(l4) * len(l5)
         allow_fast = self._allow_fast_mode(n_lags)
         logger.info("lag search: %d candidates, mode=%s, order=%d",

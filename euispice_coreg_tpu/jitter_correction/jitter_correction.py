@@ -133,6 +133,7 @@ def align_movie_to_reference(
     latlims=None,
     shape=None,
     reference_date=None,
+    mesh=None,
     **alignment_kwargs,
 ):
     """Align every frame of a movie against ONE fixed reference image
@@ -142,10 +143,27 @@ def align_movie_to_reference(
     alignment reuses the compiled TPU program; with a CRVAL-only lag grid
     each frame costs a single FFT correlation-surface evaluation.
 
+    ``mesh``: optional 1-axis ``jax.sharding.Mesh`` — helioprojective
+    CRVAL-only movies are then evaluated as ONE fleet search with the frame
+    axis sharded over the mesh (data parallelism over image pairs, the
+    multi-chip extension of the reference's per-frame process fan-out,
+    ``alignment.py:667-721``; see
+    ``engine/fast_corr.evaluate_movie_from_displacements``).  Falls back to
+    the per-frame loop whenever a frame fails the fast-path preconditions.
+
     Returns {index: AlignmentResults}; writes corrected files when
     ``path_files_output`` is given.
     """
     from ..utils.obs import Progress
+
+    if (mesh is not None and alignement_method == "helioprojective"
+            and len(list_files_input) > 0):
+        batched = _align_movie_batched(
+            list_files_input, reference_path, path_files_output,
+            lag_crval1, lag_crval2, window_files_input, reference_window,
+            mesh, dict(alignment_kwargs))
+        if batched is not None:
+            return batched
 
     progress = Progress(total=len(list_files_input), label="movie alignment")
     results_all = {}
@@ -178,6 +196,98 @@ def align_movie_to_reference(
                 path_to_l3_output=os.path.join(path_files_output, basename),
             )
         progress.step()
+    return results_all
+
+
+def _align_movie_batched(paths, reference_path, path_files_output,
+                         lag_crval1, lag_crval2, window, ref_window,
+                         mesh, akw):
+    """Fleet evaluation of a helioprojective CRVAL-only movie alignment.
+
+    Per frame: load + thresholds + submap (the one-shot prep of
+    ``Alignment._prepare_projected_operands``), then ONE engine call scores
+    every (frame, lag) pair with the frame axis sharded over ``mesh``.
+    Returns ``{index: AlignmentResults}`` or None when any precondition
+    fails (caller falls back to the per-frame loop).
+    """
+    from ..engine import fast_corr
+    from ..utils.obs import Progress, logger
+
+    if akw.get("lag_search_mode", "auto") not in ("auto", "fast"):
+        return None
+    if akw.get("reprojection_order", 2) not in (0, 2):
+        return None
+    if getattr(mesh, "devices", np.empty(0)).size <= 1:
+        return None
+    method = "correlation"
+
+    progress = Progress(total=len(paths) + 1, label="movie alignment (fleet)")
+    alignments = []
+    smalls, refs, cs_list = [], [], []
+    n1 = n2 = None
+    for path in paths:
+        A = Alignment(
+            large_fov_known_pointing=reference_path,
+            large_fov_window=ref_window,
+            small_fov_to_correct=path,
+            small_fov_window=window,
+            lag_crval1=lag_crval1,
+            lag_crval2=lag_crval2,
+            lag_cdelt1=None, lag_cdelt2=None, lag_crota=None,
+            **akw,
+        )
+        A.method = method
+        A.coordinate_frame = "final_helioprojective"
+        A._load_pair()
+        A._apply_thresholds()
+        if np.all(np.isnan(A.data_small)):
+            raise ValueError(
+                "minimum or maximum value have set all small FOV to nan")
+        lon, lat, ref_img, base, kind = A._prepare_projected_operands(
+            wrap=True)
+        l1, l2, l3, l4, l5 = A._lags_deg(wrap=True)
+        if not fast_corr.fast_path_applicable(l3, l4, l5, A.order):
+            return None
+        g1, g2 = np.meshgrid(np.asarray(l1, dtype=np.float64),
+                             np.asarray(l2, dtype=np.float64), indexing="ij")
+        lags = np.stack([g1.ravel(), g2.ravel()], axis=-1)
+        c, spread = fast_corr.displacement_per_lag(base, lags, lon, lat, kind)
+        if spread > fast_corr.MAX_DISPLACEMENT_SPREAD_PX:
+            return None
+        if smalls and (A.data_small.shape != smalls[0].shape
+                       or c.shape != cs_list[0].shape):
+            return None  # mixed frame shapes: per-frame loop handles them
+        n1, n2 = len(l1), len(l2)
+        alignments.append(A)
+        smalls.append(np.asarray(A.data_small))
+        refs.append(np.asarray(ref_img))  # one small download per frame
+        cs_list.append(c)
+        progress.step()
+
+    A0 = alignments[0]
+    corr = A0._with_engine_retries(
+        lambda: fast_corr.evaluate_movie_from_displacements(
+            np.stack(smalls), np.stack(refs), np.stack(cs_list),
+            order=A0.order, compute_dtype=A0.compute_dtype, mesh=mesh,
+            method=method))
+    if corr is None:
+        return None
+    logger.info("fleet movie search: %d frames x %d lags on %d devices",
+                len(alignments), corr.shape[1], mesh.devices.size)
+    progress.step()
+
+    results_all = {}
+    for k, A in enumerate(alignments):
+        corr5 = corr[k].reshape(n1, n2, 1, 1, 1)
+        corr6 = np.repeat(corr5[..., np.newaxis], len(A.lag_solar_r), axis=-1)
+        results = A._make_results(corr6)
+        results_all[k] = results
+        if path_files_output is not None:
+            basename = os.path.basename(str(paths[k]))
+            results.write_corrected_fits(
+                window_list_to_apply_shift=[window],
+                path_to_l3_output=os.path.join(path_files_output, basename),
+            )
     return results_all
 
 

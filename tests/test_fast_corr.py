@@ -345,3 +345,65 @@ def test_fast_path_box_vs_full_surfaces():
     assert np.unravel_index(np.nanargmax(boxed), (len(l1), len(l2))) == \
         np.unravel_index(np.nanargmax(plain), (len(l1), len(l2)))
     np.testing.assert_allclose(boxed, plain, atol=3e-3)
+
+
+# ---------------------------------------------------------------------------
+# batched movie path (fleet data parallelism over frame pairs)
+# ---------------------------------------------------------------------------
+
+def _movie_inputs(F=5, L=11, h=96, w=96, seed=3):
+    rng = np.random.default_rng(seed)
+    smalls = rng.normal(size=(F, h, w)) + 100.0
+    refs = rng.normal(size=(F, h, w)) + 100.0
+    refs[1, 10:20, 30:40] = np.nan  # masked blob in one frame
+    smalls[2, 50:60, 5:15] = np.nan
+    cs = rng.uniform(-6.0, 6.0, size=(F, L, 2))
+    return smalls, refs, cs
+
+
+@pytest.mark.parametrize("method", ["correlation", "residus_masked"])
+def test_movie_batched_matches_per_frame(method):
+    """evaluate_movie_from_displacements == per-frame
+    evaluate_from_displacements, both without a mesh and with the frame
+    axis sharded over the 8-device CPU mesh (F=5 exercises padding)."""
+    import jax
+    from jax.sharding import Mesh
+
+    smalls, refs, cs = _movie_inputs()
+    F = smalls.shape[0]
+    singles = np.stack([
+        fast_corr.evaluate_from_displacements(
+            smalls[f], refs[f], cs[f], 0.0, order=2,
+            compute_dtype="float64", method=method)
+        for f in range(F)])
+    scale = np.nanmax(np.abs(singles))
+
+    batched = fast_corr.evaluate_movie_from_displacements(
+        smalls, refs, cs, order=2, compute_dtype="float64", method=method)
+    assert batched is not None and batched.shape == singles.shape
+    # box readout's complex64 twiddles vs the full float64 inverse
+    np.testing.assert_allclose(batched, singles, atol=1e-5 * scale)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("lags",))
+    sharded = fast_corr.evaluate_movie_from_displacements(
+        smalls, refs, cs, order=2, compute_dtype="float64", method=method,
+        mesh=mesh)
+    np.testing.assert_allclose(sharded, singles, atol=1e-5 * scale)
+    if method == "correlation":
+        for f in range(F):
+            assert np.nanargmax(sharded[f]) == np.nanargmax(singles[f])
+
+
+def test_movie_batched_preconditions():
+    smalls, refs, cs = _movie_inputs()
+    # unsupported method -> None (caller falls back)
+    assert fast_corr.evaluate_movie_from_displacements(
+        smalls, refs, cs, method="residus") is None
+    # displacements too large relative to the frame -> None
+    big = cs.copy()
+    big[0, 0] = (40.0, 40.0)
+    assert fast_corr.evaluate_movie_from_displacements(
+        smalls, refs, big) is None
+    # mismatched stacks -> None
+    assert fast_corr.evaluate_movie_from_displacements(
+        smalls[:-1], refs, cs) is None

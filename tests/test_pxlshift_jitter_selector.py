@@ -279,3 +279,86 @@ def test_align_movie_to_reference(tmp_path):
         assert results[k].shift_arcsec[0] == pytest.approx(ox, abs=1.0)
         assert results[k].shift_arcsec[1] == pytest.approx(oy, abs=1.0)
         assert os.path.isfile(outdir / f"mf_{k}.fits")
+
+
+def test_align_movie_to_reference_fleet(tmp_path):
+    """mesh= fleet path: one sharded engine call, same results as the
+    per-frame loop (frame axis over the 8-device CPU mesh; F=5 pads)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from euispice_coreg_tpu.jitter_correction.jitter_correction import (
+        align_movie_to_reference,
+    )
+
+    hdr_ref = fx.make_header((96, 96), (8.0, 8.0), (0.0, 0.0), 0.0)
+    data_ref = fx.render_helioprojective(hdr_ref)
+    p_ref = str(tmp_path / "fleet_ref.fits")
+    fits.write(p_ref, [fits.PrimaryHDU(data=data_ref.astype(np.float32),
+                                       header=hdr_ref)])
+
+    offsets = [(2.0, -4.0), (-4.0, 2.0), (4.0, 4.0), (0.0, 0.0), (-2.0, -2.0)]
+    paths = []
+    for k, (ox, oy) in enumerate(offsets):
+        hdr = hdr_ref.copy()
+        hdr["CRVAL1"] = hdr_ref["CRVAL1"] - ox
+        hdr["CRVAL2"] = hdr_ref["CRVAL2"] - oy
+        data = data_ref.copy()
+        if k == 2:
+            data[40:50, 10:20] = np.nan  # masked blob in one frame
+        p = str(tmp_path / f"fleet_{k}.fits")
+        fits.write(p, [fits.PrimaryHDU(data=data.astype(np.float32),
+                                       header=hdr)])
+        paths.append(p)
+
+    lags = np.arange(-6.0, 7.0, 2.0)
+    serial = align_movie_to_reference(
+        paths, p_ref, lag_crval1=lags, lag_crval2=lags,
+        window_files_input=0, reference_window=0)
+
+    outdir = tmp_path / "fleet_out"
+    os.makedirs(outdir)
+    mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("lags",))
+    fleet = align_movie_to_reference(
+        paths, p_ref, lag_crval1=lags, lag_crval2=lags,
+        window_files_input=0, reference_window=0,
+        path_files_output=str(outdir), mesh=mesh)
+
+    assert len(fleet) == len(offsets)
+    for k, (ox, oy) in enumerate(offsets):
+        assert fleet[k].shift_arcsec[0] == pytest.approx(ox, abs=1.0)
+        assert fleet[k].shift_arcsec[1] == pytest.approx(oy, abs=1.0)
+        assert np.nanargmax(fleet[k].corr) == np.nanargmax(serial[k].corr)
+        np.testing.assert_allclose(
+            np.asarray(fleet[k].corr, dtype=np.float64),
+            np.asarray(serial[k].corr, dtype=np.float64), atol=2e-4)
+        assert os.path.isfile(outdir / f"fleet_{k}.fits")
+
+
+def test_align_movie_fleet_falls_back_on_exact_mode(tmp_path):
+    """lag_search_mode='exact' must bypass the fleet fast path."""
+    import jax
+    from jax.sharding import Mesh
+
+    from euispice_coreg_tpu.jitter_correction.jitter_correction import (
+        align_movie_to_reference,
+    )
+
+    hdr_ref = fx.make_header((96, 96), (8.0, 8.0), (0.0, 0.0), 0.0)
+    data_ref = fx.render_helioprojective(hdr_ref)
+    p_ref = str(tmp_path / "fb_ref.fits")
+    fits.write(p_ref, [fits.PrimaryHDU(data=data_ref.astype(np.float32),
+                                       header=hdr_ref)])
+    hdr = hdr_ref.copy()
+    hdr["CRVAL1"] = hdr_ref["CRVAL1"] - 2.0
+    p = str(tmp_path / "fb_0.fits")
+    fits.write(p, [fits.PrimaryHDU(data=data_ref.astype(np.float32),
+                                   header=hdr)])
+
+    mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("lags",))
+    res = align_movie_to_reference(
+        [p], p_ref, lag_crval1=np.arange(-4.0, 5.0, 2.0),
+        lag_crval2=np.arange(-4.0, 5.0, 2.0),
+        window_files_input=0, reference_window=0,
+        mesh=mesh, lag_search_mode="exact")
+    assert res[0].shift_arcsec[0] == pytest.approx(2.0, abs=1.0)
