@@ -44,9 +44,18 @@ def jitter_correction_imagers(
     small_fov_value_max=None,
     small_fov_value_min=None,
     alignement_method: str = "carrington",
+    mesh=None,
 ):
     """Correct the jitter of a list of FITS files against overlapping-sublist
-    references; corrected files are written into ``path_files_output``."""
+    references; corrected files are written into ``path_files_output``.
+
+    ``mesh``: optional 1-axis ``jax.sharding.Mesh`` — in helioprojective mode
+    with a CRVAL-only lag grid, each sublist is evaluated as ONE fleet search
+    with the frame axis sharded over the mesh (see
+    :func:`align_movie_to_reference`).  Sublists stay sequential: each
+    sublist's reference is the corrected overlap frame written by the
+    previous one.
+    """
     if overlap == 0:
         raise ValueError(
             "number of overlapping images between sublists can not be equal to 0."
@@ -85,6 +94,44 @@ def jitter_correction_imagers(
         if ii == 0 and not os.path.isfile(path_reference):
             # the anchor frame is copied unmodified (jitter_correction.py:108-109)
             shutil.copyfile(list_files_input[index_ref], path_reference)
+
+        crval_only = all(
+            g is None or (len(np.atleast_1d(g)) == 1
+                          and float(np.atleast_1d(g)[0]) == 0.0)
+            for g in (lag_cdelt1, lag_cdelt2, lag_crota))
+        if (mesh is not None and alignement_method == "helioprojective"
+                and crval_only and len(sub) > 1):
+            sub_paths = [list_files_input[int(i)] for i in sub[1:]]
+            fleet = align_movie_to_reference(
+                sub_paths, path_reference,
+                path_files_output=path_files_output,
+                lag_crval1=lag_crval1, lag_crval2=lag_crval2,
+                window_files_input=window_files_input,
+                reference_window=window_files_input,
+                mesh=mesh, unit_lag=unit_lag,
+                small_fov_value_max=small_fov_value_max,
+                small_fov_value_min=small_fov_value_min,
+            )
+            date_ref = str(dates[index_ref])[11:19].replace(":", "_")
+            for j, index_to_align in enumerate(int(i) for i in sub[1:]):
+                results = fleet[j]
+                results_all[index_to_align] = results
+                if path_figures is not None:
+                    date_to_align = dates[index_to_align][11:19].replace(":", "_")
+                    results.plot_correlation(path_save_figure=os.path.join(
+                        path_figures,
+                        f"correlation_{date_to_align}_{date_ref}.pdf"))
+                    if plot_all_figures:
+                        results.plot_co_alignment(
+                            type_plot="successive_plot",
+                            path_save_figure=os.path.join(
+                                path_figures,
+                                f"plot_co_alignment_{date_to_align}_{date_ref}.pdf"))
+                    from matplotlib import pyplot as plt
+
+                    plt.close("all")
+                progress.step()
+            continue
 
         for index_to_align in sub[1:]:
             index_to_align = int(index_to_align)

@@ -335,6 +335,62 @@ def test_align_movie_to_reference_fleet(tmp_path):
         assert os.path.isfile(outdir / f"fleet_{k}.fits")
 
 
+def test_jitter_correction_fleet_mesh(tmp_path):
+    """jitter_correction_imagers(mesh=): each sublist runs as one fleet
+    search; corrected headers match the serial pipeline's."""
+    import jax
+    from jax.sharding import Mesh
+
+    from euispice_coreg_tpu.jitter_correction import jitter_correction_imagers
+
+    offsets = [(0.0, 0.0), (4.0, -2.0), (-2.0, 4.0), (2.0, 2.0), (0.0, 4.0)]
+    paths = []
+    t0 = timeutils.parse_fits_time("2022-03-17T09:00:00")
+    for k, (ox, oy) in enumerate(offsets):
+        hdr_true = fx.make_header((96, 96), (8.0, 8.0), (0.0, 0.0), 0.0)
+        hdr_true["DATE-AVG"] = timeutils.format_fits_time(t0 + 60 * k)
+        data = fx.render_helioprojective(hdr_true)
+        hdr_wrong = hdr_true.copy()
+        hdr_wrong["CRVAL1"] = hdr_true["CRVAL1"] - ox
+        hdr_wrong["CRVAL2"] = hdr_true["CRVAL2"] - oy
+        p = str(tmp_path / f"jf_{k}.fits")
+        fits.write(p, [fits.PrimaryHDU(data=data.astype(np.float32),
+                                       header=hdr_wrong)])
+        paths.append(p)
+
+    # sublist_length=2, overlap=1 -> the second sublist's reference is a
+    # corrected frame written by the first (sequential dependency kept)
+    kwargs = dict(
+        list_files_input=paths,
+        lag_crval1=np.arange(-6.0, 7.0, 1.0),
+        lag_crval2=np.arange(-6.0, 7.0, 1.0),
+        lag_cdelt1=None, lag_cdelt2=None, lag_crota=None,
+        sublist_length=2, overlap=1,
+        window_files_input=0,
+        alignement_method="helioprojective",
+    )
+    out_serial = tmp_path / "corr_serial"
+    os.makedirs(out_serial)
+    jitter_correction_imagers(path_files_output=str(out_serial), **kwargs)
+
+    out_fleet = tmp_path / "corr_fleet"
+    os.makedirs(out_fleet)
+    mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("lags",))
+    fleet = jitter_correction_imagers(
+        path_files_output=str(out_fleet), mesh=mesh, **kwargs)
+
+    assert os.path.isfile(out_fleet / "jf_0.fits")
+    assert sorted(fleet) == [1, 2, 3, 4]
+    # the two engine paths differ by ~1e-6 in correlation values; the
+    # Gaussian sub-pixel fit turns that into ~1e-3 arcsec of CRVAL
+    # (~1e-4 px at CDELT=8") — assert physical agreement, not bit equality
+    for k in range(1, len(offsets)):
+        hs = fits.open(str(out_serial / f"jf_{k}.fits"))[0].header
+        hf = fits.open(str(out_fleet / f"jf_{k}.fits"))[0].header
+        assert hf["CRVAL1"] == pytest.approx(hs["CRVAL1"], abs=0.05)
+        assert hf["CRVAL2"] == pytest.approx(hs["CRVAL2"], abs=0.05)
+
+
 def test_align_movie_fleet_falls_back_on_exact_mode(tmp_path):
     """lag_search_mode='exact' must bypass the fleet fast path."""
     import jax
