@@ -503,43 +503,51 @@ def evaluate_from_displacements(small_img, ref_img, c, spread, *,
                                     precise=precise, score=score),
                        dtype=np.float64)
 
+    return _combine_scores(S, dfrac, order, score)
+
+
+def _combine_scores(S, dfrac, order: int, score: str):
+    """Combine surface values ``S`` (..., n_surf, L) with per-lag fractional
+    displacements ``dfrac`` (..., L, 2) into scores (..., L).
+
+    Host numpy; shared by the single-pair and movie paths (any leading batch
+    axes broadcast through).  The tap weights are the same B-spline weights
+    as ``core/resample._taps_and_weights`` (frac in [-0.5, 0.5), stencil
+    base floor(q + frac + 0.5) == q)."""
     taps = _tap_offsets(order)
-    ntap = len(taps)
-    nt = ntap * ntap
+    nt = len(taps) ** 2
     npairs = nt * (nt + 1) // 2
 
-    # per-lag separable tap weights from the fractional displacement
-    # (host numpy: frac in [-0.5, 0.5), stencil base floor(q + frac + 0.5) == q,
-    # same B-spline weights as core/resample._taps_and_weights)
     def weights_1d(frac):
         t = np.asarray(frac, dtype=np.float64)
         if order == 0:
-            return np.ones((len(t), 1))
+            return np.ones(t.shape + (1,))
         return np.stack([
             0.5 * (0.5 - t) ** 2,
             0.75 - t * t,
             0.5 * (0.5 + t) ** 2,
         ], axis=-1)
 
-    wx = weights_1d(dfrac[:, 0])  # (L, ntap)
-    wy = weights_1d(dfrac[:, 1])  # (L, ntap)
-    w2 = (wy[:, :, None] * wx[:, None, :]).reshape(L, nt)  # (L, nt)
+    wx = weights_1d(dfrac[..., 0])  # (..., L, ntap)
+    wy = weights_1d(dfrac[..., 1])
+    w2 = (wy[..., :, None] * wx[..., None, :]).reshape(
+        dfrac.shape[:-1] + (nt,))  # (..., L, nt)
 
-    pair_w = np.zeros((L, npairs))
+    pair_w = np.zeros(dfrac.shape[:-1] + (npairs,))
     k = 0
     for i in range(nt):
         for j in range(i, nt):
-            pair_w[:, k] = w2[:, i] * w2[:, j] * (1.0 if i == j else 2.0)
+            pair_w[..., k] = w2[..., i] * w2[..., j] * (1.0 if i == j else 2.0)
             k += 1
 
-    n = S[0]
+    n = S[..., 0, :]
     if score == "pearson":
-        Sa = S[1]
-        Saa = S[2]
-        Sb = np.einsum("lt,tl->l", w2, S[3 : 3 + nt])
-        Sab = np.einsum("lt,tl->l", w2, S[3 + nt : 3 + 2 * nt])
-        Sbb = np.einsum("lp,pl->l", pair_w,
-                        S[3 + 2 * nt : 3 + 2 * nt + npairs])
+        Sa = S[..., 1, :]
+        Saa = S[..., 2, :]
+        Sb = np.einsum("...lt,...tl->...l", w2, S[..., 3 : 3 + nt, :])
+        Sab = np.einsum("...lt,...tl->...l", w2, S[..., 3 + nt : 3 + 2 * nt, :])
+        Sbb = np.einsum("...lp,...pl->...l", pair_w,
+                        S[..., 3 + 2 * nt : 3 + 2 * nt + npairs, :])
         with np.errstate(invalid="ignore", divide="ignore"):
             num = Sab - Sa * Sb / n
             den = np.sqrt((Saa - Sa * Sa / n) * (Sbb - Sb * Sb / n))
@@ -548,11 +556,12 @@ def evaluate_from_displacements(small_img, ref_img, c, spread, *,
     # residue (c-centered exact identity, see _build_surfaces):
     # Sd = sum a'/sqrt(a) - sum b'/sqrt(a);
     # Sdd = sum a'^2/a - 2 sum a'b'/a + sum b'^2/a  (over the joint mask)
-    Ssqa = S[1]
-    Sa_ = S[2]
-    Sbosq = np.einsum("lt,tl->l", w2, S[3 : 3 + nt])
-    Sb_ = np.einsum("lt,tl->l", w2, S[3 + nt : 3 + 2 * nt])
-    Sb2oa = np.einsum("lp,pl->l", pair_w, S[3 + 2 * nt : 3 + 2 * nt + npairs])
+    Ssqa = S[..., 1, :]
+    Sa_ = S[..., 2, :]
+    Sbosq = np.einsum("...lt,...tl->...l", w2, S[..., 3 : 3 + nt, :])
+    Sb_ = np.einsum("...lt,...tl->...l", w2, S[..., 3 + nt : 3 + 2 * nt, :])
+    Sb2oa = np.einsum("...lp,...pl->...l", pair_w,
+                      S[..., 3 + 2 * nt : 3 + 2 * nt + npairs, :])
     with np.errstate(invalid="ignore", divide="ignore"):
         Sd = Ssqa - Sbosq
         Sdd = Sa_ - 2.0 * Sb_ + Sb2oa
@@ -570,7 +579,7 @@ from functools import lru_cache as _lru_cache
 
 
 @_lru_cache(maxsize=8)
-def _movie_eval_fn(mesh, axis, order, m, by, bx, precise, score):
+def _movie_eval_fn(mesh, axis, order, m, by, bx, precise, score, use_box):
     """Memoized evaluator for :func:`evaluate_movie_from_displacements`.
 
     ``mesh=None`` returns a plain jitted sequential map on the default
@@ -578,15 +587,24 @@ def _movie_eval_fn(mesh, axis, order, m, by, bx, precise, score):
     the mesh (each device builds the correlation surfaces of its own frame
     subset — the fleet-of-pairs data parallelism SURVEY.md section 2.2 marks
     as the natural multi-chip extension of the reference's single-pair
-    process fan-out, alignment.py:667-721)."""
+    process fan-out, alignment.py:667-721).
+
+    ``use_box`` mirrors the single-pair route choice in
+    :func:`evaluate_from_displacements`: box matmul-DFT readout when it is
+    cheaper than full inverse FFTs AND the transforms run at matmul
+    precision; otherwise the exact chunked full inverse (``_surfaces_at``) —
+    keeping the two paths numerically twinned."""
 
     def local_eval(small_blk, ref_blk, iyr_blk, ixr_blk, y0, x0):
         def one(args):
             small, ref, iy_, ix_ = args
-            prods = _build_surfaces.__wrapped__(
-                small, ref, order, m, precise=precise, score=score)
-            box = _box_inverse.__wrapped__(prods, m, y0, x0, by, bx)
-            return box[:, iy_, ix_]
+            if use_box:
+                prods = _build_surfaces.__wrapped__(
+                    small, ref, order, m, precise=precise, score=score)
+                box = _box_inverse.__wrapped__(prods, m, y0, x0, by, bx)
+                return box[:, iy_, ix_]
+            return _surfaces_at.__wrapped__(small, ref, iy_, ix_, order, m,
+                                            precise=precise, score=score)
 
         # sequential over local frames: one frame's (n_surf, m, m//2+1)
         # product stack in HBM at a time (same ceiling as the single-pair
@@ -618,9 +636,11 @@ def evaluate_movie_from_displacements(smalls, refs, cs, *, order: int = 2,
     (F, n_surf, L) readout crosses ICI/host.
 
     Args:
-      smalls: (F, h, w) moving images (one per frame).
+      smalls: (F, h, w) moving images (one per frame); numpy or a
+        device-resident jax array (device arrays are never round-tripped
+        through the host — slow-tunnel rule, CLAUDE.md).
       refs:   (F, h, w) comparison canvases (the reference image resampled
-        on each frame's own grid — the per-frame submap).
+        on each frame's own grid — the per-frame submap); numpy or jax.
       cs:     (F, L, 2) per-frame constant pixel displacements (x/y order),
         one row per lag, from :func:`displacement_per_lag` per frame.
       mesh: optional 1-axis ``jax.sharding.Mesh``; frames are sharded over
@@ -630,8 +650,8 @@ def evaluate_movie_from_displacements(smalls, refs, cs, *, order: int = 2,
 
     Returns the (F, L) float64 score array, or None when a precondition
     fails (caller falls back to the per-frame path).  Semantics per frame
-    are identical to :func:`evaluate_from_displacements` with the box
-    readout (all frames share one offset bounding box).
+    are identical to :func:`evaluate_from_displacements` (same box-vs-full
+    inverse route choice; all frames share one offset bounding box).
     """
     if method not in ("correlation", "residus_masked"):
         return None
@@ -641,12 +661,12 @@ def evaluate_movie_from_displacements(smalls, refs, cs, *, order: int = 2,
     if cs.ndim != 3 or cs.shape[-1] != 2:
         return None
     F, L, _ = cs.shape
-    smalls_np = np.asarray(smalls)
-    refs_np = np.asarray(refs)
-    if smalls_np.shape != refs_np.shape or smalls_np.ndim != 3 \
-            or smalls_np.shape[0] != F or F == 0:
+    smalls_st = smalls if isinstance(smalls, jax.Array) else np.asarray(smalls)
+    refs_st = refs if isinstance(refs, jax.Array) else np.asarray(refs)
+    if smalls_st.shape != refs_st.shape or len(smalls_st.shape) != 3 \
+            or smalls_st.shape[0] != F or F == 0:
         return None
-    h, w = smalls_np.shape[1:]
+    h, w = smalls_st.shape[1:]
 
     dint = np.floor(cs + 0.5).astype(np.int64)
     dfrac = cs - dint
@@ -663,8 +683,6 @@ def evaluate_movie_from_displacements(smalls, refs, cs, *, order: int = 2,
     bx = -(-(x_max - x_min + 1) // 64) * 64
     if by > m or bx > m:
         return None
-    iyr = (dint[..., 1] - y_min).astype(np.int32)  # (F, L)
-    ixr = (dint[..., 0] - x_min).astype(np.int32)
 
     use_mesh = mesh is not None and mesh.devices.size > 1
     if use_mesh:
@@ -676,10 +694,21 @@ def evaluate_movie_from_displacements(smalls, refs, cs, *, order: int = 2,
         platform = jax.default_backend()
     precise = precise_fft.use_precise_fft(platform)
 
+    # same route choice as the single-pair path (evaluate_from_displacements)
+    use_box = precise and by * bx <= (m * m) // 4
+    if use_box:
+        iyr = (dint[..., 1] - y_min).astype(np.int32)  # (F, L)
+        ixr = (dint[..., 0] - x_min).astype(np.int32)
+    else:
+        iyr = np.mod(dint[..., 1], m).astype(np.int32)
+        ixr = np.mod(dint[..., 0], m).astype(np.int32)
+
     if Fp != F:
         zpad = ((0, Fp - F), (0, 0), (0, 0))
-        smalls_np = np.pad(smalls_np, zpad)
-        refs_np = np.pad(refs_np, zpad)
+        xp_s = jnp if isinstance(smalls_st, jax.Array) else np
+        xp_r = jnp if isinstance(refs_st, jax.Array) else np
+        smalls_st = xp_s.pad(smalls_st, zpad)
+        refs_st = xp_r.pad(refs_st, zpad)
         iyr = np.pad(iyr, ((0, Fp - F), (0, 0)))
         ixr = np.pad(ixr, ((0, Fp - F), (0, 0)))
 
@@ -688,72 +717,24 @@ def evaluate_movie_from_displacements(smalls, refs, cs, *, order: int = 2,
         shard = lag_search.P(axis)
         put = lambda a, sp, dt=None: lag_search.mesh_put(a, mesh, spec=sp,
                                                          dtype=dt)
-        smalls_d = put(smalls_np, shard, compute_dtype)
-        refs_d = put(refs_np, shard, compute_dtype)
+        smalls_d = put(smalls_st, shard, compute_dtype)
+        refs_d = put(refs_st, shard, compute_dtype)
         iyr_d = put(iyr, shard)
         ixr_d = put(ixr, shard)
         y0 = put(np.int32(y_min), lag_search.P())
         x0 = put(np.int32(x_min), lag_search.P())
-        fn = _movie_eval_fn(mesh, axis, order, m, by, bx, precise, score)
+        fn = _movie_eval_fn(mesh, axis, order, m, by, bx, precise, score,
+                            use_box)
     else:
-        smalls_d = jnp.asarray(smalls_np, dtype=compute_dtype)
-        refs_d = jnp.asarray(refs_np, dtype=compute_dtype)
+        smalls_d = jnp.asarray(smalls_st, dtype=compute_dtype)
+        refs_d = jnp.asarray(refs_st, dtype=compute_dtype)
         iyr_d = jnp.asarray(iyr)
         ixr_d = jnp.asarray(ixr)
         y0 = jnp.int32(y_min)
         x0 = jnp.int32(x_min)
-        fn = _movie_eval_fn(None, None, order, m, by, bx, precise, score)
+        fn = _movie_eval_fn(None, None, order, m, by, bx, precise, score,
+                            use_box)
 
     S = np.asarray(fn(smalls_d, refs_d, iyr_d, ixr_d, y0, x0),
                    dtype=np.float64)[:F]  # (F, n_surf, L)
-
-    taps = _tap_offsets(order)
-    nt = len(taps) ** 2
-    npairs = nt * (nt + 1) // 2
-
-    def weights_1d(frac):
-        t = np.asarray(frac, dtype=np.float64)
-        if order == 0:
-            return np.ones(t.shape + (1,))
-        return np.stack([
-            0.5 * (0.5 - t) ** 2,
-            0.75 - t * t,
-            0.5 * (0.5 + t) ** 2,
-        ], axis=-1)
-
-    wx = weights_1d(dfrac[..., 0])  # (F, L, ntap)
-    wy = weights_1d(dfrac[..., 1])
-    w2 = (wy[..., :, None] * wx[..., None, :]).reshape(F, L, nt)
-
-    pair_w = np.zeros((F, L, npairs))
-    k = 0
-    for i in range(nt):
-        for j in range(i, nt):
-            pair_w[..., k] = w2[..., i] * w2[..., j] * (1.0 if i == j else 2.0)
-            k += 1
-
-    n = S[:, 0]
-    if score == "pearson":
-        Sa = S[:, 1]
-        Saa = S[:, 2]
-        Sb = np.einsum("flt,ftl->fl", w2, S[:, 3 : 3 + nt])
-        Sab = np.einsum("flt,ftl->fl", w2, S[:, 3 + nt : 3 + 2 * nt])
-        Sbb = np.einsum("flp,fpl->fl", pair_w,
-                        S[:, 3 + 2 * nt : 3 + 2 * nt + npairs])
-        with np.errstate(invalid="ignore", divide="ignore"):
-            num = Sab - Sa * Sb / n
-            den = np.sqrt((Saa - Sa * Sa / n) * (Sbb - Sb * Sb / n))
-            return num / den
-
-    Ssqa = S[:, 1]
-    Sa_ = S[:, 2]
-    Sbosq = np.einsum("flt,ftl->fl", w2, S[:, 3 : 3 + nt])
-    Sb_ = np.einsum("flt,ftl->fl", w2, S[:, 3 + nt : 3 + 2 * nt])
-    Sb2oa = np.einsum("flp,fpl->fl", pair_w,
-                      S[:, 3 + 2 * nt : 3 + 2 * nt + npairs])
-    with np.errstate(invalid="ignore", divide="ignore"):
-        Sd = Ssqa - Sbosq
-        Sdd = Sa_ - 2.0 * Sb_ + Sb2oa
-        mean = Sd / n
-        var = Sdd / n - mean * mean
-        return np.sqrt(np.maximum(var, 0.0))
+    return _combine_scores(S, dfrac, order, score)

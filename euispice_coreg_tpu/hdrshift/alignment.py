@@ -293,6 +293,22 @@ class Alignment:
     ):
         """Lag search in the helioprojective frame (flagship path;
         reference call stack SURVEY.md 3.1)."""
+        self._begin_helioprojective(method, fov_limits=fov_limits,
+                                    remove_fov_limits=remove_fov_limits)
+
+        corr = self._with_engine_retries(
+            lambda: self._run_projected_search(wrap=True))
+        if return_type == "corr":
+            return corr
+        return self._make_results(corr)
+
+    def _begin_helioprojective(self, method: str, fov_limits=None,
+                               remove_fov_limits=None):
+        """Load + threshold + fov prep for a helioprojective search.
+
+        Shared by :meth:`align_using_helioprojective` and the fleet movie
+        path (``jitter_correction._align_movie_batched``), so the two stay
+        behaviorally identical up to the engine call."""
         self.method = method
         self.coordinate_frame = "final_helioprojective"
         if self.data_small is None:
@@ -304,12 +320,6 @@ class Alignment:
             self._apply_fov_limits(fov_limits)
         if np.all(np.isnan(self.data_small)):
             raise ValueError("minimum or maximum value have set all small FOV to nan")
-
-        corr = self._with_engine_retries(
-            lambda: self._run_projected_search(wrap=True))
-        if return_type == "corr":
-            return corr
-        return self._make_results(corr)
 
     def align_using_initial_carrington(
         self, method: str = "correlation", return_type: str = "AlignmentResults"

@@ -86,6 +86,11 @@ def jitter_correction_imagers(
                         label="jitter correction")
     logger.info("jitter correction: %d frames in %d sublists",
                 len(list_files_input), len(sublists))
+    crval_only = all(
+        g is None or (len(np.atleast_1d(g)) == 1
+                      and float(np.atleast_1d(g)[0]) == 0.0)
+        for g in (lag_cdelt1, lag_cdelt2, lag_crota))
+
     results_all = {}
     for ii, sub in enumerate(sublists):
         index_ref = int(sub[0])
@@ -95,10 +100,6 @@ def jitter_correction_imagers(
             # the anchor frame is copied unmodified (jitter_correction.py:108-109)
             shutil.copyfile(list_files_input[index_ref], path_reference)
 
-        crval_only = all(
-            g is None or (len(np.atleast_1d(g)) == 1
-                          and float(np.atleast_1d(g)[0]) == 0.0)
-            for g in (lag_cdelt1, lag_cdelt2, lag_crota))
         if (mesh is not None and alignement_method == "helioprojective"
                 and crval_only and len(sub) > 1):
             sub_paths = [list_files_input[int(i)] for i in sub[1:]]
@@ -212,6 +213,7 @@ def align_movie_to_reference(
         if batched is not None:
             return batched
 
+    # per-frame loop (and the fleet fallback): one bar for the whole movie
     progress = Progress(total=len(list_files_input), label="movie alignment")
     results_all = {}
     for k, path in enumerate(list_files_input):
@@ -283,13 +285,7 @@ def _align_movie_batched(paths, reference_path, path_files_output,
             lag_cdelt1=None, lag_cdelt2=None, lag_crota=None,
             **akw,
         )
-        A.method = method
-        A.coordinate_frame = "final_helioprojective"
-        A._load_pair()
-        A._apply_thresholds()
-        if np.all(np.isnan(A.data_small)):
-            raise ValueError(
-                "minimum or maximum value have set all small FOV to nan")
+        A._begin_helioprojective(method)
         lon, lat, ref_img, base, kind = A._prepare_projected_operands(
             wrap=True)
         l1, l2, l3, l4, l5 = A._lags_deg(wrap=True)
@@ -307,16 +303,28 @@ def _align_movie_batched(paths, reference_path, path_files_output,
         n1, n2 = len(l1), len(l2)
         alignments.append(A)
         smalls.append(np.asarray(A.data_small))
-        refs.append(np.asarray(ref_img))  # one small download per frame
+        refs.append(ref_img)  # stays device-resident (slow-tunnel rule)
         cs_list.append(c)
         progress.step()
 
+    import jax.numpy as jnp
+
     A0 = alignments[0]
-    corr = A0._with_engine_retries(
-        lambda: fast_corr.evaluate_movie_from_displacements(
-            np.stack(smalls), np.stack(refs), np.stack(cs_list),
+    attempts = {"n": 0}
+
+    def run_fleet():
+        if attempts["n"]:
+            # retry after a worker crash: the cached submap buffers died
+            # with the device — rebuild them (devcache was cleared)
+            refs[:] = [a._prepare_projected_operands(wrap=True)[2]
+                       for a in alignments]
+        attempts["n"] += 1
+        return fast_corr.evaluate_movie_from_displacements(
+            np.stack(smalls), jnp.stack(refs), np.stack(cs_list),
             order=A0.order, compute_dtype=A0.compute_dtype, mesh=mesh,
-            method=method))
+            method=method)
+
+    corr = A0._with_engine_retries(run_fleet)
     if corr is None:
         return None
     logger.info("fleet movie search: %d frames x %d lags on %d devices",

@@ -60,6 +60,29 @@ def test_pxlshift_rotation_axis(tmp_path):
     assert mi[2] == 1  # zero rotation wins
 
 
+def test_pxlshift_rotation_fleet_mesh(tmp_path):
+    """mesh= shards the rotation axis: one fleet call, same hypercube as
+    the per-rotation loop (3 rotations pad to the 8-device CPU mesh)."""
+    import jax
+    from jax.sharding import Mesh
+
+    p_large, p_small = make_pxl_pair(tmp_path, dx_px=3, dy_px=-2)
+    A = AlignmentPixels(p_large, 0, p_small, 0)
+    lag_dx, lag_dy = np.arange(-4, 5), np.arange(-4, 5)
+    drots = [-2.0, 0.0, 2.0]
+    loop = A.find_best_parameters(lag_dx, lag_dy, lag_drot=drots)
+
+    B = AlignmentPixels(p_large, 0, p_small, 0)
+    mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("lags",))
+    fleet = B.find_best_parameters(lag_dx, lag_dy, lag_drot=drots, mesh=mesh)
+    assert fleet.shape == loop.shape == (9, 9, 3)
+    # same _surfaces_at numerics per rotation, just batched/sharded — but a
+    # different FFT pad size m, so exact sums agree to FP roundoff only
+    np.testing.assert_allclose(fleet, loop, atol=1e-9)
+    assert np.unravel_index(np.nanargmax(fleet), fleet.shape) == \
+        np.unravel_index(np.nanargmax(loop), loop.shape)
+
+
 def test_pxlshift_out_of_bounds_raises(tmp_path):
     p_large, p_small = make_pxl_pair(tmp_path)
     A = AlignmentPixels(p_large, 0, p_small, 0)
@@ -371,7 +394,8 @@ def test_jitter_correction_fleet_mesh(tmp_path):
     )
     out_serial = tmp_path / "corr_serial"
     os.makedirs(out_serial)
-    jitter_correction_imagers(path_files_output=str(out_serial), **kwargs)
+    serial = jitter_correction_imagers(path_files_output=str(out_serial),
+                                       **kwargs)
 
     out_fleet = tmp_path / "corr_fleet"
     os.makedirs(out_fleet)
@@ -381,14 +405,23 @@ def test_jitter_correction_fleet_mesh(tmp_path):
 
     assert os.path.isfile(out_fleet / "jf_0.fits")
     assert sorted(fleet) == [1, 2, 3, 4]
-    # the two engine paths differ by ~1e-6 in correlation values; the
-    # Gaussian sub-pixel fit turns that into ~1e-3 arcsec of CRVAL
-    # (~1e-4 px at CDELT=8") — assert physical agreement, not bit equality
-    for k in range(1, len(offsets)):
-        hs = fits.open(str(out_serial / f"jf_{k}.fits"))[0].header
-        hf = fits.open(str(out_fleet / f"jf_{k}.fits"))[0].header
-        assert hf["CRVAL1"] == pytest.approx(hs["CRVAL1"], abs=0.05)
-        assert hf["CRVAL2"] == pytest.approx(hs["CRVAL2"], abs=0.05)
+    # Engine parity is pinned on the correlation surfaces (~1e-7 between
+    # the serial and fleet paths here).  The reference-spec Gaussian
+    # sub-pixel fit (no baseline term, sigma bounds to 1000) is
+    # ill-conditioned on this fixture's near-flat Pearson peak — a 1e-8
+    # surface perturbation can move the fitted center ~0.05 px — so the
+    # FIT is asserted against the injected truth, not serial-vs-fleet.
+    for k, (ox, oy) in enumerate(offsets):
+        if k == 0:
+            continue
+        assert np.nanargmax(np.asarray(fleet[k].corr)) == \
+            np.nanargmax(np.asarray(serial[k].corr))
+        np.testing.assert_allclose(
+            np.asarray(fleet[k].corr, dtype=np.float64),
+            np.asarray(serial[k].corr, dtype=np.float64), atol=1e-5)
+        assert fleet[k].shift_arcsec[0] == pytest.approx(ox, abs=1.0)
+        assert fleet[k].shift_arcsec[1] == pytest.approx(oy, abs=1.0)
+        assert os.path.isfile(out_fleet / f"jf_{k}.fits")
 
 
 def test_align_movie_fleet_falls_back_on_exact_mode(tmp_path):
