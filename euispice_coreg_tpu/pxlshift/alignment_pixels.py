@@ -38,8 +38,14 @@ class AlignmentPixels:
     # ------------------------------------------------------------------
     def find_best_parameters(self, lag_dx, lag_dy, lag_drot,
                              unit_rot: str = "degree",
-                             shift_solar_rotation_dx_large: bool = False):
-        """corr hypercube of shape (len(lag_dx), len(lag_dy), len(lag_drot))."""
+                             shift_solar_rotation_dx_large: bool = False,
+                             mesh=None):
+        """corr hypercube of shape (len(lag_dx), len(lag_dy), len(lag_drot)).
+
+        ``mesh``: optional 1-axis ``jax.sharding.Mesh`` — the rotation axis
+        is then sharded over the devices as one fleet evaluation (each chip
+        builds the FFT correlation surfaces of its own rotated canvases;
+        see ``engine/fast_corr.evaluate_movie_from_displacements``)."""
         if shift_solar_rotation_dx_large:
             self._shift_large_fov()
         self._sub_resolution_large_fov()
@@ -63,6 +69,14 @@ class AlignmentPixels:
         # embed the small image in large-frame coordinates; NaN elsewhere
         from ..utils.jaxcfg import with_retries
 
+        if (mesh is not None
+                and getattr(mesh, "devices", np.empty(0)).size > 1
+                and len(lag_drot) > 1):
+            fleet = self._find_best_parameters_fleet(
+                lag_dx, lag_dy, lag_drot, unit_rot, mesh)
+            if fleet is not None:
+                return fleet
+
         corr = np.zeros((len(lag_dx), len(lag_dy), len(lag_drot)))
         for kk, drot in enumerate(lag_drot):
             small_rot = self._rotate_small(float(drot), unit_rot)
@@ -74,6 +88,34 @@ class AlignmentPixels:
                 fast_corr.pearson_integer_shifts)(
                     canvas, self.data_large, lag_dx, lag_dy))
         return corr
+
+    def _find_best_parameters_fleet(self, lag_dx, lag_dy, lag_drot,
+                                    unit_rot: str, mesh):
+        """Rotation-axis fleet evaluation: rotations are the frames of one
+        :func:`engine.fast_corr.evaluate_movie_from_displacements` call
+        (order-0, shared integer offset grid, moving image = the large
+        frame, comparison canvas = the embedded rotated small image —
+        exactly :func:`engine.fast_corr.pearson_integer_shifts` per frame).
+        Returns the (len(dx), len(dy), len(drot)) hypercube or None (caller
+        falls back to the per-rotation loop)."""
+        from ..utils.jaxcfg import with_retries
+
+        F = len(lag_drot)
+        shape = self.data_large.shape
+        canvases = np.full((F,) + shape, np.nan)
+        for kk, drot in enumerate(lag_drot):
+            canvases[kk][self.slc_small_ref] = self._rotate_small(
+                float(drot), unit_rot)
+
+        gx, gy = np.meshgrid(lag_dx, lag_dy, indexing="ij")
+        cs0 = np.stack([gx.ravel(), gy.ravel()],
+                       axis=-1).astype(np.float64)  # (L, 2) x/y order
+        corr = with_retries(fast_corr.evaluate_movie_from_displacements)(
+            np.broadcast_to(self.data_large, (F,) + shape), canvases,
+            np.broadcast_to(cs0, (F,) + cs0.shape), order=0, mesh=mesh)
+        if corr is None:
+            return None
+        return corr.reshape(F, len(lag_dx), len(lag_dy)).transpose(1, 2, 0)
 
     def _rotate_small(self, drot: float, unit_rot: str):
         """Rotate the small image about its center (matrix_transform.py:77-106
