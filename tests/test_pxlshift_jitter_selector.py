@@ -304,6 +304,7 @@ def test_align_movie_to_reference(tmp_path):
         assert os.path.isfile(outdir / f"mf_{k}.fits")
 
 
+@pytest.mark.slow
 def test_align_movie_to_reference_fleet(tmp_path):
     """mesh= fleet path: one sharded engine call, same results as the
     per-frame loop (frame axis over the 8-device CPU mesh; F=5 pads)."""
@@ -358,6 +359,7 @@ def test_align_movie_to_reference_fleet(tmp_path):
         assert os.path.isfile(outdir / f"fleet_{k}.fits")
 
 
+@pytest.mark.slow
 def test_jitter_correction_fleet_mesh(tmp_path):
     """jitter_correction_imagers(mesh=): each sublist runs as one fleet
     search; corrected headers match the serial pipeline's."""
