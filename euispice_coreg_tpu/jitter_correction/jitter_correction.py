@@ -45,6 +45,7 @@ def jitter_correction_imagers(
     small_fov_value_min=None,
     alignement_method: str = "carrington",
     mesh=None,
+    resume: bool = False,
 ):
     """Correct the jitter of a list of FITS files against overlapping-sublist
     references; corrected files are written into ``path_files_output``.
@@ -55,6 +56,12 @@ def jitter_correction_imagers(
     :func:`align_movie_to_reference`).  Sublists stay sequential: each
     sublist's reference is the corrected overlap frame written by the
     previous one.
+
+    ``resume=True`` skips frames whose corrected output already exists in
+    ``path_files_output`` (they are absent from the returned dict) — an
+    interrupted long movie continues where it stopped instead of restarting
+    from scratch (the reference always restarts, SURVEY.md section 5; its
+    written L3 products are the natural checkpoint artifact).
     """
     if overlap == 0:
         raise ValueError(
@@ -100,9 +107,23 @@ def jitter_correction_imagers(
             # the anchor frame is copied unmodified (jitter_correction.py:108-109)
             shutil.copyfile(list_files_input[index_ref], path_reference)
 
+        pending = [int(i) for i in sub[1:]]
+        if resume:
+            done = [i for i in pending if os.path.isfile(os.path.join(
+                path_files_output,
+                os.path.basename(str(list_files_input[i]))))]
+            if done:
+                logger.info("resume: skipping %d already-corrected frames "
+                            "in sublist %d", len(done), ii)
+                for _ in done:
+                    progress.step()
+            pending = [i for i in pending if i not in done]
+            if not pending:
+                continue
+
         if (mesh is not None and alignement_method == "helioprojective"
-                and crval_only and len(sub) > 1):
-            sub_paths = [list_files_input[int(i)] for i in sub[1:]]
+                and crval_only and len(pending) > 0):
+            sub_paths = [list_files_input[i] for i in pending]
             fleet = align_movie_to_reference(
                 sub_paths, path_reference,
                 path_files_output=path_files_output,
@@ -114,7 +135,7 @@ def jitter_correction_imagers(
                 small_fov_value_min=small_fov_value_min,
             )
             date_ref = str(dates[index_ref])[11:19].replace(":", "_")
-            for j, index_to_align in enumerate(int(i) for i in sub[1:]):
+            for j, index_to_align in enumerate(pending):
                 results = fleet[j]
                 results_all[index_to_align] = results
                 if path_figures is not None:
@@ -134,8 +155,7 @@ def jitter_correction_imagers(
                 progress.step()
             continue
 
-        for index_to_align in sub[1:]:
-            index_to_align = int(index_to_align)
+        for index_to_align in pending:
             date_to_align = dates[index_to_align][11:19].replace(":", "_")
             results = _align_hrieuv_with_hrieuv(
                 path_output_figures=path_figures,

@@ -359,6 +359,46 @@ def test_align_movie_to_reference_fleet(tmp_path):
         assert os.path.isfile(outdir / f"fleet_{k}.fits")
 
 
+def test_jitter_correction_resume(tmp_path):
+    """resume=True re-aligns only frames whose corrected output is missing."""
+    from euispice_coreg_tpu.jitter_correction import jitter_correction_imagers
+
+    offsets = [(0.0, 0.0), (4.0, -2.0), (-2.0, 4.0)]
+    paths = []
+    t0 = timeutils.parse_fits_time("2022-03-17T09:00:00")
+    for k, (ox, oy) in enumerate(offsets):
+        hdr_true = fx.make_header((96, 96), (8.0, 8.0), (0.0, 0.0), 0.0)
+        hdr_true["DATE-AVG"] = timeutils.format_fits_time(t0 + 60 * k)
+        data = fx.render_helioprojective(hdr_true)
+        hdr_wrong = hdr_true.copy()
+        hdr_wrong["CRVAL1"] = hdr_true["CRVAL1"] - ox
+        hdr_wrong["CRVAL2"] = hdr_true["CRVAL2"] - oy
+        p = str(tmp_path / f"jr_{k}.fits")
+        fits.write(p, [fits.PrimaryHDU(data=data.astype(np.float32),
+                                       header=hdr_wrong)])
+        paths.append(p)
+
+    outdir = tmp_path / "resume_out"
+    os.makedirs(outdir)
+    kwargs = dict(
+        list_files_input=paths, path_files_output=str(outdir),
+        lag_crval1=np.arange(-6.0, 7.0, 2.0),
+        lag_crval2=np.arange(-6.0, 7.0, 2.0),
+        lag_cdelt1=None, lag_cdelt2=None, lag_crota=None,
+        sublist_length=10, overlap=1, window_files_input=0,
+        alignement_method="helioprojective",
+    )
+    first = jitter_correction_imagers(**kwargs)
+    assert sorted(first) == [1, 2]
+
+    os.remove(outdir / "jr_2.fits")
+    second = jitter_correction_imagers(resume=True, **kwargs)
+    assert sorted(second) == [2]  # frame 1 skipped, frame 2 re-aligned
+    assert os.path.isfile(outdir / "jr_2.fits")
+    assert second[2].shift_arcsec[0] == pytest.approx(-2.0, abs=1.0)
+    assert second[2].shift_arcsec[1] == pytest.approx(4.0, abs=1.0)
+
+
 @pytest.mark.slow
 def test_jitter_correction_fleet_mesh(tmp_path):
     """jitter_correction_imagers(mesh=): each sublist runs as one fleet
