@@ -63,6 +63,17 @@ def divide_chunks(l, n):  # noqa: E741 - reference signature
 
 
 class Alignment:
+    """Co-alignment of a small-FOV image against a reference with known
+    pointing, over a 5-D lag hypercube (crval1/2, cdelt1/2, crota).
+
+    Same constructor surface and entry points as the reference ``Alignment``
+    (``hdrshift/alignment.py:47-121``); the search itself runs on the TPU
+    lag-search engine (see PARITY.md engine-path table).  ``lag_search_mode``
+    picks the path: ``auto`` (default), ``exact`` (reference-exact
+    single-interpolation gather engine), ``fast`` (FFT surfaces),
+    ``pallas``, ``tile_fft``.
+    """
+
     def __init__(
         self,
         large_fov_known_pointing: str,

@@ -70,6 +70,12 @@ def spatial_header_from_spice_l2(hdr4: Header, naxis1: int, naxis2: int) -> Head
 
 
 class AlignmentSpice(Alignment):
+    """SPICE-raster specialization of :class:`Alignment`: L2/L3 input prep
+    (spectral window sum in Angstrom, dumbbell removal, CDELT1 rotation
+    correction, ``sub_fov_window``/``cut_from_center``), then the standard
+    lag search against a synthetic-raster reference
+    (``alignment_spice.py:24-356``)."""
+
     def __init__(
         self,
         large_fov_known_pointing: str,

@@ -16,6 +16,11 @@ from .alignment_spice import AlignmentSpice
 
 
 class AlignmentSpiceSelector(AlignmentSpice):
+    """:class:`AlignmentSpice` whose imager context is fetched through a
+    :class:`~euispice_coreg_tpu.selector.Selector` (injectable for offline
+    use) and composed into a synthetic raster automatically
+    (``alignment_spice_selector.py:16-118``)."""
+
     def __init__(
         self,
         small_fov_to_correct: str | None = None,

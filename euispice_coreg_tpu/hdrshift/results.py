@@ -37,6 +37,12 @@ def twoD_Gaussian(xy, amplitude, xo, yo, sigma_x, sigma_y, offset):
 
 
 class AlignmentResults:
+    """Search result: the correlation hypercube, its argmax, and the 5x5
+    Gaussian sub-pixel fit of the (crval1, crval2) peak — same fit model,
+    p0 and bounds as the reference (``AlignmentResults.py:200-280``) — plus
+    corrected-header/FITS writers and npz checkpoints (framework extension).
+    """
+
     def __init__(
         self,
         corr: np.ndarray,

@@ -21,6 +21,12 @@ from ..utils import timeutils, units
 
 
 class AlignmentPixels:
+    """Pixel-space shift search (no WCS): degrade the large image to the
+    small plate scale, optionally pre-shift for solar rotation, then Pearson
+    -score every (dx, dy, drot) candidate — one FFT correlation surface per
+    rotation instead of the reference's per-offset loop
+    (``alignment_pixels.py:14-156``)."""
+
     def __init__(self, large_fov_known_pointing: str, window_large,
                  small_fov_to_correct: str, window_small):
         from ..io import fits

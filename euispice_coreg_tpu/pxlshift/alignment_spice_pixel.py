@@ -16,6 +16,10 @@ from .alignment_pixels import AlignmentPixels
 
 
 class AlignmentSpicePixel(AlignmentPixels):
+    """:class:`AlignmentPixels` over a SPICE raster (L2 spectral sum or L3
+    amplitude window) against an FSI context image, with solar-rotation
+    correction from the raster timing (``alignment_spice_pixel.py``)."""
+
     def __init__(self, fsi_path: str, fsi_window, spice_path: str,
                  spice_window, index_amplitude=None):
         super().__init__(fsi_path, fsi_window, spice_path, spice_window)

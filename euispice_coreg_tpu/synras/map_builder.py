@@ -28,6 +28,10 @@ from ..utils import timeutils, units
 
 
 class MapBuilder(ABC):
+    """Abstract synthetic-raster builder (``synras/map_builder.py:15-30``):
+    subclasses compose imager frames into a raster on a spectrometer's
+    (time, slit) grid via :meth:`process`."""
+
     def __init__(self):
         pass
 
