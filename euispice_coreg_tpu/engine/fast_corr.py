@@ -702,6 +702,10 @@ def evaluate_movie_from_displacements(smalls, refs, cs, *, order: int = 2,
     else:
         iyr = np.mod(dint[..., 1], m).astype(np.int32)
         ixr = np.mod(dint[..., 0], m).astype(np.int32)
+        # the full-inverse program never reads the box size: zero it out of
+        # the evaluator cache key (a new 64-rounded box must not trigger a
+        # minutes-long remote recompile of an identical program)
+        by = bx = 0
 
     if Fp != F:
         zpad = ((0, Fp - F), (0, 0), (0, 0))

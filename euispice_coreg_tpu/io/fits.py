@@ -425,9 +425,20 @@ def write(path, hdus, overwrite: bool = True):
             ))
         else:
             blobs.append(_hdu_bytes(hdu, primary=(i == 0)))
-    with _io.open(path, "wb") as f:
-        for b in blobs:
-            f.write(b)
+    # atomic publish: a reader (or a resumed pipeline checking for finished
+    # outputs, jitter_correction resume=True) must never see a truncated
+    # file — write to a same-directory temp and rename into place
+    path = str(path)
+    tmp = os.path.join(os.path.dirname(path) or ".",
+                       f".tmp-{os.getpid()}-{os.path.basename(path)}")
+    try:
+        with _io.open(tmp, "wb") as f:
+            for b in blobs:
+                f.write(b)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
 
 
 def writeto(path, data, header=None, overwrite=True):

@@ -97,6 +97,11 @@ def jitter_correction_imagers(
         g is None or (len(np.atleast_1d(g)) == 1
                       and float(np.atleast_1d(g)[0]) == 0.0)
         for g in (lag_cdelt1, lag_cdelt2, lag_crota))
+    # how many sublists align each frame (resume rule below)
+    align_count = {}
+    for s in sublists:
+        for i in s[1:]:
+            align_count[int(i)] = align_count.get(int(i), 0) + 1
 
     results_all = {}
     for ii, sub in enumerate(sublists):
@@ -104,14 +109,24 @@ def jitter_correction_imagers(
         basename_ref = os.path.basename(str(list_files_input[index_ref]))
         path_reference = os.path.join(path_files_output, basename_ref)
         if ii == 0 and not os.path.isfile(path_reference):
-            # the anchor frame is copied unmodified (jitter_correction.py:108-109)
-            shutil.copyfile(list_files_input[index_ref], path_reference)
+            # the anchor frame is copied unmodified (jitter_correction.py:108-109);
+            # copy atomically so a resumed run never sees a truncated anchor
+            tmp = path_reference + ".tmp"
+            shutil.copyfile(list_files_input[index_ref], tmp)
+            os.replace(tmp, path_reference)
 
         pending = [int(i) for i in sub[1:]]
         if resume:
-            done = [i for i in pending if os.path.isfile(os.path.join(
-                path_files_output,
-                os.path.basename(str(list_files_input[i]))))]
+            # a frame is done only if its output exists AND exactly one
+            # sublist aligns it: with overlap > 1 an overlap frame is
+            # aligned twice (the later pass overwrites), and an existing
+            # output cannot reveal WHICH pass wrote it — always re-align
+            # those (overlap=1, the default, never pays this)
+            done = [i for i in pending
+                    if align_count[i] == 1
+                    and os.path.isfile(os.path.join(
+                        path_files_output,
+                        os.path.basename(str(list_files_input[i]))))]
             if done:
                 logger.info("resume: skipping %d already-corrected frames "
                             "in sublist %d", len(done), ii)

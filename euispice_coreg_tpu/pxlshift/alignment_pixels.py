@@ -104,11 +104,15 @@ class AlignmentPixels:
         exactly :func:`engine.fast_corr.pearson_integer_shifts` per frame).
         Returns the (len(dx), len(dy), len(drot)) hypercube or None (caller
         falls back to the per-rotation loop)."""
+        import jax.numpy as jnp
+
         from ..utils.jaxcfg import with_retries
 
         F = len(lag_drot)
         shape = self.data_large.shape
-        canvases = np.full((F,) + shape, np.nan)
+        # f32 canvases: halves the host allocation + tunnel upload (the
+        # engine computes in float32 anyway)
+        canvases = np.full((F,) + shape, np.nan, dtype=np.float32)
         for kk, drot in enumerate(lag_drot):
             canvases[kk][self.slc_small_ref] = self._rotate_small(
                 float(drot), unit_rot)
@@ -116,9 +120,18 @@ class AlignmentPixels:
         gx, gy = np.meshgrid(lag_dx, lag_dy, indexing="ij")
         cs0 = np.stack([gx.ravel(), gy.ravel()],
                        axis=-1).astype(np.float64)  # (L, 2) x/y order
-        corr = with_retries(fast_corr.evaluate_movie_from_displacements)(
-            np.broadcast_to(self.data_large, (F,) + shape), canvases,
-            np.broadcast_to(cs0, (F,) + cs0.shape), order=0, mesh=mesh)
+
+        def run():
+            # upload the large image ONCE and broadcast on device — F
+            # identical copies must not cross the slow tunnel
+            large_d = jnp.broadcast_to(
+                jnp.asarray(self.data_large, dtype=jnp.float32),
+                (F,) + shape)
+            return fast_corr.evaluate_movie_from_displacements(
+                large_d, canvases, np.broadcast_to(cs0, (F,) + cs0.shape),
+                order=0, mesh=mesh)
+
+        corr = with_retries(run)()
         if corr is None:
             return None
         return corr.reshape(F, len(lag_dx), len(lag_dy)).transpose(1, 2, 0)

@@ -398,6 +398,21 @@ def test_jitter_correction_resume(tmp_path):
     assert second[2].shift_arcsec[0] == pytest.approx(-2.0, abs=1.0)
     assert second[2].shift_arcsec[1] == pytest.approx(4.0, abs=1.0)
 
+    # overlap > 1: overlap frames are aligned by TWO sublists and an
+    # existing output cannot reveal which pass wrote it — resume must
+    # always re-align them (here sublists [0,1,2] / [1,2]: frame 2 is
+    # doubly aligned, so it re-runs even where its output exists)
+    outdir2 = tmp_path / "resume_overlap"
+    os.makedirs(outdir2)
+    kwargs2 = dict(kwargs, path_files_output=str(outdir2),
+                   sublist_length=1, overlap=2)
+    first2 = jitter_correction_imagers(**kwargs2)
+    assert sorted(first2) == [1, 2]
+    os.remove(outdir2 / "jr_2.fits")
+    second2 = jitter_correction_imagers(resume=True, **kwargs2)
+    assert 2 in second2
+    assert os.path.isfile(outdir2 / "jr_2.fits")
+
 
 @pytest.mark.slow
 def test_jitter_correction_fleet_mesh(tmp_path):

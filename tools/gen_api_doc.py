@@ -49,11 +49,10 @@ def sig_of(obj):
         return "(...)"
 
 
-def own_doc(obj, owner=None):
-    """First paragraph of the object's OWN docstring (no inheritance)."""
-    raw = (vars(owner).get(obj.__name__).__doc__
-           if owner is not None and obj.__name__ in vars(owner)
-           else obj.__doc__)
+def own_doc(obj):
+    """First paragraph of the object's OWN docstring (no MRO inheritance
+    for classes; function objects never inherit docstrings)."""
+    raw = vars(obj).get("__doc__") if inspect.isclass(obj) else obj.__doc__
     if not raw:
         return ""
     out = []
@@ -86,7 +85,7 @@ def main():
                 continue
             if inspect.isclass(obj):
                 print(f"### `{n}`\n")
-                if obj.__doc__:
+                if own_doc(obj):
                     print(own_doc(obj) + "\n")
                 print(f"```python\n{n}{sig_of(obj)}\n```\n")
                 for mn, mo in inspect.getmembers(
