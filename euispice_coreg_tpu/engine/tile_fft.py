@@ -59,6 +59,11 @@ TOL_DET_PX = 0.15
 _TILE_SIZES = (512, 384, 256, 192, 128)
 _MAX_TILES = 400
 
+# stage-1 tiles per scan step (see evaluate_select_tile_fft's tile_batch)
+import os as _os
+
+_TILE_BATCH = max(1, int(_os.environ.get("EUICOREG_TILEFFT_BATCH", "1")))
+
 
 def _round128(n: int) -> int:
     return -(-n // 128) * 128
@@ -237,7 +242,7 @@ _INV_PRECISION = jax.lax.Precision.HIGH
 
 
 def _tiles_sum(g_stack, r_pad, coeffs_d, o_tab, o_min_g, tile_ids, order,
-               score, T, n_ty, n_tx, my, mx, by, bx, precise):
+               score, T, n_ty, n_tx, my, mx, by, bx, precise, batch=1):
     """Two stages.  Stage 1 scans ``tile_ids``: per tile build the 58
     surface FFTs and evaluate the 66 correlation surfaces on the tile's own
     offset box (anchor ``o_tab[t]``, static size (by, bx)) with two partial
@@ -247,17 +252,19 @@ def _tiles_sum(g_stack, r_pad, coeffs_d, o_tab, o_min_g, tile_ids, order,
     FFT work in small-shape VPU ops (measured on TPU: 0.73 s of a 0.88 s
     scan at L=14641).  Ids >= n_ty*n_tx are padding (multi-chip round-up)
     and contribute zero.  Transform sizes (my, mx) are rectangular: each
-    only needs to cover T + its own axis span."""
+    only needs to cover T + its own axis span.  ``batch`` processes that
+    many tiles per scan step with the DFT matmuls batched (bigger MXU ops;
+    HBM transient scales with it — see ``evaluate_select_tile_fft``)."""
     S_stack = _tiles_surfaces(g_stack, r_pad, o_tab, o_min_g, tile_ids,
                               order, score, T, n_ty, n_tx, my, mx, by, bx,
-                              precise)
+                              precise, batch)
     return _combine_lags(S_stack, coeffs_d, o_tab, tile_ids, order,
                          T, n_tx, n_ty * n_tx, by, bx, g_stack.dtype)
 
 
 def _tiles_surfaces(g_stack, r_pad, o_tab, o_min_g, tile_ids, order,
-                    score, T, n_ty, n_tx, my, mx, by, bx, precise):
-    """Stage 1: scan tiles, emit the stacked (Tn, 66, by, bx) boxes."""
+                    score, T, n_ty, n_tx, my, mx, by, bx, precise, batch=1):
+    """Stage 1: scan tile chunks, emit the stacked (Tn, 66, by, bx) boxes."""
     nt = _tap_count(order) ** 2
     npairs = nt * (nt + 1) // 2
     K = mx // 2 + 1
@@ -280,8 +287,11 @@ def _tiles_surfaces(g_stack, r_pad, o_tab, o_min_g, tile_ids, order,
     span_y = by - 1
     span_x = bx - 1
     n_real = n_ty * n_tx
+    nG = g_stack.shape[0]
+    nR = r_pad.shape[0]
 
-    def one_tile(carry, t):
+    def embed_one(t):
+        """(nG, my, mx) g and (nR, my, mx) r embeddings of one tile."""
         t = jnp.minimum(t, n_real - 1)
         ty = t // n_tx
         tx = t % n_tx
@@ -293,61 +303,84 @@ def _tiles_surfaces(g_stack, r_pad, o_tab, o_min_g, tile_ids, order,
         rel_y = o_t[1] - o_min_g[1]
 
         g_tile = jax.lax.dynamic_slice(
-            g_stack, (zero, y0, x0), (g_stack.shape[0], T, T))
-        g_emb = jnp.zeros((g_stack.shape[0], my, mx), dtype=dt)
+            g_stack, (zero, y0, x0), (nG, T, T))
+        g_emb = jnp.zeros((nG, my, mx), dtype=dt)
         g_emb = g_emb.at[:, :T, :T].set(g_tile)
         # r slice starts at (tile0 + o_tab[t]); r_pad is the global r stack
         # pre-padded by (-o_min_g, +o_max_g) so this start is always >= 0
         r_tile = jax.lax.dynamic_slice(
             r_pad, (zero, y0 + rel_y, x0 + rel_x),
-            (r_pad.shape[0], T + span_y, T + span_x))
-        r_emb = jnp.zeros((r_pad.shape[0], my, mx), dtype=dt)
+            (nR, T + span_y, T + span_x))
+        r_emb = jnp.zeros((nR, my, mx), dtype=dt)
         r_emb = r_emb.at[:, : T + span_y, : T + span_x].set(r_tile)
+        return g_emb, r_emb
+
+    def one_chunk(carry, ts):
+        # embeddings stay per-tile (B static unroll of the dynamic slices);
+        # the transforms and inverse contractions run batched over the
+        # chunk axis c — larger matmuls for the MXU
+        embs = [embed_one(ts[b]) for b in range(batch)]
+        g_emb = jnp.stack([e[0] for e in embs])     # (B, nG, my, mx)
+        r_emb = jnp.stack([e[1] for e in embs])     # (B, nR, my, mx)
 
         if precise:
             # _INV_PRECISION (bf16_3x) for the forward DFTs too: the tile
             # path's error budget is dominated by the shared pre-warp
             # interpolation (~1e-3 of peak range), three orders above the
             # ~1e-5 a HIGH-precision transform carries
-            G = precise_fft.rfft2_rect(g_emb, my, mx,
-                                       precision=_INV_PRECISION)
+            G = precise_fft.rfft2_rect(
+                g_emb.reshape(batch * nG, my, mx), my, mx,
+                precision=_INV_PRECISION).reshape(batch, nG, my, K)
+            r_flat = r_emb.reshape(batch * nR, my, mx)
             R = jnp.concatenate(
-                [precise_fft.rfft2_rect(r_emb[k: k + 8], my, mx,
+                [precise_fft.rfft2_rect(r_flat[k: k + 8], my, mx,
                                         precision=_INV_PRECISION)
-                 for k in range(0, r_emb.shape[0], 8)])
+                 for k in range(0, batch * nR, 8)]).reshape(
+                     batch, nR, my, K)
         else:
             G = jnp.fft.rfft2(g_emb, s=(my, mx))
             R = jnp.fft.rfft2(r_emb, s=(my, mx))
 
         prods = jnp.concatenate([
-            jnp.conj(G[0:1]) * R[0:1],
-            jnp.conj(G[1:2]) * R[0:1],
-            jnp.conj(G[2:3]) * R[0:1],
-            jnp.conj(G[0:1] if score == "pearson" else G[3:4]) * R[1: 1 + nt],
-            jnp.conj(G[1:2] if score == "pearson" else G[4:5]) * R[1: 1 + nt],
-            jnp.conj(G[0:1] if score == "pearson" else G[5:6])
-            * R[1 + nt: 1 + nt + npairs],
-        ])
+            jnp.conj(G[:, 0:1]) * R[:, 0:1],
+            jnp.conj(G[:, 1:2]) * R[:, 0:1],
+            jnp.conj(G[:, 2:3]) * R[:, 0:1],
+            jnp.conj(G[:, 0:1] if score == "pearson" else G[:, 3:4])
+            * R[:, 1: 1 + nt],
+            jnp.conj(G[:, 1:2] if score == "pearson" else G[:, 4:5])
+            * R[:, 1: 1 + nt],
+            jnp.conj(G[:, 0:1] if score == "pearson" else G[:, 5:6])
+            * R[:, 1 + nt: 1 + nt + npairs],
+        ], axis=1)                                  # (B, 66, my, K)
 
-        # partial inverse on the box: S[s, oy, ox] = corr at offset
-        # (o_tab[t] + (oy, ox)); hermitian-half weights as in _box_inverse.
-        # Contract the Y axis FIRST (by < my, so the intermediate is the
-        # smaller (66, by, K) instead of (66, my, bx)), and compute only the
-        # REAL part of the final X contraction as two real matmuls — the
-        # result is real, and a full complex matmul costs 2x the flops.
-        # whalf and the 1/(my*mx) normalization are diagonal in kx, so they
-        # fold into the small Ex matrices (Exr/Exi below) instead of two
-        # full elementwise passes over the (66, my, K) spectrum per tile.
-        ZY = jnp.einsum("yk,skx->syx", Ey, prods,
+        # partial inverse on the box: S[c, s, oy, ox] = corr at offset
+        # (o_tab[t_c] + (oy, ox)); hermitian-half weights as in
+        # _box_inverse.  Contract the Y axis FIRST (by < my, so the
+        # intermediate is the smaller (B, 66, by, K) instead of
+        # (B, 66, my, bx)), and compute only the REAL part of the final X
+        # contraction as two real matmuls — the result is real, and a full
+        # complex matmul costs 2x the flops.  whalf and the 1/(my*mx)
+        # normalization are diagonal in kx, so they fold into the small Ex
+        # matrices (Exr/Exi) instead of two full elementwise passes over
+        # the (B, 66, my, K) spectrum per chunk.
+        ZY = jnp.einsum("yk,cskx->csyx", Ey, prods,
                         precision=_INV_PRECISION)
-        S_box = (jnp.einsum("syx,xb->syb", jnp.real(ZY), Exr,
+        S_box = (jnp.einsum("csyx,xb->csyb", jnp.real(ZY), Exr,
                             precision=_INV_PRECISION)
-                 - jnp.einsum("syx,xb->syb", jnp.imag(ZY), Exi,
-                              precision=_INV_PRECISION))           # (66, by, bx)
+                 - jnp.einsum("csyx,xb->csyb", jnp.imag(ZY), Exi,
+                              precision=_INV_PRECISION))  # (B, 66, by, bx)
         return carry, S_box
 
-    _, S_stack = jax.lax.scan(one_tile, jnp.int32(0), tile_ids)
-    return S_stack
+    Tn = tile_ids.shape[0]
+    pad = (-Tn) % batch
+    ids = tile_ids
+    if pad:
+        # pad ids are clamped to a real tile in embed_one and their boxes
+        # sliced away below; stage 2 masks by the caller's tile_ids anyway
+        ids = jnp.concatenate(
+            [tile_ids, jnp.full((pad,), n_real, dtype=tile_ids.dtype)])
+    _, S = jax.lax.scan(one_chunk, jnp.int32(0), ids.reshape(-1, batch))
+    return S.reshape(-1, S.shape[2], by, bx)[:Tn]
 
 
 def _combine_lags(S_stack, coeffs_d, o_tab, tile_ids, order,
@@ -412,13 +445,13 @@ def _combine_lags(S_stack, coeffs_d, o_tab, tile_ids, order,
 
 @partial(jax.jit, static_argnames=(
     "order", "score", "T", "n_ty", "n_tx", "my", "mx", "by", "bx",
-    "precise"))
+    "precise", "batch"))
 def _evaluate_tiles(g_stack, r_pad, coeffs_d, o_tab, o_min_g, order, score,
-                    T, n_ty, n_tx, my, mx, by, bx, precise):
+                    T, n_ty, n_tx, my, mx, by, bx, precise, batch=1):
     """Single-device evaluation over all tiles."""
     ids = jnp.arange(n_ty * n_tx, dtype=jnp.int32)
     return _tiles_sum(g_stack, r_pad, coeffs_d, o_tab, o_min_g, ids, order,
-                      score, T, n_ty, n_tx, my, mx, by, bx, precise)
+                      score, T, n_ty, n_tx, my, mx, by, bx, precise, batch)
 
 
 from functools import lru_cache
@@ -426,7 +459,7 @@ from functools import lru_cache
 
 @lru_cache(maxsize=16)
 def _sharded_tiles_fn(mesh, order, score, T, n_ty, n_tx, my, mx, by, bx,
-                      precise):
+                      precise, batch=1):
     """Memoized jit(shard_map) evaluator (a fresh closure per call would
     re-trace the 58-FFT scan body and pay a remote compile-cache round-trip
     per alignment — CLAUDE.md)."""
@@ -435,7 +468,7 @@ def _sharded_tiles_fn(mesh, order, score, T, n_ty, n_tx, my, mx, by, bx,
 
     def local(tile_ids, g, r, cf, otab, omg):
         s = _tiles_sum(g, r, cf, otab, omg, tile_ids, order, score,
-                       T, n_ty, n_tx, my, mx, by, bx, precise)
+                       T, n_ty, n_tx, my, mx, by, bx, precise, batch)
         return jax.lax.psum(s, "lags")
 
     return jax.jit(shard_map(
@@ -446,7 +479,7 @@ def _sharded_tiles_fn(mesh, order, score, T, n_ty, n_tx, my, mx, by, bx,
 
 def _evaluate_tiles_sharded(mesh, g_stack, r_pad, coeffs_d, o_tab, o_min_g,
                             order, score, T, n_ty, n_tx, my, mx, by, bx,
-                            precise):
+                            precise, batch=1):
     """Multi-chip evaluation: the tile axis is sharded over the mesh's
     ``lags`` axis (fields replicated in every chip's HBM — the TPU-native
     form of the reference's process fan-out); each device scans its tile
@@ -461,7 +494,7 @@ def _evaluate_tiles_sharded(mesh, g_stack, r_pad, coeffs_d, o_tab, o_min_g,
     ids = np.arange(n_pad, dtype=np.int32)  # >= n_tiles pad -> zero update
 
     fn = _sharded_tiles_fn(mesh, order, score, T, n_ty, n_tx, my, mx, by,
-                           bx, precise)
+                           bx, precise, batch)
     with mesh:
         return fn(mesh_put(ids, mesh, P("lags")),
                   mesh_put(g_stack, mesh),
@@ -474,7 +507,8 @@ def _evaluate_tiles_sharded(mesh, g_stack, r_pad, coeffs_d, o_tab, o_min_g,
 def evaluate_select_tile_fft(coeffs, warped, ref_img, *, order, h, w,
                              method="correlation", scale_det_per_grid=1.0,
                              tol_det=TOL_DET_PX, compute_dtype=jnp.float32,
-                             tile_size=None, precise=None, mesh=None):
+                             tile_size=None, precise=None, mesh=None,
+                             tile_batch=None):
     """Score ``L`` quadratic-displacement lags via tile-local FFT surfaces.
 
     Same inputs/semantics as pallas_quad.evaluate_select_carr_pallas;
@@ -483,6 +517,10 @@ def evaluate_select_tile_fft(coeffs, warped, ref_img, *, order, h, w,
     detector-pixel tolerance).  ``scale_det_per_grid`` converts grid-pixel
     deviations to detector pixels (the canvas oversampling factor's
     inverse); pass 1.0 when unknown (conservative).
+
+    ``tile_batch``: tiles per scan step in stage 1 (DFT matmuls batched
+    over the chunk — bigger MXU ops, HBM transient scales with it);
+    defaults to the ``EUICOREG_TILEFFT_BATCH`` env var (1).
     """
     if method not in ("correlation", "residus_masked") or order not in (0, 2):
         return None
@@ -565,14 +603,18 @@ def evaluate_select_tile_fft(coeffs, warped, ref_img, *, order, h, w,
         o_tab_d = jnp.asarray(o_min_t, dtype=jnp.int32)
         o_min_d = jnp.asarray(o_min, dtype=jnp.int32)
 
+    if tile_batch is None:
+        tile_batch = _TILE_BATCH
+    batch = max(1, min(int(tile_batch), n_ty * n_tx))
+
     if mesh is not None and mesh.devices.size > 1:
         sums = _evaluate_tiles_sharded(
             mesh, g_stack, r_pad, coeffs_d, o_tab_d, o_min_d, order, score,
-            T, n_ty, n_tx, my, mx, by, bx, precise)
+            T, n_ty, n_tx, my, mx, by, bx, precise, batch)
     else:
         sums = _evaluate_tiles(g_stack, r_pad, coeffs_d, o_tab_d, o_min_d,
                                order, score, T, n_ty, n_tx, my, mx, by, bx,
-                               precise)
+                               precise, batch)
     S = np.asarray(sums, dtype=np.float64)  # (L, 6)
 
     n = S[:, 0]

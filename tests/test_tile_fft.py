@@ -253,6 +253,38 @@ def test_per_tile_boxes_match_global_box():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
+def test_tile_batch_matches_unbatched():
+    """tile_batch > 1 (batched stage-1 DFT matmuls, including a chunk-pad
+    remainder: 4 tiles with batch 3) must reproduce tile_batch=1."""
+    from euispice_coreg_tpu.engine import tile_fft
+
+    h = w = 256
+    rng = np.random.default_rng(9)
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    ref = (100 + np.sin(xx / 9.0) * np.cos(yy / 13.0) * 10
+           + rng.normal(size=(h, w)))
+    warped = (100 + np.sin((xx + 1.2) / 9.0) * np.cos((yy - 0.8) / 13.0) * 10
+              + rng.normal(size=(h, w)))
+    ref[:6, :] = np.nan
+    warped[40:44, 80:90] = np.nan
+
+    L = 7
+    coeffs = np.zeros((L, 6, 2))
+    coeffs[:, 2, 0] = np.linspace(-3.0, 3.0, L)
+    coeffs[:, 2, 1] = np.linspace(2.0, -2.0, L)
+    coeffs[:, 0, 0] = 0.02
+    coeffs[:, 1, 1] = -0.015
+
+    kw = dict(order=2, h=h, w=w, method="correlation",
+              compute_dtype="float64", tile_size=128)
+    base = tile_fft.evaluate_select_tile_fft(coeffs, warped, ref, **kw)
+    assert base is not None
+    for b in (2, 3, 4):
+        got = tile_fft.evaluate_select_tile_fft(coeffs, warped, ref,
+                                                tile_batch=b, **kw)
+        np.testing.assert_allclose(got, base, rtol=1e-10, atol=1e-12)
+
+
 def test_tile_fft_sharded_matches_single_device():
     """Tile axis sharded over a NON-default-device mesh: one psum combines
     the per-device partial sums; values must match the unsharded run.
