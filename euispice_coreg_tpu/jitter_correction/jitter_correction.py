@@ -217,10 +217,16 @@ def align_movie_to_reference(
     shape=None,
     reference_date=None,
     mesh=None,
+    resume: bool = False,
     **alignment_kwargs,
 ):
     """Align every frame of a movie against ONE fixed reference image
     (BASELINE.md batched-movie configuration).
+
+    ``resume=True`` (with ``path_files_output``) skips frames whose
+    corrected output already exists — skipped frames are absent from the
+    returned dict (outputs are written atomically, so an existing file is
+    always complete).
 
     Frames share image shape and lag grid, so after the first frame every
     alignment reuses the compiled TPU program; with a CRVAL-only lag grid
@@ -237,21 +243,31 @@ def align_movie_to_reference(
     Returns {index: AlignmentResults}; writes corrected files when
     ``path_files_output`` is given.
     """
-    from ..utils.obs import Progress
+    from ..utils.obs import Progress, logger
+
+    frames = list(enumerate(list_files_input))  # (original index, path)
+    if resume and path_files_output is not None:
+        todo = [(k, p) for k, p in frames
+                if not os.path.isfile(os.path.join(
+                    path_files_output, os.path.basename(str(p))))]
+        if len(todo) < len(frames):
+            logger.info("resume: skipping %d already-corrected frames",
+                        len(frames) - len(todo))
+        frames = todo
 
     if (mesh is not None and alignement_method == "helioprojective"
-            and len(list_files_input) > 0):
+            and len(frames) > 0):
         batched = _align_movie_batched(
-            list_files_input, reference_path, path_files_output,
+            [p for _, p in frames], reference_path, path_files_output,
             lag_crval1, lag_crval2, window_files_input, reference_window,
             mesh, dict(alignment_kwargs))
         if batched is not None:
-            return batched
+            return {frames[j][0]: r for j, r in batched.items()}
 
     # per-frame loop (and the fleet fallback): one bar for the whole movie
-    progress = Progress(total=len(list_files_input), label="movie alignment")
+    progress = Progress(total=len(frames), label="movie alignment")
     results_all = {}
-    for k, path in enumerate(list_files_input):
+    for k, path in frames:
         A = Alignment(
             large_fov_known_pointing=reference_path,
             large_fov_window=reference_window,

@@ -359,6 +359,41 @@ def test_align_movie_to_reference_fleet(tmp_path):
         assert os.path.isfile(outdir / f"fleet_{k}.fits")
 
 
+def test_align_movie_resume(tmp_path):
+    """align_movie_to_reference(resume=True) skips frames whose corrected
+    output exists; returned dict keeps ORIGINAL frame indices."""
+    from euispice_coreg_tpu.jitter_correction.jitter_correction import (
+        align_movie_to_reference,
+    )
+
+    hdr_ref = fx.make_header((64, 64), (8.0, 8.0), (0.0, 0.0), 0.0)
+    data_ref = fx.render_helioprojective(hdr_ref)
+    p_ref = str(tmp_path / "mr_ref.fits")
+    fits.write(p_ref, [fits.PrimaryHDU(data=data_ref.astype(np.float32),
+                                       header=hdr_ref)])
+    paths = []
+    for k, ox in enumerate([2.0, -2.0]):
+        hdr = hdr_ref.copy()
+        hdr["CRVAL1"] = hdr_ref["CRVAL1"] - ox
+        p = str(tmp_path / f"mr_{k}.fits")
+        fits.write(p, [fits.PrimaryHDU(data=data_ref.astype(np.float32),
+                                       header=hdr)])
+        paths.append(p)
+
+    outdir = tmp_path / "mr_out"
+    os.makedirs(outdir)
+    kwargs = dict(lag_crval1=np.arange(-4.0, 5.0, 2.0),
+                  lag_crval2=np.arange(-4.0, 5.0, 2.0),
+                  window_files_input=0, reference_window=0,
+                  path_files_output=str(outdir))
+    first = align_movie_to_reference(paths, p_ref, **kwargs)
+    assert sorted(first) == [0, 1]
+    os.remove(outdir / "mr_0.fits")
+    second = align_movie_to_reference(paths, p_ref, resume=True, **kwargs)
+    assert sorted(second) == [0]  # frame 1 skipped; original index kept
+    assert os.path.isfile(outdir / "mr_0.fits")
+
+
 def test_jitter_correction_resume(tmp_path):
     """resume=True re-aligns only frames whose corrected output is missing."""
     from euispice_coreg_tpu.jitter_correction import jitter_correction_imagers
