@@ -239,6 +239,10 @@ def align_movie_to_reference(
     ``alignment.py:667-721``; see
     ``engine/fast_corr.evaluate_movie_from_displacements``).  Falls back to
     the per-frame loop whenever a frame fails the fast-path preconditions.
+    Worth it when the movie has at least ~one frame per device; for a
+    handful of frames on a large mesh, omit ``mesh`` — the per-frame path
+    already shards each frame's surface stack over the lag axis
+    (``fast_corr.surfaces_at_sharded``), which wins when frames are few.
 
     Returns {index: AlignmentResults}; writes corrected files when
     ``path_files_output`` is given.
