@@ -13,7 +13,8 @@ import threading
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SRCS = [os.path.join(_DIR, "rice.cpp"), os.path.join(_DIR, "hcompress.cpp")]
+_SRCS = [os.path.join(_DIR, "rice.cpp"), os.path.join(_DIR, "hcompress.cpp"),
+         os.path.join(_DIR, "plio.cpp")]
 _SO = os.path.join(_DIR, "libeuicoreg_native.so")
 
 _lock = threading.Lock()
@@ -59,6 +60,14 @@ def _load():
         lib.euicoreg_hcomp_encode.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_void_p, ctypes.c_long,
+        ]
+        lib.euicoreg_plio_encode.restype = ctypes.c_long
+        lib.euicoreg_plio_encode.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long,
+        ]
+        lib.euicoreg_plio_decode.restype = ctypes.c_int
+        lib.euicoreg_plio_decode.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long,
         ]
         _lib = lib
         return lib
@@ -122,6 +131,35 @@ def hcomp_decode(comp: np.ndarray, npix: int) -> tuple[np.ndarray, int, int]:
     if rc != 0:
         raise ValueError(f"HCOMPRESS decode failed (rc={rc})")
     return out.reshape(nx.value, ny.value), nx.value, ny.value
+
+
+def plio_encode(pixels: np.ndarray) -> np.ndarray:
+    """PLIO_1-encode an int array; returns int16 line-list words.
+
+    Valid pixel range is 0..2^24-1 (IRAF pixel lists are mask images);
+    out-of-range values raise ``ValueError``."""
+    lib = _load()
+    a = np.ascontiguousarray(pixels, dtype=np.int32).ravel()
+    # worst case: one SH pair + one HN per pixel, plus header and slack
+    cap = a.size * 3 + 16
+    out = np.empty(cap, dtype=np.int16)
+    n = lib.euicoreg_plio_encode(a.ctypes.data, a.size, out.ctypes.data, cap)
+    if n == -2:
+        raise ValueError("PLIO_1 requires pixel values in [0, 2^24 - 1]")
+    if n < 0:
+        raise RuntimeError("PLIO encode buffer overflow")
+    return out[:n].copy()
+
+
+def plio_decode(ll: np.ndarray, npix: int) -> np.ndarray:
+    """Decode PLIO_1 line-list shorts into an int32 array of ``npix``."""
+    lib = _load()
+    c = np.ascontiguousarray(ll, dtype=np.int16)
+    out = np.empty(npix, dtype=np.int32)
+    rc = lib.euicoreg_plio_decode(c.ctypes.data, c.size, out.ctypes.data, npix)
+    if rc != 0:
+        raise ValueError(f"PLIO decode failed (rc={rc})")
+    return out
 
 
 def rice_decode(comp: np.ndarray, npix: int, blocksize: int = 32, bytepix: int = 4) -> np.ndarray:

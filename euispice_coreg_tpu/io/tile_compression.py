@@ -1,6 +1,6 @@
 """Tile-compressed FITS image support
-(RICE_1, GZIP_1, GZIP_2, HCOMPRESS_1, NOCOMPRESS; PLIO_1 is NOT supported —
-it is an IRAF mask format that does not occur in Solar Orbiter products).
+(RICE_1, GZIP_1, GZIP_2, HCOMPRESS_1, PLIO_1, NOCOMPRESS — the full set of
+ZCMPTYPEs astropy's CompImageHDU reads).
 
 This fills the role cfitsio's compiled codecs play underneath astropy's
 ``CompImageHDU`` in the reference stack (the reference opens RICE-compressed
@@ -10,7 +10,8 @@ FITS Tiled Image Compression Convention (White et al. 2013):
 
 - integer images: lossless RICE_1 (native C++ codec in ``io/native/rice.cpp``
   bound through ctypes), HCOMPRESS_1 (native codec in
-  ``io/native/hcompress.cpp``), GZIP_1, GZIP_2 (byte-plane shuffled gzip);
+  ``io/native/hcompress.cpp``), PLIO_1 (IRAF line lists for mask images,
+  ``io/native/plio.cpp``), GZIP_1, GZIP_2 (byte-plane shuffled gzip);
 - floating-point images: per-tile linear quantization with ZSCALE/ZZERO
   table columns, ``NO_DITHER`` / ``SUBTRACTIVE_DITHER_1`` /
   ``SUBTRACTIVE_DITHER_2`` (the cfitsio Park-Miller random sequence),
@@ -127,10 +128,10 @@ def _column_descr(hdr: Header):
         base = tform.lstrip("0123456789")
         rep = tform[: len(tform) - len(base)]
         rep = int(rep) if rep else 1
-        if base.startswith("PB"):
-            size, kind = 8 * rep, "PB"  # 32-bit (count, offset) pair
-        elif base.startswith("QB"):
-            size, kind = 16 * rep, "QB"  # 64-bit pair
+        if base.startswith("P") and len(base) >= 2 and base[1] in _TFORM_SIZE:
+            size, kind = 8 * rep, "P" + base[1]  # 32-bit (count, offset) pair
+        elif base.startswith("Q") and len(base) >= 2 and base[1] in _TFORM_SIZE:
+            size, kind = 16 * rep, "Q" + base[1]  # 64-bit pair
         elif base.startswith("X"):
             size, kind = -(-rep // 8), "X"  # bit array: ceil(n/8) bytes
         elif base and base[0] in _TFORM_SIZE:
@@ -143,14 +144,18 @@ def _column_descr(hdr: Header):
 
 
 def _read_heap_bytes(rows, heap, row, col):
+    """Heap payload of a variable-length column.  The descriptor's count is
+    in ELEMENTS; the byte length is count x element size (1 for B, 2 for the
+    I shorts PLIO_1 uses, ...)."""
     off, kind = col
-    if kind == "PB":
+    if kind.startswith("P") and len(kind) == 2:
         n, hoff = np.frombuffer(rows[row, off: off + 8].tobytes(), dtype=">i4")
-    elif kind == "QB":
+    elif kind.startswith("Q") and len(kind) == 2:
         n, hoff = np.frombuffer(rows[row, off: off + 16].tobytes(), dtype=">i8")
     else:
-        raise ValueError("not a variable-length byte column")
-    return heap[int(hoff): int(hoff) + int(n)]
+        raise ValueError("not a variable-length column")
+    nbytes = int(n) * _TFORM_SIZE[kind[1]]
+    return heap[int(hoff): int(hoff) + nbytes]
 
 
 def _read_scalar(rows, row, col, dtype_letter_map={"D": ">f8", "E": ">f4",
@@ -205,6 +210,9 @@ def _decode_tile_ints(comp, npix, zcmptype, blocksize, bytepix, zbitpix,
                 and nx != ny:
             arr2d = arr2d.T  # writer used (cols, rows) convention
         return arr2d.reshape(-1).astype(np.int64)
+    if zcmptype == "PLIO_1":
+        ll = np.frombuffer(bytes(comp), dtype=">i2").astype(np.int16)
+        return native.plio_decode(ll, npix).astype(np.int64)
     if zcmptype in ("GZIP_1", "GZIP_2"):
         raw = _gzip_decompress(comp)
         itemsize = len(raw) // npix
@@ -253,7 +261,8 @@ def decompress_hdu(hdr: Header, raw: bytes) -> np.ndarray:
     """Decode a tile-compressed binary-table payload to an image.
 
     Covers everything astropy's CompImageHDU reader handles for 2-D images:
-    RICE_1 / GZIP_1 / GZIP_2 / NOCOMPRESS payloads, per-tile ZSCALE/ZZERO
+    RICE_1 / HCOMPRESS_1 / PLIO_1 / GZIP_1 / GZIP_2 / NOCOMPRESS payloads,
+    per-tile ZSCALE/ZZERO
     quantization columns with all three ZQUANTIZ modes, ZBLANK (header card or
     column), and the GZIP_COMPRESSED_DATA / UNCOMPRESSED_DATA fallback
     columns for unquantizable tiles.
@@ -303,7 +312,7 @@ def decompress_hdu(hdr: Header, raw: bytes) -> np.ndarray:
     quantized = zbitpix < 0 and (
         "ZSCALE" in cols or "ZZERO" in cols
         or "ZSCALE" in hdr or "ZZERO" in hdr
-        or zcmptype in ("RICE_1", "HCOMPRESS_1")
+        or zcmptype in ("RICE_1", "HCOMPRESS_1", "PLIO_1")
     )
 
     if zbitpix == -32:
@@ -395,6 +404,9 @@ def _encode_tile_ints(arr_i4: np.ndarray, zcmptype: str, blocksize: int,
     if zcmptype == "HCOMPRESS_1":
         return native.hcomp_encode(
             np.asarray(arr_i4).reshape(tile_hw), hscale).tobytes()
+    if zcmptype == "PLIO_1":
+        return native.plio_encode(np.asarray(arr_i4).ravel()) \
+            .astype(">i2").tobytes()
     if zcmptype == "GZIP_1":
         return _gzip_compress(arr_i4.astype(">i4").tobytes())
     if zcmptype == "GZIP_2":
@@ -503,6 +515,11 @@ def compress_hdu_bytes(hdu, compression_type: str | None = None,
     zcmptype = (compression_type or getattr(hdu, "compression_type", None)
                 or "RICE_1").upper()
     is_float = data.dtype.kind == "f"
+    if zcmptype == "PLIO_1" and is_float:
+        # quantized codes anchor at the bottom of int32, far outside the
+        # PLIO [0, 2^24) range — cfitsio rejects this combination too
+        raise ValueError("PLIO_1 stores integer mask data only; "
+                         "use RICE_1/GZIP for floating-point images")
     zbitpix = (-32 if data.dtype.itemsize <= 4 else -64) if is_float else 32
 
     height, width = data.shape
@@ -521,6 +538,10 @@ def compress_hdu_bytes(hdu, compression_type: str | None = None,
 
     ntx = -(-width // tile_w)
     nty = -(-height // tile_h)
+    # PLIO payloads are int16 line-list words ('PI' column, counts in
+    # elements); every other codec stores raw bytes ('PB')
+    comp_tform, comp_esize = (("1PI", 2) if zcmptype == "PLIO_1"
+                              else ("1PB", 1))
     comp_descs, gzfb_descs = [], []
     zscales, zzeros = [], []
     heap = bytearray()
@@ -561,13 +582,13 @@ def compress_hdu_bytes(hdu, compression_type: str | None = None,
             arr_i4 = tile.astype(np.int32).ravel()
         payload = _encode_tile_ints(arr_i4, zcmptype, blocksize, bytepix,
                                     tile_hw=tile.shape)
-        comp_descs.append((len(payload), len(heap)))
+        comp_descs.append((len(payload) // comp_esize, len(heap)))
         gzfb_descs.append((0, 0))
         heap.extend(payload)
 
-    # row layout: COMPRESSED_DATA 1PB [, GZIP_COMPRESSED_DATA 1PB]
+    # row layout: COMPRESSED_DATA 1PB|1PI [, GZIP_COMPRESSED_DATA 1PB]
     #             [, ZSCALE 1D, ZZERO 1D]  (quantized float only)
-    fields = [("COMPRESSED_DATA", "1PB")]
+    fields = [("COMPRESSED_DATA", comp_tform)]
     if is_float and any_fallback:
         fields.append(("GZIP_COMPRESSED_DATA", "1PB"))
     if is_float:
@@ -614,6 +635,8 @@ def compress_hdu_bytes(hdu, compression_type: str | None = None,
         cards_src["ZVAL1"] = 0.0  # lossless H-transform (ints exact)
         cards_src["ZNAME2"] = "SMOOTH"
         cards_src["ZVAL2"] = 0
+    elif zcmptype == "PLIO_1":
+        pass  # PLIO has no codec parameters
     else:
         cards_src["ZNAME1"] = "BLOCKSIZE"
         cards_src["ZVAL1"] = blocksize

@@ -490,3 +490,136 @@ def test_hcompress_truncated_stream_rejected():
     comp = hcomp_encode(np.arange(64, dtype=np.int32).reshape(8, 8))
     with pytest.raises(ValueError):
         hcomp_decode(comp[:23], 64)
+
+
+# ---------------------------------------------------------------------------
+# PLIO_1 (IRAF line-list masks, native codec io/native/plio.cpp)
+# ---------------------------------------------------------------------------
+
+def _plio_cases():
+    rng = np.random.default_rng(21)
+    return [
+        np.array([0, 0, 0, 5, 5, 5, 0, 0, 1, 2, 3], dtype=np.int32),
+        np.zeros(100, dtype=np.int32),
+        np.full(300, 7, dtype=np.int32),
+        np.arange(5000, dtype=np.int32),              # long increasing ramp
+        np.concatenate([np.zeros(9000, np.int32), [3]]),   # >4095 zero run
+        np.concatenate([np.full(9000, 9, np.int32), [0]]),  # >4095 hi run
+        np.array([(1 << 24) - 1, (1 << 24) - 1, 0, 1], dtype=np.int32),
+        np.array([100, 90, 90, 80, 0, 5], dtype=np.int32),  # decrements
+        # (np.concatenate above promotes to int64; normalized below)
+        rng.integers(0, 5, size=4096).astype(np.int32),     # mask-like
+        rng.integers(0, 1 << 20, size=513).astype(np.int32),  # wide range
+    ]
+
+
+def _plio_cases_i32():
+    return [np.ascontiguousarray(a, dtype=np.int32) for a in _plio_cases()]
+
+
+def test_plio_codec_roundtrip():
+    from euispice_coreg_tpu.io.native import plio_decode, plio_encode
+
+    for a in _plio_cases():
+        ll = plio_encode(a)
+        np.testing.assert_array_equal(plio_decode(ll, a.size), a)
+
+
+def test_plio_golden_cfitsio_streams():
+    """Byte-exact decode of streams captured from libcfitsio's pl_p2li
+    (the canonical PLIO encoder) — hermetic: vectors embedded here."""
+    from euispice_coreg_tpu.io.native import plio_decode
+
+    goldens = [
+        ([0, 7, -100, 14, 0, 0, 0, 8196, 3, 16387, 12292, 20483, 24577,
+          24577],
+         [0, 0, 0, 5, 5, 5, 0, 0, 1, 2, 3]),
+        ([0, 7, -100, 9, 0, 0, 0, 8198, 16387], [7, 7, 7]),
+        ([0, 7, -100, 8, 0, 0, 0, 10], [0] * 10),
+        ([0, 7, -100, 16, 0, 0, 0, 16386, 8193, 16387, 5792, 24, 16386,
+          4138, 0, 20484],
+         [1, 1, 2, 2, 2, 100000, 100000, 0, 0, 0, 42]),
+        ([0, 7, -100, 13, 0, 0, 0, 8191, 4095, 16386, 4097, 0, 20482],
+         [(1 << 24) - 1, (1 << 24) - 1, 0, 1]),
+        ([0, 7, -100, 13, 0, 0, 0, 24675, 12298, 16386, 28682, 12363,
+          20482],
+         [100, 90, 90, 80, 0, 5]),
+    ]
+    for ll, expect in goldens:
+        got = plio_decode(np.array(ll, dtype=np.int16), len(expect))
+        np.testing.assert_array_equal(got, np.array(expect, dtype=np.int32))
+
+
+def test_plio_cross_validate_against_cfitsio():
+    """When libcfitsio is present, fuzz both directions against the
+    canonical codec: cfitsio decodes our streams, we decode cfitsio's."""
+    import ctypes
+
+    from euispice_coreg_tpu.io.native import plio_decode, plio_encode
+
+    lib = None
+    for name in ("libcfitsio.so", "libcfitsio.so.10", "libcfitsio.so.9"):
+        try:
+            lib = ctypes.CDLL(name)
+            break
+        except OSError:
+            continue
+    if lib is None or not hasattr(lib, "pl_p2li"):
+        pytest.skip("libcfitsio not available")
+    lib.pl_p2li.restype = ctypes.c_int
+    lib.pl_p2li.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
+                            ctypes.c_int]
+    lib.pl_l2pi.restype = ctypes.c_int
+    lib.pl_l2pi.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
+                            ctypes.c_int]
+
+    for a in _plio_cases_i32():
+        # theirs -> ours
+        buf = np.zeros(a.size * 4 + 64, dtype=np.int16)
+        n = lib.pl_p2li(a.ctypes.data, 1, buf.ctypes.data, a.size)
+        assert n > 0
+        np.testing.assert_array_equal(plio_decode(buf[:n], a.size), a)
+        # ours -> theirs
+        ll = plio_encode(a)
+        out = np.zeros(a.size, dtype=np.int32)
+        m = lib.pl_l2pi(np.ascontiguousarray(ll).ctypes.data, 1,
+                        out.ctypes.data, a.size)
+        assert m == a.size
+        np.testing.assert_array_equal(out, a)
+
+
+def test_plio_hdu_roundtrip(tmp_path):
+    rng = np.random.default_rng(22)
+    img = rng.integers(0, 8, size=(57, 43)).astype(np.int32)  # mask-like
+    path = tmp_path / "plio.fits"
+    fits.write(path, [fits.PrimaryHDU(),
+                      fits.CompImageHDU(data=img, name="MASK",
+                                        compression_type="PLIO_1")])
+    got = fits.open(path)["MASK"]
+    assert got.header["ZCMPTYPE"] == "PLIO_1"
+    np.testing.assert_array_equal(got.data, img)
+
+
+def test_plio_tiled_hdu_roundtrip(tmp_path):
+    rng = np.random.default_rng(23)
+    img = (rng.random(size=(50, 37)) < 0.2).astype(np.int32) * 4095
+    path = tmp_path / "pliot.fits"
+    fits.write(path, [fits.PrimaryHDU(),
+                      fits.CompImageHDU(data=img, name="MASK",
+                                        compression_type="PLIO_1",
+                                        tile_shape=(16, 20))])
+    np.testing.assert_array_equal(fits.open(path)["MASK"].data, img)
+
+
+def test_plio_range_and_float_guards(tmp_path):
+    from euispice_coreg_tpu.io.native import plio_encode
+
+    with pytest.raises(ValueError, match=r"PLIO_1"):
+        plio_encode(np.array([-1], dtype=np.int32))
+    with pytest.raises(ValueError, match=r"PLIO_1"):
+        plio_encode(np.array([1 << 24], dtype=np.int32))
+    with pytest.raises(ValueError, match="integer mask"):
+        fits.write(tmp_path / "bad.fits",
+                   [fits.PrimaryHDU(),
+                    fits.CompImageHDU(data=np.ones((8, 8), np.float32),
+                                      name="W", compression_type="PLIO_1")])
