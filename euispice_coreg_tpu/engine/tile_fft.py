@@ -62,7 +62,18 @@ _MAX_TILES = 400
 # stage-1 tiles per scan step (see evaluate_select_tile_fft's tile_batch)
 import os as _os
 
-_TILE_BATCH = max(1, int(_os.environ.get("EUICOREG_TILEFFT_BATCH", "1")))
+def _env_tile_batch() -> int:
+    raw = _os.environ.get("EUICOREG_TILEFFT_BATCH", "1")
+    try:
+        return max(1, int(raw))
+    except ValueError:
+        import warnings
+
+        warnings.warn(f"ignoring malformed EUICOREG_TILEFFT_BATCH={raw!r}")
+        return 1
+
+
+_TILE_BATCH = _env_tile_batch()
 
 
 def _round128(n: int) -> int:
@@ -605,7 +616,13 @@ def evaluate_select_tile_fft(coeffs, warped, ref_img, *, order, h, w,
 
     if tile_batch is None:
         tile_batch = _TILE_BATCH
-    batch = max(1, min(int(tile_batch), n_ty * n_tx))
+    max_batch = n_ty * n_tx
+    if mesh is not None and mesh.devices.size > 1:
+        # Clamp to the per-device shard: each chip scans only
+        # ceil(n_tiles/ndev) tiles, and a wider batch would pad every
+        # chunk with clamped duplicate tiles (wasted stage-1 FFTs).
+        max_batch = -(-max_batch // mesh.devices.size)
+    batch = max(1, min(int(tile_batch), max_batch))
 
     if mesh is not None and mesh.devices.size > 1:
         sums = _evaluate_tiles_sharded(

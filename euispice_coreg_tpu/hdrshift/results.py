@@ -242,9 +242,12 @@ class AlignmentResults:
                 corrected += 1
             else:
                 out.append(hdu)
-        fits.write(path_to_l3_output, out, overwrite=True)
+        # Validate BEFORE publishing: writing first would leave an
+        # uncorrected copy on disk that resume= paths (e.g.
+        # jitter_correction resume=True) would then trust as done.
         if corrected == 0:
             raise ValueError("has not corrected any window.")
+        fits.write(path_to_l3_output, out, overwrite=True)
 
     def return_corrected_header(self, window, path_to_l2_input: str | None = None):
         from ..io import fits

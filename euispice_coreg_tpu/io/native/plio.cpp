@@ -6,7 +6,7 @@
 // (/root/reference/euispice_coreg/hdrshift/alignment.py:299-300).
 // Ground-up implementation from the published IRAF line-list format,
 // validated empirically against libcfitsio's own encoder/decoder (see
-// tests/test_tile_compression.py PLIO cases).
+// the PLIO cases in tests/test_fits_io.py).
 //
 // Stream layout (16-bit signed words, big-endian on disk):
 //   header: [0, 7, -100, len & 0x7fff, len >> 15, 0, 0]   (len incl. header)

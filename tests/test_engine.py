@@ -310,3 +310,16 @@ def test_invalid_reprojection_order_rejected(tmp_path):
             lag_crval1=[0.0], lag_crval2=[0.0],
             lag_cdelt1=None, lag_cdelt2=None, lag_crota=None,
             reprojection_order=5)
+
+
+def test_write_corrected_fits_no_match_publishes_nothing(tmp_path):
+    """A window list matching no HDU must raise BEFORE publishing: an
+    uncorrected copy on disk would be trusted as done by resume= flows
+    (jitter_correction resume=True skips existing outputs)."""
+    A = make_alignment(tmp_path, true_shift=(8.0, -4.0))
+    res = A.align_using_helioprojective()
+    out = tmp_path / "corrected.fits"
+    with pytest.raises(ValueError, match="has not corrected"):
+        res.write_corrected_fits(window_list_to_apply_shift=["NO_SUCH_WINDOW"],
+                                 path_to_l3_output=str(out))
+    assert not out.exists()

@@ -331,3 +331,64 @@ def test_tile_fft_sharded_matches_single_device():
                                             **kw)
     assert want is not None and got is not None
     np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
+
+
+def test_env_tile_batch_tolerates_malformed(monkeypatch):
+    """A malformed EUICOREG_TILEFFT_BATCH must degrade to the default (1)
+    with a warning, not crash engine import / every alignment."""
+    from euispice_coreg_tpu.engine import tile_fft
+
+    for bad in ("", "2.0", "fast"):
+        monkeypatch.setenv("EUICOREG_TILEFFT_BATCH", bad)
+        with pytest.warns(UserWarning, match="EUICOREG_TILEFFT_BATCH"):
+            assert tile_fft._env_tile_batch() == 1
+    monkeypatch.setenv("EUICOREG_TILEFFT_BATCH", "3")
+    assert tile_fft._env_tile_batch() == 3
+    monkeypatch.setenv("EUICOREG_TILEFFT_BATCH", "0")
+    assert tile_fft._env_tile_batch() == 1  # clamped, not rejected
+
+
+def test_tile_batch_clamped_to_per_device_shard(monkeypatch):
+    """On a mesh, tile_batch is clamped to the per-device shard size: with
+    4 tiles on a 3-device mesh each chip scans ceil(4/3)=2 ids, so a batch
+    of 16 would make every chunk mostly clamped-duplicate padding (stage-1
+    FFT work x8 for nothing).  Captures the batch actually handed to the
+    sharded evaluator."""
+    import jax
+
+    from euispice_coreg_tpu.engine import tile_fft
+
+    devs = jax.devices()
+    if len(devs) < 3:
+        pytest.skip("needs >= 3 virtual devices")
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(devs[:3]), axis_names=("lags",))
+
+    h = w = 256
+    rng = np.random.default_rng(3)
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    ref = (100 + np.sin(xx / 9.0) * np.cos(yy / 13.0) * 10
+           + rng.normal(size=(h, w)))
+    warped = (100 + np.sin((xx + 1.2) / 9.0) * np.cos((yy - 0.8) / 13.0) * 10
+              + rng.normal(size=(h, w)))
+    L = 3
+    coeffs = np.zeros((L, 6, 2))
+    coeffs[:, 2, 0] = np.linspace(-2.0, 2.0, L)
+    coeffs[:, 0, 0] = 0.02
+
+    seen = {}
+    orig = tile_fft._evaluate_tiles_sharded
+
+    def spy(mesh_, g, r, cf, otab, omg, order, score, T, n_ty, n_tx,
+            my, mx, by, bx, precise, batch=1):
+        seen["batch"] = batch
+        return orig(mesh_, g, r, cf, otab, omg, order, score, T, n_ty,
+                    n_tx, my, mx, by, bx, precise, batch)
+
+    monkeypatch.setattr(tile_fft, "_evaluate_tiles_sharded", spy)
+    got = tile_fft.evaluate_select_tile_fft(
+        coeffs, warped, ref, order=2, h=h, w=w, method="correlation",
+        compute_dtype="float64", tile_size=128, tile_batch=16, mesh=mesh)
+    assert got is not None
+    assert seen["batch"] == 2  # ceil(4 tiles / 3 devices)
