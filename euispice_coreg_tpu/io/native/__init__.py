@@ -93,7 +93,10 @@ def hcomp_encode(tile: np.ndarray, scale: int = 0) -> np.ndarray:
     """HCOMPRESS-encode a 2-D int array; returns uint8 compressed bytes.
 
     ``scale=0``/1 is lossless; larger scales digitize the H-transform
-    coefficients (lossy, error bounded by ~scale/2 per coefficient)."""
+    coefficients (lossy, error bounded by ~scale/2 per coefficient).
+    Output is byte-identical to cfitsio's HCOMPRESS_1 tile streams
+    (verified against genuine cfitsio-written files, square and
+    non-square tiles — tests/test_fits_io.py)."""
     lib = _load()
     a = np.ascontiguousarray(tile, dtype=np.int32)
     if a.ndim != 2:
@@ -110,7 +113,10 @@ def hcomp_encode(tile: np.ndarray, scale: int = 0) -> np.ndarray:
 def hcomp_decode(comp: np.ndarray, npix: int) -> tuple[np.ndarray, int, int]:
     """Decode an HCOMPRESS stream; returns (int32 array (nx, ny), nx, ny).
 
-    ``nx`` is the slow axis, ``ny`` the fast axis (stream-embedded dims)."""
+    ``nx`` is the slow axis (tile rows), ``ny`` the fast axis (tile cols) —
+    the stream-embedded dims, matching real cfitsio-written files.  The
+    flat element order of the returned array is the tile's original
+    row-major pixel order."""
     import ctypes
 
     lib = _load()

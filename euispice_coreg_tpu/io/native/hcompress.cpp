@@ -16,7 +16,10 @@
 //   EOF nybble 0 | pad to byte | sign bits (1 per nonzero coefficient)
 //
 // The array is indexed a[i*ny + j] (ny fastest); quadrant splits at
-// nx2=(nx+1)/2, ny2=(ny+1)/2.
+// nx2=(nx+1)/2, ny2=(ny+1)/2.  (nx, ny) = tile (rows, cols): encoded
+// streams are byte-identical to the ones genuine cfitsio-written FITS
+// files carry, square and non-square tiles alike (cross-validated against
+// libcfitsio in tests/test_fits_io.py).
 
 #include <cstdint>
 #include <cstring>

@@ -193,23 +193,21 @@ def _decode_tile_ints(comp, npix, zcmptype, blocksize, bytepix, zbitpix,
                       quantized, tile_hw=None):
     """Decode one COMPRESSED_DATA payload into integer (or raw float) pixels.
 
-    ``tile_hw``: (rows, cols) of the tile — needed by HCOMPRESS_1, whose
-    stream embeds its own 2-D dims.  Streams whose dims equal the SWAPPED
-    tile dims are transposed so either writer argument order reads
-    correctly; for SQUARE tiles the two conventions are indistinguishable
-    from the dims alone and this reader assumes its own writer's
-    (rows, cols) order — verify against a cfitsio-written golden file
-    before trusting externally-produced square-tile HCOMPRESS data."""
+    HCOMPRESS_1 streams embed their own 2-D dims as (rows, cols) — the
+    convention of real cfitsio-written files (our encoder is byte-identical
+    to cfitsio's, verified on genuine ``fits_set_compression_type``-written
+    files incl. non-square tiles; see the cfitsio cross-validation tests in
+    tests/test_fits_io.py).  The inverse H-transform recovers the tile's
+    original flat row-major pixel order directly, so the decoded stream is
+    returned flat — no transposition (an earlier swapped-dims heuristic
+    here would have CORRUPTED data on any stream it fired on)."""
     if zcmptype == "RICE_1":
         return native.rice_decode(np.frombuffer(bytes(comp), dtype=np.uint8),
                                   npix, blocksize, bytepix).astype(np.int64)
     if zcmptype == "HCOMPRESS_1":
-        arr2d, nx, ny = native.hcomp_decode(
+        arr2d, _nx, _ny = native.hcomp_decode(
             np.frombuffer(bytes(comp), dtype=np.uint8), npix)
-        if tile_hw is not None and (nx, ny) == (tile_hw[1], tile_hw[0]) \
-                and nx != ny:
-            arr2d = arr2d.T  # writer used (cols, rows) convention
-        return arr2d.reshape(-1).astype(np.int64)
+        return np.asarray(arr2d).reshape(-1).astype(np.int64)
     if zcmptype == "PLIO_1":
         ll = np.frombuffer(bytes(comp), dtype=">i2").astype(np.int16)
         return native.plio_decode(ll, npix).astype(np.int64)
@@ -628,7 +626,6 @@ def compress_hdu_bytes(hdu, compression_type: str | None = None,
         "ZNAXIS2": height,
         "ZTILE1": tile_w,
         "ZTILE2": tile_h,
-        "TFIELDS": len(fields),
     })
     if zcmptype == "HCOMPRESS_1":
         cards_src["ZNAME1"] = "SCALE"
@@ -661,6 +658,9 @@ def compress_hdu_bytes(hdu, compression_type: str | None = None,
         fitsio._make_card("NAXIS2", nrows),
         fitsio._make_card("PCOUNT", len(heap)),
         fitsio._make_card("GCOUNT", 1),
+        # TFIELDS is MANDATED to be the 8th keyword of a BINTABLE
+        # (FITS 4.0 §7.3.1); cfitsio/astropy refuse the HDU otherwise.
+        fitsio._make_card("TFIELDS", len(fields)),
     ]
     for k, v in cards_src.items():
         cards.append(fitsio._make_card(k, v))
