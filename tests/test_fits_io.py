@@ -904,3 +904,45 @@ def test_native_decoders_survive_malformed_streams():
         pf[int(rng.integers(0, pf.size))] ^= np.int16(
             1 << int(rng.integers(0, 15)))
         try_dec(plio_decode, pf, m.size)
+
+
+def test_fits_open_survives_corrupted_files():
+    """Whole-file fuzz: truncations, bit flips, and garbage through
+    fits.open + data decode must raise cleanly (or tolerate benign pixel
+    corruption) — never crash or hang.  Fast slice of a 1000-case run."""
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 1000, size=(24, 31)).astype(np.int32)
+    f32 = rng.normal(size=(16, 18)).astype(np.float32)
+    buf = fits.serialize([fits.PrimaryHDU(data=f32),
+                          fits.CompImageHDU(data=img, name="C",
+                                            compression_type="RICE_1",
+                                            tile_shape=(8, 16))]) \
+        if hasattr(fits, "serialize") else None
+    if buf is None:
+        import tempfile
+        import os
+        with tempfile.TemporaryDirectory() as td:
+            p = os.path.join(td, "v.fits")
+            fits.write(p, [fits.PrimaryHDU(data=f32),
+                           fits.CompImageHDU(data=img, name="C",
+                                             compression_type="RICE_1",
+                                             tile_shape=(8, 16))])
+            buf = open(p, "rb").read()
+
+    def attempt(blob):
+        try:
+            for h in fits.open(blob):
+                _ = h.data
+        except Exception:
+            pass
+
+    for _ in range(40):
+        attempt(buf[: int(rng.integers(0, len(buf)))])
+    for _ in range(40):
+        b = bytearray(buf)
+        for _k in range(int(rng.integers(1, 8))):
+            b[int(rng.integers(0, len(b)))] ^= 1 << int(rng.integers(0, 8))
+        attempt(bytes(b))
+    for _ in range(20):
+        attempt(bytes(rng.integers(0, 256, size=int(
+            rng.integers(0, 6000))).astype(np.uint8)))
