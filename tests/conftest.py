@@ -18,3 +18,18 @@ import jax  # noqa: E402
 # force tests onto the virtual 8-device CPU mesh regardless.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _close_matplotlib_figures():
+    """Plot tests open figures they never close; cap memory and silence
+    matplotlib's >20-open-figures RuntimeWarning."""
+    yield
+    import sys
+
+    if "matplotlib" in sys.modules:
+        import matplotlib.pyplot as plt
+
+        plt.close("all")
