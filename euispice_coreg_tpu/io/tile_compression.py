@@ -200,13 +200,20 @@ def _decode_tile_ints(comp, npix, zcmptype, blocksize, bytepix, zbitpix,
     tests/test_fits_io.py).  The inverse H-transform recovers the tile's
     original flat row-major pixel order directly, so the decoded stream is
     returned flat — no transposition (an earlier swapped-dims heuristic
-    here would have CORRUPTED data on any stream it fired on)."""
+    here would have CORRUPTED data on any stream it fired on).  Embedded
+    dims that disagree with ``tile_hw`` (rows, cols) raise instead of
+    reshaping to garbled pixels."""
     if zcmptype == "RICE_1":
         return native.rice_decode(np.frombuffer(bytes(comp), dtype=np.uint8),
                                   npix, blocksize, bytepix).astype(np.int64)
     if zcmptype == "HCOMPRESS_1":
-        arr2d, _nx, _ny = native.hcomp_decode(
+        arr2d, nx, ny = native.hcomp_decode(
             np.frombuffer(bytes(comp), dtype=np.uint8), npix)
+        if tile_hw is not None and (nx, ny) != tuple(tile_hw):
+            # dims that multiply to npix but don't match the tile would
+            # reshape to silently garbled pixels — fail loudly instead
+            raise ValueError(
+                f"HCOMPRESS stream dims {(nx, ny)} != tile {tuple(tile_hw)}")
         return np.asarray(arr2d).reshape(-1).astype(np.int64)
     if zcmptype == "PLIO_1":
         ll = np.frombuffer(bytes(comp), dtype=">i2").astype(np.int16)

@@ -946,3 +946,21 @@ def test_fits_open_survives_corrupted_files():
     for _ in range(20):
         attempt(bytes(rng.integers(0, 256, size=int(
             rng.integers(0, 6000))).astype(np.uint8)))
+
+
+def test_hcompress_dims_mismatch_rejected():
+    """A stream whose embedded dims multiply to npix but disagree with the
+    tile shape must raise, not reshape to silently garbled pixels."""
+    from euispice_coreg_tpu.io.native import hcomp_encode
+    from euispice_coreg_tpu.io.tile_compression import _decode_tile_ints
+
+    a = np.arange(4 * 6, dtype=np.int32).reshape(4, 6)
+    s = np.asarray(hcomp_encode(a, 0)).tobytes()  # embeds (4, 6)
+    # correct tile shape decodes
+    got = _decode_tile_ints(s, 24, "HCOMPRESS_1", 32, 4, zbitpix=32,
+                            quantized=False, tile_hw=(4, 6))
+    np.testing.assert_array_equal(got.reshape(4, 6), a)
+    # swapped tile shape is a loud error
+    with pytest.raises(ValueError, match="dims"):
+        _decode_tile_ints(s, 24, "HCOMPRESS_1", 32, 4, zbitpix=32,
+                          quantized=False, tile_hw=(6, 4))
