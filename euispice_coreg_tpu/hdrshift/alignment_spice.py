@@ -20,10 +20,62 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..core.header import Header, ensure_pcij
+from ..core.header import Header, ensure_pcij, pc_from_crota
 from ..core.ndwcs import NDWCS
 from ..utils import units
 from .alignment import Alignment
+
+
+def _capture_pointing_refs(hdr: Header) -> dict:
+    """Reference pointing values of a header before lag shifting
+    (the reference's ``_set_initial_header_values``, alignment.py:799-842)."""
+    from ..core.header import get_crota
+
+    return {
+        "crval1": float(hdr["CRVAL1"]),
+        "crval2": float(hdr["CRVAL2"]),
+        "cdelt1": float(hdr["CDELT1"]),
+        "cdelt2": float(hdr["CDELT2"]),
+        "crota": get_crota(hdr),
+        "u1": hdr.get("CUNIT1", "deg"),
+        "u2": hdr.get("CUNIT2", "deg"),
+    }
+
+
+def _apply_full_lag(hdr: Header, refs: dict, d1: float, d2: float, d3: float,
+                    d4: float, d5: float) -> None:
+    """Shift ``hdr`` in place by the FULL (crval1, crval2, cdelt1, cdelt2,
+    crota) lag vector; d1..d4 in degrees, d5 in degrees of roll.
+
+    Reference semantics: ``Alignment._shift_header``
+    (``/root/reference/euispice_coreg/hdrshift/alignment.py:401-468``) —
+    CRVALs are ref + lag, CDELTs are ref + lag, CROTA is ref + lag, and the
+    spatial PCi_j block is rebuilt from (crota, cdelt) whenever any
+    cdelt/crota lag is nonzero.  The reference's CDELT1 write-back bug
+    (the shifted value never reaches the header) is fixed here, as in the
+    main engine.
+    """
+    hdr["CRVAL1"] = refs["crval1"] + units.from_deg(d1, refs["u1"])
+    hdr["CRVAL2"] = refs["crval2"] + units.from_deg(d2, refs["u2"])
+    change_pc = (d3 != 0.0) or (d4 != 0.0) or (d5 != 0.0)
+    if not change_pc:
+        return
+    cdelt1 = refs["cdelt1"] + units.from_deg(d3, refs["u1"])
+    cdelt2 = refs["cdelt2"] + units.from_deg(d4, refs["u2"])
+    hdr["CDELT1"] = cdelt1
+    hdr["CDELT2"] = cdelt2
+    crota = refs["crota"] + d5
+    if "CROTA2" in hdr and "CROTA" not in hdr:
+        hdr["CROTA2"] = crota
+    else:
+        hdr["CROTA"] = crota
+    pc11, pc12, pc21, pc22 = pc_from_crota(
+        crota,
+        units.to_deg(cdelt1, refs["u1"]),
+        units.to_deg(cdelt2, refs["u2"]),
+    )
+    hdr["PC1_1"], hdr["PC1_2"] = pc11, pc12
+    hdr["PC2_1"], hdr["PC2_2"] = pc21, pc22
 
 
 class SpiceUtil:
@@ -397,10 +449,15 @@ class AlignementSpiceIterativeContextRaster(AlignmentSpice):
                                     cut_from_center=None,
                                     return_type="AlignmentResults",
                                     coefficient_l3=None):
-        from ..core.header import get_crota, wcs_params_from_header
+        import jax.numpy as jnp
+
+        from ..core import score as score_mod
+        from ..core import wcs as wcs2d
+        from ..core.header import wcs_params_from_header
         from ..engine import lag_search as ls
         from ..io import fits as fitsio
         from ..utils import coords
+        from ..utils.obs import Progress
 
         self.method = method
         self.extend_pixel_size = extend_pixel_size
@@ -412,57 +469,51 @@ class AlignementSpiceIterativeContextRaster(AlignmentSpice):
                                         coeff=coefficient_l3)
         self._apply_thresholds()
 
-        crval1_ref = self.hdr_small["CRVAL1"]
-        crval2_ref = self.hdr_small["CRVAL2"]
-        u1 = self.hdr_small.get("CUNIT1", "deg")
-        u2 = self.hdr_small.get("CUNIT2", "deg")
-        uf1 = self.header_spice_unflattened["CRVAL1"]
-        uf2 = self.header_spice_unflattened["CRVAL2"]
+        # reference pointing values of both headers; every lag candidate
+        # shifts BOTH by the full 5-vector like the reference's _step
+        # (alignment_spice.py:376-388 via _shift_header)
+        refs_s = _capture_pointing_refs(self.hdr_small)
+        refs_u = _capture_pointing_refs(self.header_spice_unflattened)
 
         builder = self._get_builder()
         l1d, l2d, l3d, l4d, l5d = self._lags_deg(wrap=True)
         shape = (len(l1d), len(l2d), len(l3d), len(l4d), len(l5d))
         corr = np.zeros(shape)
-        from ..utils.obs import Progress
 
-        progress = Progress(total=len(l1d) * len(l2d) * len(self.lag_crota),
+        progress = Progress(total=int(np.prod(shape)),
                             label="iterative context-raster lag search",
                             enabled=self.display_progress_bar)
+        score_fn = score_mod.SCORE_FUNCTIONS[
+            "correlation" if method == "correlation" else method]
         for i1, d1 in enumerate(l1d):
             for i2, d2 in enumerate(l2d):
-                for i5, d5 in enumerate(self.lag_crota):
-                    # shift both the flattened and the unflattened headers
-                    hdr_s = self.hdr_small.copy()
-                    hdr_s["CRVAL1"] = crval1_ref + units.from_deg(d1, u1)
-                    hdr_s["CRVAL2"] = crval2_ref + units.from_deg(d2, u2)
-                    hdr_u = self.header_spice_unflattened.copy()
-                    hdr_u["CRVAL1"] = uf1 + units.from_deg(
-                        d1, hdr_u.get("CUNIT1", "deg"))
-                    hdr_u["CRVAL2"] = uf2 + units.from_deg(
-                        d2, hdr_u.get("CUNIT2", "deg"))
+                for i3, d3 in enumerate(l3d):
+                    for i4, d4 in enumerate(l4d):
+                        for i5, d5 in enumerate(l5d):
+                            # shift both the flattened and the unflattened
+                            # headers by the FULL lag vector (crota/cdelt
+                            # rebuild the spatial PC block)
+                            hdr_s = self.hdr_small.copy()
+                            _apply_full_lag(hdr_s, refs_s, d1, d2, d3, d4, d5)
+                            hdr_u = self.header_spice_unflattened.copy()
+                            _apply_full_lag(hdr_u, refs_u, d1, d2, d3, d4, d5)
 
-                    builder.process_from_header(hdr_spice=hdr_u,
-                                                print_filename=False)
-                    data_large = builder.data_composed
-                    hdr_large = builder.hdr_composed
+                            builder.process_from_header(hdr_spice=hdr_u,
+                                                        print_filename=False)
+                            data_large = builder.data_composed
+                            hdr_large = builder.hdr_composed
 
-                    # reproject the SPICE map onto the composed-raster grid
-                    lon, lat = coords.header_world_grid(hdr_large)
-                    p = wcs_params_from_header(hdr_s)
-                    from ..core import wcs as wcs2d
-
-                    x, y = wcs2d.world_to_pixel(p.as_dict(), lon, lat,
-                                                kind=p.kind, xp=np)
-                    small_i = ls.resample_to_grid(self.data_small, x, y,
-                                                  order=self.order)
-                    from ..core import score as score_mod
-                    import jax.numpy as jnp
-
-                    val = score_mod.SCORE_FUNCTIONS[
-                        "correlation" if method == "correlation" else method
-                    ](jnp.asarray(data_large), jnp.asarray(small_i))
-                    corr[i1, i2, 0, 0, i5] = float(val)
-                    progress.step()
+                            # reproject the SPICE map onto the composed grid
+                            lon, lat = coords.header_world_grid(hdr_large)
+                            p = wcs_params_from_header(hdr_s)
+                            x, y = wcs2d.world_to_pixel(
+                                p.as_dict(), lon, lat, kind=p.kind, xp=np)
+                            small_i = ls.resample_to_grid(
+                                self.data_small, x, y, order=self.order)
+                            val = score_fn(jnp.asarray(data_large),
+                                           jnp.asarray(small_i))
+                            corr[i1, i2, i3, i4, i5] = float(val)
+                            progress.step()
         corr6 = corr[..., np.newaxis]
         if return_type == "corr":
             return corr6

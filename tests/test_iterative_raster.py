@@ -1,0 +1,132 @@
+"""AlignementSpiceIterativeContextRaster: full lag-vector application.
+
+The reference shifts BOTH the flattened and unflattened SPICE headers by the
+complete (crval1, crval2, cdelt1, cdelt2, crota) vector each step
+(``/root/reference/euispice_coreg/hdrshift/alignment_spice.py:376-388`` via
+``_shift_header``).  These tests pin that behaviour: a roll / pixel-scale
+error injected into the SPICE fixture must be recovered through the
+iterative context-raster class, and every (cdelt1, cdelt2) plane of the
+hypercube must be filled.
+"""
+import numpy as np
+import pytest
+
+import fixtures as fx
+from euispice_coreg_tpu.core.header import pc_from_crota
+from euispice_coreg_tpu.hdrshift.alignment_spice import (
+    AlignementSpiceIterativeContextRaster,
+    _apply_full_lag,
+    _capture_pointing_refs,
+)
+from euispice_coreg_tpu.io import fits
+from euispice_coreg_tpu.utils import timeutils
+
+
+def _write_imager_series(tmp_path, n=2, naxis=(196, 196), cdelt=(12.0, 12.0)):
+    paths = []
+    t0 = timeutils.parse_fits_time("2022-03-17T09:45:00")
+    for k in range(n):
+        hdr = fx.make_header(naxis, cdelt, (0.0, 0.0), 0.0)
+        hdr["DATE-AVG"] = timeutils.format_fits_time(t0 + 150.0 * k)
+        data = fx.render_helioprojective(hdr)
+        p = str(tmp_path / f"it_imager_{k}.fits")
+        fits.write(p, [fits.PrimaryHDU(data=data.astype(np.float32),
+                                       header=hdr)])
+        paths.append(p)
+    return paths
+
+
+def _write_spice(tmp_path, hdr_true, hdr_given):
+    cube = fx.render_spice_l2_cube(hdr_true)
+    p_spice = str(tmp_path / "solo_L2_it_spice.fits")
+    fits.write(p_spice, [fits.PrimaryHDU(data=cube.astype(np.float32),
+                                         header=hdr_given)])
+    return p_spice
+
+
+def test_apply_full_lag_rebuilds_pc():
+    """_apply_full_lag matches the reference _shift_header semantics
+    (alignment.py:401-468) with the CDELT write-back fixed."""
+    hdr = fx.make_spice_l2_header(crota_deg=1.5)
+    refs = _capture_pointing_refs(hdr)
+    shifted = hdr.copy()
+    # d1..d4 in deg, d5 in deg of roll
+    _apply_full_lag(shifted, refs, 0.001, -0.002, 0.0001, 0.00005, 2.0)
+    assert shifted["CRVAL1"] == pytest.approx(hdr["CRVAL1"] + 0.001)
+    assert shifted["CRVAL2"] == pytest.approx(hdr["CRVAL2"] - 0.002)
+    assert shifted["CDELT1"] == pytest.approx(hdr["CDELT1"] + 0.0001)
+    assert shifted["CDELT2"] == pytest.approx(hdr["CDELT2"] + 0.00005)
+    assert shifted["CROTA"] == pytest.approx(3.5)
+    pc = pc_from_crota(3.5, shifted["CDELT1"], shifted["CDELT2"])
+    assert shifted["PC1_1"] == pytest.approx(pc[0])
+    assert shifted["PC1_2"] == pytest.approx(pc[1])
+    assert shifted["PC2_1"] == pytest.approx(pc[2])
+    assert shifted["PC2_2"] == pytest.approx(pc[3])
+
+    # all-zero cdelt/crota lags must leave PC and CROTA untouched
+    untouched = hdr.copy()
+    _apply_full_lag(untouched, refs, 0.001, 0.0, 0.0, 0.0, 0.0)
+    assert untouched["PC1_1"] == hdr["PC1_1"]
+    assert untouched["CROTA"] == hdr["CROTA"]
+    assert untouched["CDELT1"] == hdr["CDELT1"]
+
+
+def test_iterative_raster_recovers_crota(tmp_path):
+    """A pure roll error must be recovered via the crota lag axis (the bug
+    this pins: crota lags were enumerated but never applied, so every
+    crota plane was identical)."""
+    paths = _write_imager_series(tmp_path)
+    hdr_true = fx.make_spice_l2_header(crval_arcsec=(120.0, 80.0),
+                                       crota_deg=3.0)
+    hdr_given = fx.make_spice_l2_header(crval_arcsec=(120.0, 80.0),
+                                        crota_deg=0.0)
+    p_spice = _write_spice(tmp_path, hdr_true, hdr_given)
+
+    A = AlignementSpiceIterativeContextRaster(
+        large_fov_list_paths=paths,
+        small_fov_to_correct=p_spice,
+        threshold_time=600.0,
+        lag_crval1=np.array([0.0]),
+        lag_crval2=np.array([0.0]),
+        lag_crota=np.array([-3.0, 0.0, 3.0]),
+        large_fov_window=0,
+        small_fov_window=0,
+    )
+    corr = A.align_using_helioprojective(return_type="corr")
+    assert corr.shape == (1, 1, 1, 1, 3, 1)
+    # the crota axis must actually vary (regression: identical planes)
+    assert np.ptp(corr[0, 0, 0, 0, :, 0]) > 1e-6
+    mi = np.unravel_index(np.nanargmax(corr), corr.shape)
+    assert A.lag_crota[mi[4]] == pytest.approx(3.0)
+
+
+def test_iterative_raster_recovers_cdelt(tmp_path):
+    """Pixel-scale errors on both axes must be recovered via the cdelt lag
+    axes, and every (cdelt1, cdelt2) plane must be filled (regression: only
+    [:, :, 0, 0, :] was ever written)."""
+    paths = _write_imager_series(tmp_path)
+    hdr_true = fx.make_spice_l2_header(crval_arcsec=(120.0, 80.0),
+                                       cdelt_arcsec=(4.4, 1.1))
+    hdr_given = fx.make_spice_l2_header(crval_arcsec=(120.0, 80.0),
+                                        cdelt_arcsec=(4.0, 1.0))
+    p_spice = _write_spice(tmp_path, hdr_true, hdr_given)
+
+    A = AlignementSpiceIterativeContextRaster(
+        large_fov_list_paths=paths,
+        small_fov_to_correct=p_spice,
+        threshold_time=600.0,
+        lag_crval1=np.array([0.0]),
+        lag_crval2=np.array([0.0]),
+        lag_cdelt1=np.array([0.0, 0.4, 0.8]),
+        lag_cdelt2=np.array([0.0, 0.1]),
+        large_fov_window=0,
+        small_fov_window=0,
+    )
+    corr = A.align_using_helioprojective(return_type="corr")
+    assert corr.shape == (1, 1, 3, 2, 1, 1)
+    # every plane filled: no silent zeros anywhere
+    assert np.all(np.isfinite(corr))
+    assert np.count_nonzero(corr) == corr.size
+    mi = np.unravel_index(np.nanargmax(corr), corr.shape)
+    assert A.lag_cdelt1[mi[2]] == pytest.approx(0.4)
+    assert A.lag_cdelt2[mi[3]] == pytest.approx(0.1)
