@@ -158,7 +158,13 @@ def plio_encode(pixels: np.ndarray) -> np.ndarray:
 
 
 def plio_decode(ll: np.ndarray, npix: int) -> np.ndarray:
-    """Decode PLIO_1 line-list shorts into an int32 array of ``npix``."""
+    """Decode PLIO_1 line-list shorts into an int32 array of ``npix``.
+
+    A stream truncated mid-list decodes silently as trailing zeros rather
+    than raising — this matches IRAF's implicit-trailing-zero semantics
+    (and cfitsio's ``pl_l2pi``), so truncation of an all-zero tail is
+    undetectable by design; keep for interop.
+    """
     lib = _load()
     c = np.ascontiguousarray(ll, dtype=np.int16)
     out = np.empty(npix, dtype=np.int32)

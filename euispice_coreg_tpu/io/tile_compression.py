@@ -598,7 +598,7 @@ def compress_hdu_bytes(hdu, compression_type: str | None = None,
         fields.append(("GZIP_COMPRESSED_DATA", "1PB"))
     if is_float:
         fields += [("ZSCALE", "1D"), ("ZZERO", "1D")]
-    naxis1 = 8 * len(fields)  # 1PB descriptor pairs and 1D doubles: 8 bytes each
+    naxis1 = 8 * len(fields)  # P-type descriptor pairs (1PB/1PI) and 1D doubles: 8 bytes each
     nrows = ntx * nty
     rows = np.zeros((nrows, naxis1), dtype=np.uint8)
     for r in range(nrows):
