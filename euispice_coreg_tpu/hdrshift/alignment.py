@@ -443,6 +443,101 @@ class Alignment:
         base = {**small_params.as_dict(), "crota": get_crota(self.hdr_small)}
         return lon, lat, ref_img, base, kind
 
+    # ------------------------------------------------------------------
+    # in-alignment diagnostic figures (reference alignment.py:988-1012,
+    # 903-927, 955-972 — saved when ``path_save_figure`` is set)
+    # ------------------------------------------------------------------
+    def _figpath(self, name: str) -> str:
+        os.makedirs(self.path_save_figure, exist_ok=True)
+        return os.path.join(self.path_save_figure, name)
+
+    def _save_projected_figures(self, ref_img):
+        """Reprojected large/small FOV + compare figures for a projected
+        search (the reference saves these inside
+        ``_create_submap_of_large_data``, alignment.py:988-1016)."""
+        if self.path_save_figure is None:
+            return
+        from matplotlib import pyplot as plt
+
+        from ..plot import plot
+
+        plot.simple_plot(self.hdr_large, self.data_large, show=False,
+                         path_save=self._figpath("large_fov_before_cut.pdf"))
+        date_small = str(self.hdr_small.get(
+            "DATE-AVG", self.hdr_small.get("DATE-OBS", "unknown")))
+        date_small = date_small.replace(":", "_")
+        submap = np.asarray(ref_img, dtype=np.float64)
+        # after the cut the reference grid IS the small header's grid
+        plot.simple_plot(self.hdr_small, submap, show=False,
+                         path_save=self._figpath(f"large_fov_{date_small}.pdf"))
+        plot.simple_plot(self.hdr_small, self.data_small, show=False,
+                         path_save=self._figpath(f"small_fov_{date_small}.pdf"))
+        levels = [0.15 * np.nanmax(self.data_small)]
+        plot.contour_plot(self.hdr_small, submap, self.hdr_small,
+                          self.data_small, levels=levels, show=False,
+                          path_save=self._figpath(f"compare_plot_{date_small}.pdf"))
+        plt.close("all")
+
+    def _save_carrington_figures(self, ref_img, d_solar_r, rate_wave):
+        """Reprojected large + small Carrington FOV figures (the reference
+        saves these inside ``_carrington_transform_fa``,
+        alignment.py:903-927; its dlat extent bug — latlims mixed with
+        lonlims — is not reproduced)."""
+        if self.path_save_figure is None:
+            return
+        from matplotlib import pyplot as plt
+
+        from ..plot import plot
+
+        dlon = (self.lonlims[1] - self.lonlims[0]) / self.shape[0]
+        dlat = (self.latlims[1] - self.latlims[0]) / self.shape[1]
+        extent = (self.lonlims[0] - 0.5 * dlon, self.lonlims[1] + 0.5 * dlon,
+                  self.latlims[0] - 0.5 * dlat, self.latlims[1] + 0.5 * dlat)
+        date_obs = str(self.hdr_large.get(
+            "DATE-OBS", self.hdr_large.get("DATE-AVG", "unknown")))[:19]
+        plot.plot_fov(np.asarray(ref_img, dtype=np.float64), show=False,
+                      path_save=self._figpath(f"image_large_{date_obs}.pdf"),
+                      extent=extent,
+                      xlabel="carrington longitude [°]",
+                      ylabel="carrington latitude [°]")
+        image_small = np.asarray(carr_engine.reproject_to_carrington(
+            self._small_dev(), self.hdr_small, self.lonlims, self.latlims,
+            self.shape, d_solar_r=float(d_solar_r),
+            reference_date=self.reference_date, rate_wave=rate_wave,
+            order=self.order, compute_dtype=self.compute_dtype),
+            dtype=np.float64)
+        date_obs = str(self.hdr_small.get(
+            "DATE-OBS", self.hdr_small.get("DATE-AVG", "unknown")))[:19]
+        plot.plot_fov(image_small, show=False,
+                      path_save=self._figpath(f"image_small_{date_obs}.pdf"),
+                      extent=extent,
+                      xlabel="carrington longitude [°]",
+                      ylabel="carrington latitude [°]")
+        plt.close("all")
+
+    def _save_solar_surface_figures(self, ref_img):
+        """Small / large / reprojected-large figures for the native
+        sunpy-equivalent branch (reference alignment.py:955-972)."""
+        if self.path_save_figure is None:
+            return
+        from matplotlib import pyplot as plt
+
+        from ..plot import plot
+
+        date_obs = str(self.hdr_large.get(
+            "DATE-OBS", self.hdr_large.get("DATE-AVG", "unknown")))[:19]
+        plot.simple_plot_sunpy((self.data_small, self.hdr_small), show=False,
+                               path_save=self._figpath(f"image_small_{date_obs}.pdf"))
+        date_obs = str(self.hdr_small.get(
+            "DATE-OBS", self.hdr_small.get("DATE-AVG", "unknown")))[:19]
+        plot.simple_plot_sunpy((self.data_large, self.hdr_large), show=False,
+                               path_save=self._figpath(f"image_large_{date_obs}.pdf"))
+        plot.simple_plot_sunpy(
+            (np.asarray(ref_img, dtype=np.float64), self.hdr_small),
+            show=False,
+            path_save=self._figpath(f"image_large_rep_{date_obs}.pdf"))
+        plt.close("all")
+
     def _run_projected_search(self, wrap: bool):
         """Shared helioprojective / initial-carrington search body."""
         from ..utils.obs import logger, timed
@@ -453,6 +548,7 @@ class Alignment:
             enable_console_logging()
 
         lon, lat, ref_img, base, kind = self._prepare_projected_operands(wrap)
+        self._save_projected_figures(ref_img)
 
         l1, l2, l3, l4, l5 = self._lags_deg(wrap=wrap)
         n_lags = len(l1) * len(l2) * len(l3) * len(l4) * len(l5)
@@ -521,6 +617,7 @@ class Alignment:
                     self._large_dev(), self.hdr_large, self.hdr_small,
                     d_solar_r=float(d_solar_r), order=self.order,
                     compute_dtype=self.compute_dtype)
+            self._save_solar_surface_figures(ref_img)
             with timed(f"lag-grid search ({n_lags} candidates)"), \
                     self._progress_scope():
                 corr5 = self._evaluate(lon, lat, base, l1, l2, l3, l4, l5,
@@ -645,6 +742,7 @@ class Alignment:
                 order=self.order,
                 compute_dtype=self.compute_dtype,
             )
+            self._save_carrington_figures(ref_img, d_solar_r, rate_wave)
             with self._progress_scope():
                 corr5 = carr_engine.evaluate_lag_grid_carrington(
                     self._small_dev(),
