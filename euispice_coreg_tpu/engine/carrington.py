@@ -420,7 +420,11 @@ def evaluate_lag_grid_carrington(
 
     from ..utils.obs import logger
 
+    # an EXPLICIT "pallas"/"tile_fft" mode bypasses the per-combo block-FFT
+    # path: the user asked for that evaluator (and its tests/bench must
+    # measure it, not the block path that would otherwise win small grids)
     if allow_fast and order in (0, 2) and \
+            lag_mode not in ("pallas", "tile_fft") and \
             method in ("correlation", "residus_masked"):
         fast = _carrington_block_fast(
             small_img, ref_img, sc,
