@@ -313,35 +313,60 @@ def run_synras_spice(tmp_dir):
     return t_best
 
 
-def run_carrington(lon, lat):
-    """BASELINE config 2: Carrington-frame 121x121 search on a 2048^2 grid."""
+_CARR_EXTRA = {
+    "DSUN_OBS": 0.5 * 1.496e11, "CRLN_OBS": 120.0, "CRLT_OBS": 3.0,
+    "DATE-OBS": "2022-03-17T09:50:45", "WAVELNTH": 174,
+}
+
+
+def _carr_scene(lon_c, lat_c):
+    """Deterministic smooth blob field on the Carrington sphere."""
+    out = np.full(lon_c.shape, 100.0)
+    rng = np.random.default_rng(11)
+    for _ in range(30):
+        cx = rng.uniform(116, 124)
+        cy = rng.uniform(-3, 7)
+        w_ = rng.uniform(0.3, 1.5)
+        out += rng.uniform(0.5, 3) * np.exp(
+            -(((lon_c - cx) ** 2) + ((lat_c - cy) ** 2)) / (2 * w_ * w_))
+    return out
+
+
+def _carr_header(n, cdelt, crval1, crval2, crota=0.3):
     from euispice_coreg_tpu.core.header import Header, pc_from_crota
+
+    pc = pc_from_crota(crota, cdelt, cdelt)
+    return Header({
+        "NAXIS1": n, "NAXIS2": n,
+        "CRVAL1": crval1, "CRVAL2": crval2,
+        "CRPIX1": (n + 1) / 2, "CRPIX2": (n + 1) / 2,
+        "CDELT1": cdelt, "CDELT2": cdelt,
+        "CUNIT1": "arcsec", "CUNIT2": "arcsec",
+        "CROTA": crota, "PC1_1": pc[0], "PC1_2": pc[1],
+        "PC2_1": pc[2], "PC2_2": pc[3], **_CARR_EXTRA,
+    })
+
+
+def _carr_render(hdr, d_solar_r=1.004):
+    """Render the Carrington scene through a helioprojective header."""
     from euispice_coreg_tpu.engine import carrington as carr
 
-    def scene(lon_c, lat_c):
-        out = np.full(lon_c.shape, 100.0)
-        rng = np.random.default_rng(11)
-        for _ in range(30):
-            cx = rng.uniform(116, 124)
-            cy = rng.uniform(-3, 7)
-            w_ = rng.uniform(0.3, 1.5)
-            out += rng.uniform(0.5, 3) * np.exp(
-                -(((lon_c - cx) ** 2) + ((lat_c - cy) ** 2)) / (2 * w_ * w_))
-        return out
+    sc = carr.header_spherical_scalars(hdr, d_solar_r)
+    n1, n2 = int(hdr["NAXIS1"]), int(hdr["NAXIS2"])
+    px, py = np.meshgrid(np.arange(n1, dtype=np.float64),
+                         np.arange(n2, dtype=np.float64))
+    lon_c, lat_c = carr.spherical_unproject(px, py, sc)
+    return np.where(np.isfinite(lon_c),
+                    _carr_scene(np.nan_to_num(lon_c), np.nan_to_num(lat_c)),
+                    np.nan)
 
-    extra = {
-        "DSUN_OBS": 0.5 * 1.496e11, "CRLN_OBS": 120.0, "CRLT_OBS": 3.0,
-        "DATE-OBS": "2022-03-17T09:50:45", "WAVELNTH": 174,
-    }
-    pc = pc_from_crota(0.3, 2.0, 2.0)
-    hdr = Header({
-        "NAXIS1": N_SMALL, "NAXIS2": N_SMALL,
-        "CRVAL1": 150.0, "CRVAL2": 100.0,
-        "CRPIX1": (N_SMALL + 1) / 2, "CRPIX2": (N_SMALL + 1) / 2,
-        "CDELT1": 2.0, "CDELT2": 2.0, "CUNIT1": "arcsec", "CUNIT2": "arcsec",
-        "CROTA": 0.3, "PC1_1": pc[0], "PC1_2": pc[1],
-        "PC2_1": pc[2], "PC2_2": pc[3], **extra,
-    })
+
+def run_carrington(lon, lat):
+    """BASELINE config 2: Carrington-frame 121x121 search on a 2048^2 grid."""
+    from euispice_coreg_tpu.engine import carrington as carr
+
+    scene = _carr_scene
+    hdr = _carr_header(N_SMALL, 2.0, 150.0, 100.0)
     sc = carr.header_spherical_scalars(hdr, 1.004)
     px, py = np.meshgrid(np.arange(N_SMALL, dtype=np.float64),
                          np.arange(N_SMALL, dtype=np.float64))
@@ -379,6 +404,58 @@ def run_carrington(lon, lat):
         corr = run()
         dt = time.perf_counter() - t0
         t_best = dt if t_best is None else min(t_best, dt)
+    return t_best
+
+
+def run_carrington_api(tmp_dir):
+    """Carrington leg through the PUBLIC API (`align_using_carrington`):
+    FITS read, thresholds, large-image reprojection onto the Carrington
+    grid, 121x121 search, with argmax recovery of an injected 8 arcsec
+    CRVAL1 error.  Catches API-level regressions (grid setup, retries
+    wrapper, header plumbing) the engine-level `run_carrington` timing
+    cannot see."""
+    from euispice_coreg_tpu.hdrshift import Alignment
+    from euispice_coreg_tpu.io import fits
+
+    # render the small image through its TRUE pointing, hand the API a
+    # header mispointed by -8 arcsec in CRVAL1: the search must find +8
+    hdr_true = _carr_header(N_SMALL, 2.0, 150.0, 100.0)
+    small = _carr_render(hdr_true)
+    hdr_given = _carr_header(N_SMALL, 2.0, 142.0, 100.0)
+    # reference: a second vantage of the same scene (coarser pitch, no
+    # roll) with correct pointing; the API reprojects it onto the grid
+    hdr_large = _carr_header(N_SMALL, 2.4, 148.0, 98.0, crota=0.0)
+    large = _carr_render(hdr_large)
+
+    p_large = f"{tmp_dir}/bench_carr_large.fits"
+    p_small = f"{tmp_dir}/bench_carr_small.fits"
+    fits.write(p_large, [fits.PrimaryHDU(data=large.astype(np.float32),
+                                         header=hdr_large)])
+    fits.write(p_small, [fits.PrimaryHDU(data=small.astype(np.float32),
+                                         header=hdr_given)])
+
+    lag = (np.arange(GRID) - GRID // 2) * 0.5
+
+    def run():
+        A = Alignment(
+            large_fov_known_pointing=p_large, small_fov_to_correct=p_small,
+            lag_crval1=lag, lag_crval2=lag,
+            small_fov_window=0, large_fov_window=0,
+        )
+        return A.align_using_carrington(
+            lonlims=(117.0, 123.0), latlims=(-1.0, 7.0), shape=(2048, 2048),
+            reference_date=_CARR_EXTRA["DATE-OBS"], return_type="corr")
+
+    corr = run()  # warm compile
+    t_best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        corr = run()
+        dt = time.perf_counter() - t0
+        t_best = dt if t_best is None else min(t_best, dt)
+    plane = corr[:, :, 0, 0, 0, 0]
+    mi = np.unravel_index(np.nanargmax(plane), plane.shape)
+    assert abs(lag[mi[0]] - 8.0) < 1.0, f"carrington API argmax: {lag[mi[0]]}"
     return t_best
 
 
@@ -441,6 +518,13 @@ def main():
     except Exception as exc:  # noqa: BLE001
         print(f"# carrington config failed: {exc}", file=sys.stderr)
 
+    t_carr_api = None
+    try:
+        with tempfile.TemporaryDirectory() as td:
+            t_carr_api = with_retries(run_carrington_api, retries=2)(td)
+    except Exception as exc:  # noqa: BLE001
+        print(f"# carrington API config failed: {exc}", file=sys.stderr)
+
     t_mixed = None
     try:
         t_mixed = with_retries(run_mixed_grid, retries=2)(
@@ -467,6 +551,7 @@ def main():
         "wall_clock_s": round(t_tpu, 4),
         "end_to_end_api_s": round(t_api, 4) if t_api is not None else None,
         "carrington_121x121_2048_s": round(t_carr, 4) if t_carr is not None else None,
+        "carrington_api_s": round(t_carr_api, 4) if t_carr_api is not None else None,
         "mixed_grid_21x21x3_2048_s": round(t_mixed, 4) if t_mixed is not None else None,
         "synras_spice_e2e_s": round(t_synras, 4) if t_synras is not None else None,
         "cpu_baseline_s_20core_est": round(t_cpu_total, 2),

@@ -18,6 +18,9 @@ is present.
 """
 from __future__ import annotations
 
+from functools import partial
+
+import jax
 import numpy as np
 
 from ..core.header import Header, ensure_pcij, pc_from_crota
@@ -76,6 +79,37 @@ def _apply_full_lag(hdr: Header, refs: dict, d1: float, d2: float, d3: float,
     )
     hdr["PC1_1"], hdr["PC1_2"] = pc11, pc12
     hdr["PC2_1"], hdr["PC2_2"] = pc21, pc22
+
+
+@partial(jax.jit, static_argnames=("kind_l", "kind_s", "order", "method"))
+def _iter_chunk_scores(params_l, params_s, data_stack, data_small,
+                       kind_l, kind_s, order, method):
+    """Score a chunk of iterative-raster lag candidates in one fused device
+    program: the composed grid's world coordinates (stacked (L, 1, 1)
+    params), the shifted SPICE headers' pixel map, the spline sampling of
+    the SPICE image, and the vmapped score.  Sampling runs in float32
+    (``lag_search.resample_to_grid``'s compute dtype) with the score in the
+    caller's float width, matching the sequential path's numerics."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..core import resample
+    from ..core import score as score_mod
+    from ..core import wcs as wcs2d
+
+    _, ny, nx = data_stack.shape
+    px, py = jnp.meshgrid(jnp.arange(nx, dtype=data_stack.dtype),
+                          jnp.arange(ny, dtype=data_stack.dtype))
+    lon, lat = wcs2d.pixel_to_world(params_l, px, py, kind=kind_l, xp=jnp)
+    if kind_l == "tan":  # header_world_grid's wrap default
+        lon = wcs2d.ang2pipi_deg(lon)
+        lat = wcs2d.ang2pipi_deg(lat)
+    x, y = wcs2d.world_to_pixel(params_s, lon, lat, kind=kind_s, xp=jnp)
+    small = resample.sample_image(
+        data_small.astype(jnp.float32),
+        x.astype(jnp.float32), y.astype(jnp.float32), order=order)
+    small = small.astype(data_stack.dtype)
+    return jax.vmap(score_mod.SCORE_FUNCTIONS[method])(data_stack, small)
 
 
 class SpiceUtil:
@@ -448,7 +482,16 @@ class AlignementSpiceIterativeContextRaster(AlignmentSpice):
                                     extend_pixel_size=False,
                                     cut_from_center=None,
                                     return_type="AlignmentResults",
-                                    coefficient_l3=None):
+                                    coefficient_l3=None,
+                                    batch_lags: bool = True,
+                                    lag_chunk: int = 64):
+        """``batch_lags`` (TPU-native extension): score lag candidates in
+        chunks of ``lag_chunk`` — the raster rebuild is batched per imager
+        frame across all lags of a chunk and the chunk is scored with one
+        vmapped device reduction, instead of the reference's one full
+        builder run + one device round-trip per lag
+        (``alignment_spice.py:376-420``).  ``batch_lags=False`` keeps the
+        sequential per-lag loop (same results; used by the parity tests)."""
         import jax.numpy as jnp
 
         from ..core import score as score_mod
@@ -485,35 +528,86 @@ class AlignementSpiceIterativeContextRaster(AlignmentSpice):
                             enabled=self.display_progress_bar)
         score_fn = score_mod.SCORE_FUNCTIONS[
             "correlation" if method == "correlation" else method]
-        for i1, d1 in enumerate(l1d):
-            for i2, d2 in enumerate(l2d):
-                for i3, d3 in enumerate(l3d):
-                    for i4, d4 in enumerate(l4d):
-                        for i5, d5 in enumerate(l5d):
-                            # shift both the flattened and the unflattened
-                            # headers by the FULL lag vector (crota/cdelt
-                            # rebuild the spatial PC block)
-                            hdr_s = self.hdr_small.copy()
-                            _apply_full_lag(hdr_s, refs_s, d1, d2, d3, d4, d5)
-                            hdr_u = self.header_spice_unflattened.copy()
-                            _apply_full_lag(hdr_u, refs_u, d1, d2, d3, d4, d5)
 
-                            builder.process_from_header(hdr_spice=hdr_u,
-                                                        print_filename=False)
-                            data_large = builder.data_composed
-                            hdr_large = builder.hdr_composed
+        def lag_headers(d1, d2, d3, d4, d5):
+            # shift both the flattened and the unflattened headers by the
+            # FULL lag vector (crota/cdelt rebuild the spatial PC block)
+            hdr_s = self.hdr_small.copy()
+            _apply_full_lag(hdr_s, refs_s, d1, d2, d3, d4, d5)
+            hdr_u = self.header_spice_unflattened.copy()
+            _apply_full_lag(hdr_u, refs_u, d1, d2, d3, d4, d5)
+            return hdr_s, hdr_u
 
-                            # reproject the SPICE map onto the composed grid
-                            lon, lat = coords.header_world_grid(hdr_large)
-                            p = wcs_params_from_header(hdr_s)
-                            x, y = wcs2d.world_to_pixel(
-                                p.as_dict(), lon, lat, kind=p.kind, xp=np)
-                            small_i = ls.resample_to_grid(
-                                self.data_small, x, y, order=self.order)
-                            val = score_fn(jnp.asarray(data_large),
-                                           jnp.asarray(small_i))
-                            corr[i1, i2, i3, i4, i5] = float(val)
-                            progress.step()
+        def reproject_map(hdr_large, hdr_s):
+            # the (x, y) map of the SPICE image on the composed grid
+            lon, lat = coords.header_world_grid(hdr_large)
+            p = wcs_params_from_header(hdr_s)
+            return wcs2d.world_to_pixel(p.as_dict(), lon, lat,
+                                        kind=p.kind, xp=np)
+
+        if batch_lags:
+            # one prep of the unshifted header: pointing lags only touch the
+            # spatial WCS block, which passes through the axis-dropping prep
+            # verbatim — so shifting the PREPPED 2-D spatial header by the
+            # lag vector equals prepping the shifted 4-D header (the parity
+            # test pins this against the sequential path)
+            builder._prepare_spectro_meta(self.header_spice_unflattened,
+                                          False, 2)
+            hdr_sp0 = builder.hdr_spice_
+            refs_sp = _capture_pointing_refs(hdr_sp0)
+
+            all_idx = list(np.ndindex(*shape))
+            chunk_n = max(1, int(lag_chunk))
+            for c0 in range(0, len(all_idx), chunk_n):
+                chunk = all_idx[c0: c0 + chunk_n]
+                hdrs_s, hdrs_sp = [], []
+                for idx in chunk:
+                    d = (l1d[idx[0]], l2d[idx[1]], l3d[idx[2]],
+                         l4d[idx[3]], l5d[idx[4]])
+                    hs = self.hdr_small.copy()
+                    _apply_full_lag(hs, refs_s, *d)
+                    hdrs_s.append(hs)
+                    hsp = hdr_sp0.copy()
+                    _apply_full_lag(hsp, refs_sp, *d)
+                    hdrs_sp.append(hsp)
+                data_stack, hdrs_large = builder.compose_many_from_headers(
+                    [self.header_spice_unflattened] * len(chunk),
+                    spatial_headers=hdrs_sp)
+                # ONE fused device program for the whole chunk: stacked
+                # pixel->world over the composed headers, world->pixel
+                # through the shifted SPICE headers, spline sampling, and
+                # the vmapped score — no (L, ny, nx) host temporaries (this
+                # host's allocator degrades on fresh multi-MB buffers) and
+                # no per-lag dispatch
+                pl, kind_l = coords.stack_wcs_params(hdrs_large)
+                ps, kind_s = coords.stack_wcs_params(hdrs_s)
+                vals = np.asarray(_iter_chunk_scores(
+                    {k: jnp.asarray(v) for k, v in pl.items()},
+                    {k: jnp.asarray(v) for k, v in ps.items()},
+                    jnp.asarray(data_stack),
+                    jnp.asarray(self.data_small),
+                    kind_l, kind_s, self.order,
+                    "correlation" if method == "correlation" else method))
+                for li, idx in enumerate(chunk):
+                    corr[idx] = float(vals[li])
+                progress.step(len(chunk))
+        else:
+            for idx in np.ndindex(*shape):
+                hdr_s, hdr_u = lag_headers(l1d[idx[0]], l2d[idx[1]],
+                                           l3d[idx[2]], l4d[idx[3]],
+                                           l5d[idx[4]])
+                builder.process_from_header(hdr_spice=hdr_u,
+                                            print_filename=False)
+                data_large = builder.data_composed
+                hdr_large = builder.hdr_composed
+
+                x, y = reproject_map(hdr_large, hdr_s)
+                small_i = ls.resample_to_grid(
+                    self.data_small, x, y, order=self.order)
+                val = score_fn(jnp.asarray(data_large),
+                               jnp.asarray(small_i))
+                corr[idx] = float(val)
+                progress.step()
         corr6 = corr[..., np.newaxis]
         if return_type == "corr":
             return corr6

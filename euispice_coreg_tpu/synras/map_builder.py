@@ -17,7 +17,10 @@ from __future__ import annotations
 import os
 import random
 from abc import ABC
+from functools import partial
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..core.header import Header, ensure_pcij, wcs_params_from_header
@@ -25,6 +28,38 @@ from ..core.ndwcs import NDWCS
 from ..core import wcs as wcs2d
 from ..engine import lag_search
 from ..utils import timeutils, units
+
+
+def _sample_frame_all_lags(params_stack, kind_sp, p_im, xg, yg, data_imager):
+    """Sample one imager frame at the slit coordinates of ALL lag headers in
+    one fused device program: stacked pixel->world through the L shifted
+    SPICE WCSes, world->pixel through the imager WCS, and the spline
+    sampling — coordinates are built on device and never cross the tunnel.
+
+    Matches the sequential path's numerics: coordinates are computed in the
+    input float width, then cast with the image to float32 for the sampling
+    (``lag_search.resample_to_grid``'s compute dtype).
+    """
+    return np.asarray(_sample_frame_jit(
+        {k: jnp.asarray(v) for k, v in params_stack.items()},
+        {k: jnp.asarray(v) for k, v in p_im.as_dict().items()},
+        jnp.asarray(xg), jnp.asarray(yg),
+        jnp.asarray(data_imager, dtype=jnp.float32),
+        kind_sp, p_im.kind), dtype=np.float64)
+
+
+@partial(jax.jit, static_argnames=("kind_sp", "kind_im"))
+def _sample_frame_jit(params_sp, params_im, xg, yg, img, kind_sp, kind_im):
+    from ..core import resample
+
+    lon, lat = wcs2d.pixel_to_world(params_sp, xg, yg, kind=kind_sp, xp=jnp)
+    # ang2pipi wrap (Util.py:76-80); exactly periodic for TAN but applied
+    # for float parity with the per-lag host path
+    lon = wcs2d.ang2pipi_deg(lon)
+    lat = wcs2d.ang2pipi_deg(lat)
+    x, y = wcs2d.world_to_pixel(params_im, lon, lat, kind=kind_im, xp=jnp)
+    return resample.sample_image(
+        img, x.astype(jnp.float32), y.astype(jnp.float32), order=2)
 
 
 class MapBuilder(ABC):
@@ -74,6 +109,48 @@ class ComposedMapBuilder(MapBuilder):
         idx = int(np.argmin(delta))
         return idx, float(delta[idx])
 
+    def _select_frames(self, utc_cols):
+        """Closest imager frame per raster column (host, cheap); raises when
+        a column has no frame within ``threshold_time`` (map_builder.py:99-106).
+        Sets ``self.dates_selected``."""
+        naxis_long = len(utc_cols)
+        selection = np.zeros(naxis_long, dtype=np.int64)
+        self.dates_selected = np.zeros(naxis_long, dtype=np.float64)
+        for ii in range(naxis_long):
+            idx, dt = self._find_closest_imager_time(utc_cols[ii])
+            if dt > self.threshold_time:
+                raise ValueError(
+                    f"dt={dt}: Could not find imager sufficiently close in time"
+                )
+            selection[ii] = idx
+            self.dates_selected[ii] = self.dates[idx]
+        return selection
+
+    def _load_imager(self, idx: int):
+        """Load (and cache) one imager frame's data + PC-normalized header."""
+        from ..io import fits
+
+        path = self.list_imager_paths[idx]
+        if path not in self._imager_cache:
+            hdul_im = fits.open(path)
+            hdu_im = hdul_im[self.window_imager]
+            hdr_imager = hdu_im.header.copy()
+            ensure_pcij(hdr_imager, force_crota_0=True)
+            data_imager = np.asarray(hdu_im.data, dtype=np.float64)
+            self._imager_cache[path] = (data_imager, hdr_imager)
+        return self._imager_cache[path]
+
+    def _first_imager_header(self):
+        """Header of the first imager frame (pixel-pitch reference in
+        ``_prepare_spectro_data``), parsed once — the iterative context
+        raster calls the prep once per lag candidate."""
+        if not hasattr(self, "_hdr_im0"):
+            from ..io import fits
+
+            hdul_im = fits.open(self.list_imager_paths[0])
+            self._hdr_im0 = hdul_im[self.window_imager].header.copy()
+        return self._hdr_im0.copy()
+
     # ------------------------------------------------------------------
     def process(self, folder_path_output=None, basename_output=None,
                 print_filename=True, level=2,
@@ -112,17 +189,7 @@ class ComposedMapBuilder(MapBuilder):
          utc_cols) = self._prepare_spectro_data(
             hdr_spice, keep_original_imager_pixel_size, level)
 
-        # pick the closest imager per column (host, cheap)
-        selection = np.zeros(naxis_long, dtype=np.int64)
-        self.dates_selected = np.zeros(naxis_long, dtype=np.float64)
-        for ii in range(naxis_long):
-            idx, dt = self._find_closest_imager_time(utc_cols[ii])
-            if dt > self.threshold_time:
-                raise ValueError(
-                    f"dt={dt}: Could not find imager sufficiently close in time"
-                )
-            selection[ii] = idx
-            self.dates_selected[ii] = self.dates[idx]
+        selection = self._select_frames(utc_cols)
 
         ny = lon_spice.shape[0]
         self.data_composed = np.empty((ny, naxis_long), dtype=np.float64)
@@ -135,18 +202,10 @@ class ComposedMapBuilder(MapBuilder):
         resample_retry = with_retries(lag_search.resample_to_grid)
         for idx in np.unique(selection):
             cols = np.nonzero(selection == idx)[0]
-            path = self.list_imager_paths[idx]
-            if path in self._imager_cache:
-                data_imager, hdr_imager = self._imager_cache[path]
-            else:
-                hdul_im = fits.open(path)
-                hdu_im = hdul_im[self.window_imager]
-                hdr_imager = hdu_im.header.copy()
-                ensure_pcij(hdr_imager, force_crota_0=True)
-                data_imager = np.asarray(hdu_im.data, dtype=np.float64)
-                self._imager_cache[path] = (data_imager, hdr_imager)
+            data_imager, hdr_imager = self._load_imager(idx)
             if print_filename:
-                print(f"\nUse imager {os.path.basename(path)}")
+                print(f"\nUse imager "
+                      f"{os.path.basename(self.list_imager_paths[idx])}")
             p = wcs_params_from_header(hdr_imager)
             x_im, y_im = wcs2d.world_to_pixel(
                 p.as_dict(), lon_spice[:, cols], lat_spice[:, cols],
@@ -157,51 +216,12 @@ class ComposedMapBuilder(MapBuilder):
             self.data_composed[:, cols] = sampled
             list_hdr_imagers_used.extend([hdr_imager] * len(cols))
 
-        # ------------------------------------------------------------------
-        # header synthesis (map_builder.py:132-191)
-        keys = [f"{pre}{i}" for pre in
-                ("CRPIX", "CRVAL", "CDELT", "CUNIT") for i in range(1, 5)]
-        keys += ["CROTA2", "CROTA"]
-        keys += [f"PC{i}_{j}" for i in range(1, 5) for j in range(1, 5)]
-
-        hdr_mid = list_hdr_imagers_used[len(list_hdr_imagers_used) // 2].copy()
-        self.hdr_composed = hdr_mid
-        for k in keys:
-            if k in self.hdr_spice_:
-                self.hdr_composed[k] = self.hdr_spice_[k]
-        for k in ("DATE-AVG", "DATE-OBS", "DATE-BEG"):
-            if k in hdr_spice:
-                self.hdr_composed[k] = hdr_spice[k]
-        self.hdr_composed["SPECPATH"] = os.path.basename(str(self.path_to_spectro))
-
+        self.hdr_composed = self._synthesize_header(
+            hdr_spice, hdr_im, list_hdr_imagers_used, naxis1, naxis2,
+            self.data_composed.shape, keep_original_imager_pixel_size)
         wave = self.hdr_composed.get("WAVELNTH", 0)
         detector = self.hdr_composed.get(
             "DETECTOR", self.hdr_composed.get("INSTRUME"))
-        if detector is None:
-            raise ValueError("No info on reference instrument")
-
-        if keep_original_imager_pixel_size:
-            # the composed grid keeps the imager pixel pitch: recenter CRPIX
-            # and overwrite CDELT/PC scale (map_builder.py:164-190)
-            x_mid = (naxis1 - 1) / 2
-            y_mid = (naxis2 - 1) / 2
-            lon_mid, lat_mid = self._spatial_pixel_to_world(
-                np.array([x_mid]), np.array([y_mid]))
-            cu1 = self.hdr_composed.get("CUNIT1", "deg")
-            cu2 = self.hdr_composed.get("CUNIT2", "deg")
-            self.hdr_composed["CDELT1"] = units.convert(
-                hdr_im["CDELT1"], hdr_im.get("CUNIT1", "deg"), cu1)
-            self.hdr_composed["CDELT2"] = units.convert(
-                hdr_im["CDELT2"], hdr_im.get("CUNIT2", "deg"), cu2)
-            lam = self.hdr_composed["CDELT2"] / self.hdr_composed["CDELT1"]
-            rho = np.arccos(np.clip(self.hdr_composed.get("PC1_1", 1.0), -1, 1))
-            rho = rho * (-np.sign(self.hdr_composed.get("PC1_2", 0.0)) or 1.0)
-            self.hdr_composed["PC1_2"] = -lam * np.sin(rho)
-            self.hdr_composed["PC2_1"] = (1 / lam) * np.sin(rho)
-            self.hdr_composed["CRPIX1"] = (self.data_composed.shape[1] + 1) / 2
-            self.hdr_composed["CRPIX2"] = (self.data_composed.shape[0] + 1) / 2
-            self.hdr_composed["CRVAL1"] = units.from_deg(lon_mid[0], cu1)
-            self.hdr_composed["CRVAL2"] = units.from_deg(lat_mid[0], cu2)
 
         utc_mean = float(np.mean(self.dates_selected))
         if basename_output is None:
@@ -225,13 +245,175 @@ class ComposedMapBuilder(MapBuilder):
             return out_path
         return None
 
+    def _synthesize_header(self, hdr_spice, hdr_im, list_hdr_imagers_used,
+                           naxis1, naxis2, data_shape,
+                           keep_original_imager_pixel_size):
+        """Composed-map header synthesis (map_builder.py:132-191): the
+        mid-sequence imager header with the SPICE spatial WCS grafted on.
+        Reads ``self.hdr_spice_`` (set by ``_prepare_spectro_data``)."""
+        keys = [f"{pre}{i}" for pre in
+                ("CRPIX", "CRVAL", "CDELT", "CUNIT") for i in range(1, 5)]
+        keys += ["CROTA2", "CROTA"]
+        keys += [f"PC{i}_{j}" for i in range(1, 5) for j in range(1, 5)]
+
+        hdr_mid = list_hdr_imagers_used[len(list_hdr_imagers_used) // 2].copy()
+        hdr_composed = hdr_mid
+        for k in keys:
+            if k in self.hdr_spice_:
+                hdr_composed[k] = self.hdr_spice_[k]
+        for k in ("DATE-AVG", "DATE-OBS", "DATE-BEG"):
+            if k in hdr_spice:
+                hdr_composed[k] = hdr_spice[k]
+        hdr_composed["SPECPATH"] = os.path.basename(str(self.path_to_spectro))
+
+        detector = hdr_composed.get(
+            "DETECTOR", hdr_composed.get("INSTRUME"))
+        if detector is None:
+            raise ValueError("No info on reference instrument")
+
+        if keep_original_imager_pixel_size:
+            # the composed grid keeps the imager pixel pitch: recenter CRPIX
+            # and overwrite CDELT/PC scale (map_builder.py:164-190)
+            x_mid = (naxis1 - 1) / 2
+            y_mid = (naxis2 - 1) / 2
+            lon_mid, lat_mid = self._spatial_pixel_to_world(
+                np.array([x_mid]), np.array([y_mid]))
+            cu1 = hdr_composed.get("CUNIT1", "deg")
+            cu2 = hdr_composed.get("CUNIT2", "deg")
+            hdr_composed["CDELT1"] = units.convert(
+                hdr_im["CDELT1"], hdr_im.get("CUNIT1", "deg"), cu1)
+            hdr_composed["CDELT2"] = units.convert(
+                hdr_im["CDELT2"], hdr_im.get("CUNIT2", "deg"), cu2)
+            lam = hdr_composed["CDELT2"] / hdr_composed["CDELT1"]
+            rho = np.arccos(np.clip(hdr_composed.get("PC1_1", 1.0), -1, 1))
+            rho = rho * (-np.sign(hdr_composed.get("PC1_2", 0.0)) or 1.0)
+            hdr_composed["PC1_2"] = -lam * np.sin(rho)
+            hdr_composed["PC2_1"] = (1 / lam) * np.sin(rho)
+            hdr_composed["CRPIX1"] = (data_shape[1] + 1) / 2
+            hdr_composed["CRPIX2"] = (data_shape[0] + 1) / 2
+            hdr_composed["CRVAL1"] = units.from_deg(lon_mid[0], cu1)
+            hdr_composed["CRVAL2"] = units.from_deg(lat_mid[0], cu2)
+
+        hdr_composed["NAXIS1"] = data_shape[1]
+        hdr_composed["NAXIS2"] = data_shape[0]
+        return hdr_composed
+
+    def compose_many_from_headers(self, hdrs_spice, level=2,
+                                  keep_original_imager_pixel_size=False,
+                                  print_filename=False,
+                                  spatial_headers=None):
+        """Composed rasters for MANY shifted SPICE headers in one pass.
+
+        The reference's iterative context-raster class rebuilds the full
+        synthetic raster once per lag candidate
+        (``/root/reference/euispice_coreg/hdrshift/alignment_spice.py:376-420``).
+        Pointing lags never touch the time axis, so the frame->column
+        selection is lag-independent; only the slit world coordinates move.
+        This batches the per-frame sampling over all lags into ONE resample
+        per distinct imager frame (device dispatch count drops from
+        O(lags x frames) to O(frames)).
+
+        Returns ``(data, headers)``: ``data`` of shape (L, ny, n_cols)
+        float64 and the per-lag composed headers.  Leaves
+        ``self.data_composed`` / ``self.hdr_composed`` at the LAST header's
+        values, mirroring the sequential loop's end state.
+        """
+        from ..utils import coords
+        from ..utils.jaxcfg import with_retries
+
+        if spatial_headers is not None:
+            # the caller already derived the per-lag 2-D spatial headers
+            # (pointing shifts commute with the axis-dropping prep, see
+            # AlignementSpiceIterativeContextRaster): one prep serves all
+            if keep_original_imager_pixel_size:
+                raise ValueError(
+                    "spatial_headers requires lag-independent raster grids "
+                    "(keep_original_imager_pixel_size=False)")
+            if len(spatial_headers) != len(hdrs_spice):
+                raise ValueError("spatial_headers length mismatch")
+            meta0 = self._prepare_spectro_meta(
+                hdrs_spice[0], keep_original_imager_pixel_size, level)
+            metas = [(meta0, sp) for sp in spatial_headers]
+        else:
+            metas = []
+            for hdr in hdrs_spice:
+                meta = self._prepare_spectro_meta(
+                    hdr, keep_original_imager_pixel_size, level)
+                metas.append((meta, self.hdr_spice_))
+        (hdr_im0, xg0, yg0, naxis1, naxis2, naxis_long, utc0) = metas[0][0]
+        for meta, _ in metas[1:]:
+            if meta is metas[0][0]:
+                continue
+            if (meta[1].shape != xg0.shape
+                    or not np.array_equal(meta[1], xg0)
+                    or not np.array_equal(meta[2], yg0)):
+                raise ValueError(
+                    "raster pixel grids differ across lag headers "
+                    "(keep_original_imager_pixel_size with cdelt lags?) — "
+                    "use the sequential per-lag path")
+            if not np.allclose(meta[6], utc0, rtol=0.0, atol=1e-6):
+                raise ValueError(
+                    "per-column times differ across lag headers — pointing "
+                    "lags must not touch the time axis")
+
+        # stacked (L, 1, 1) WCS params of all lag headers: the whole
+        # world-transform + sampling chain runs as ONE fused device program
+        # per imager frame (never an (L, ny, nx) numpy temporary on host —
+        # this host's allocator degrades on fresh multi-MB buffers)
+        params, kind = coords.stack_wcs_params([h for _, h in metas])
+
+        selection = self._select_frames(utc0)
+        L = len(metas)
+        ny = xg0.shape[0]
+        data = np.empty((L, ny, naxis_long), dtype=np.float64)
+        sample_retry = with_retries(_sample_frame_all_lags)
+        list_hdr_imagers_used = [None] * naxis_long
+        for idx in np.unique(selection):
+            cols = np.nonzero(selection == idx)[0]
+            data_imager, hdr_imager = self._load_imager(idx)
+            if print_filename:
+                print(f"\nUse imager "
+                      f"{os.path.basename(self.list_imager_paths[idx])}")
+            p = wcs_params_from_header(hdr_imager)
+            data[:, :, cols] = np.asarray(sample_retry(
+                params, kind, p, xg0[:, cols], yg0[:, cols], data_imager))
+            for c in cols:
+                list_hdr_imagers_used[c] = hdr_imager
+
+        headers = []
+        for hdr, (meta, hdr_spice_) in zip(hdrs_spice, metas):
+            self.hdr_spice_ = hdr_spice_
+            headers.append(self._synthesize_header(
+                hdr, meta[0], list_hdr_imagers_used, naxis1, naxis2,
+                data.shape[1:], keep_original_imager_pixel_size))
+        self.data_composed = data[-1]
+        self.hdr_composed = headers[-1]
+        return data, headers
+
     def _spatial_pixel_to_world(self, x, y):
         p = wcs_params_from_header(self.hdr_spice_)
         lon, lat = wcs2d.pixel_to_world(p.as_dict(), x, y, kind=p.kind, xp=np)
         return lon, lat
 
-    def _prepare_spectro_data(self, hdr_spice, keep_original_imager_pixel_size, level):
+    def _prepare_spectro_meta(self, hdr_spice, keep_original_imager_pixel_size,
+                              level):
+        """Everything of the spectro prep EXCEPT the world transform:
+        returns (hdr_im, xg, yg, naxis1, naxis2, naxis_long, utc_cols) and
+        sets ``self.hdr_spice_``.  Split out so the batched multi-header
+        compose can run ONE stacked transform for all lag headers."""
         raise NotImplementedError
+
+    def _prepare_spectro_data(self, hdr_spice, keep_original_imager_pixel_size,
+                              level):
+        (hdr_im, xg, yg, naxis1, naxis2, naxis_long,
+         utc_cols) = self._prepare_spectro_meta(
+            hdr_spice, keep_original_imager_pixel_size, level)
+        p = wcs_params_from_header(self.hdr_spice_)
+        lon, lat = wcs2d.pixel_to_world(p.as_dict(), xg, yg, kind=p.kind,
+                                        xp=np)
+        lon = units.ang2pipi_deg(lon)
+        lat = units.ang2pipi_deg(lat)
+        return hdr_im, lat, lon, naxis1, naxis2, naxis_long, utc_cols
 
     def get_path_to_composed_map(self):
         return self.path_composed_map
@@ -241,9 +423,10 @@ class SPICEComposedMapBuilder(ComposedMapBuilder):
     """SPICE L2 (t, lambda, y, x) / L3 specialization
     (map_builder.py:240-349)."""
 
-    def _prepare_spectro_data(self, hdr_spice, keep_original_imager_pixel_size, level):
+    def _prepare_spectro_meta(self, hdr_spice, keep_original_imager_pixel_size,
+                              level):
         if level == 3:
-            return self._prepare_spectro_data_l3(
+            return self._prepare_spectro_meta_l3(
                 hdr_spice, keep_original_imager_pixel_size)
         if level != 2:
             raise ValueError("level must be 2 or 3")
@@ -255,8 +438,7 @@ class SPICEComposedMapBuilder(ComposedMapBuilder):
 
         from ..io import fits
 
-        hdul_im = fits.open(self.list_imager_paths[0])
-        hdr_im = hdul_im[self.window_imager].header.copy()
+        hdr_im = self._first_imager_header()
         if keep_original_imager_pixel_size:
             # pixel-pitch ratio with units reconciled (the reference divides
             # raw header values, assuming matching CUNITs)
@@ -281,10 +463,6 @@ class SPICEComposedMapBuilder(ComposedMapBuilder):
         w_spatial.set_pc(2, 0, 0.0)
         w_xy = w_spatial.dropaxis(2)
         self.hdr_spice_ = w_xy.to_header()
-        p = wcs_params_from_header(self.hdr_spice_)
-        lon, lat = wcs2d.pixel_to_world(p.as_dict(), xg, yg, kind=p.kind, xp=np)
-        lon = units.ang2pipi_deg(lon)
-        lat = units.ang2pipi_deg(lat)
 
         # per-column time: the UTC axis with its x coupling (PC[t, x])
         it = 2  # time axis index in w_xyt (0-based)
@@ -295,9 +473,9 @@ class SPICEComposedMapBuilder(ComposedMapBuilder):
         utc_cols = w_xyt.time_origin_seconds() + tsec
 
         naxis_long = len(xs)
-        return hdr_im, lat, lon, naxis1, naxis2, naxis_long, utc_cols
+        return hdr_im, xg, yg, naxis1, naxis2, naxis_long, utc_cols
 
-    def _prepare_spectro_data_l3(self, hdr_spice, keep_original_imager_pixel_size):
+    def _prepare_spectro_meta_l3(self, hdr_spice, keep_original_imager_pixel_size):
         """L3 SPICE input: axes (coeff, x, y, t) with the coefficient axis
         first in FITS order (map_builder.py:295-348)."""
         from ..io import fits
@@ -310,8 +488,7 @@ class SPICEComposedMapBuilder(ComposedMapBuilder):
         naxis1 = int(hdr_spice[f"NAXIS{ilon + 2}"])  # +1 for drop, +1 FITS
         naxis2 = int(hdr_spice[f"NAXIS{ilat + 2}"])
 
-        hdul_im = fits.open(self.list_imager_paths[0])
-        hdr_im = hdul_im[self.window_imager].header.copy()
+        hdr_im = self._first_imager_header()
         if keep_original_imager_pixel_size:
             step_x = hdr_im["CDELT1"] / hdr_spice[f"CDELT{ilon + 2}"]
             step_y = hdr_im["CDELT2"] / hdr_spice[f"CDELT{ilat + 2}"]
@@ -326,14 +503,10 @@ class SPICEComposedMapBuilder(ComposedMapBuilder):
         w_spatial.set_pc(it, ilon, 0.0)
         w_xy = w_spatial.dropaxis(it)
         self.hdr_spice_ = w_xy.to_header()
-        p = wcs_params_from_header(self.hdr_spice_)
-        lon, lat = wcs2d.pixel_to_world(p.as_dict(), xg, yg, kind=p.kind, xp=np)
-        lon = units.ang2pipi_deg(lon)
-        lat = units.ang2pipi_deg(lat)
 
         qx = xs + 1.0 - w_xyt.crpix[ilon]
         qt = 1.0 - w_xyt.crpix[it]
         tsec = (w_xyt.crval[it]
                 + w_xyt.cdelt[it] * (w_xyt.pc[it, ilon] * qx + w_xyt.pc[it, it] * qt))
         utc_cols = w_xyt.time_origin_seconds() + tsec
-        return hdr_im, lat, lon, naxis1, naxis2, len(xs), utc_cols
+        return hdr_im, xg, yg, naxis1, naxis2, len(xs), utc_cols
