@@ -56,21 +56,26 @@ TOL_DET_PX = 0.15
 # Largest-first: bigger tiles amortize the per-tile FFT cost (and 384
 # typically lands on a power-of-2 transform size); the deviation gate
 # rejects sizes whose within-tile displacement variation is too large.
-_TILE_SIZES = (512, 384, 256, 192, 128)
+# 1024/768 matter for pick_tile_shape: an anisotropic deviation lets ONE
+# axis grow far past the square limit (fewer tiles, same accuracy).
+_TILE_SIZES = (1024, 768, 512, 384, 256, 192, 128)
 _MAX_TILES = 400
 
 # stage-1 tiles per scan step (see evaluate_select_tile_fft's tile_batch)
 import os as _os
 
 def _env_tile_batch() -> int:
-    raw = _os.environ.get("EUICOREG_TILEFFT_BATCH", "1")
+    # default 4: fewer scan steps amortize per-step overhead — bench leg
+    # 0.785 -> 0.762 s vs batch 1 at 24 tiles (HBM transient ~1 GB at the
+    # 2048^2 bench shapes; clamped to the tile count on small configs)
+    raw = _os.environ.get("EUICOREG_TILEFFT_BATCH", "4")
     try:
         return max(1, int(raw))
     except ValueError:
         import warnings
 
         warnings.warn(f"ignoring malformed EUICOREG_TILEFFT_BATCH={raw!r}")
-        return 1
+        return 4
 
 
 _TILE_BATCH = _env_tile_batch()
@@ -94,7 +99,7 @@ def _quad_eval(coeffs, u, v):
     return xp.einsum("lck,cp->lpk", coeffs, basis)
 
 
-def _per_tile_offset_bounds(coeffs, T, n_ty, n_tx):
+def _per_tile_offset_bounds(coeffs, th, tw, n_ty, n_tx):
     """Exact per-tile [min, max] of the rounded tile-center offsets over all
     lags, +-1 slack for the device's float32 rounding of the same quantity.
 
@@ -109,8 +114,8 @@ def _per_tile_offset_bounds(coeffs, T, n_ty, n_tx):
     o_min_t = np.empty((n_tiles, 2), dtype=np.int64)
     o_max_t = np.empty((n_tiles, 2), dtype=np.int64)
     for t in range(n_tiles):
-        u = (t % n_tx) * T + (T - 1) / 2.0
-        v = (t // n_tx) * T + (T - 1) / 2.0
+        u = (t % n_tx) * tw + (tw - 1) / 2.0
+        v = (t // n_tx) * th + (th - 1) / 2.0
         c = _quad_eval(coeffs, np.array([u]), np.array([v]))[:, 0, :]  # (L,2)
         o = np.floor(c + 0.5)
         o_min_t[t] = o.min(axis=0) - 1
@@ -120,8 +125,10 @@ def _per_tile_offset_bounds(coeffs, T, n_ty, n_tx):
 
 def pick_tile_size(coeffs, h, w, scale_det_per_grid, tol_det=TOL_DET_PX,
                    tile_sizes=_TILE_SIZES, max_tiles=_MAX_TILES):
-    """Largest tile size whose within-tile displacement deviation, converted
-    to detector pixels, meets ``tol_det``.  Returns (T, dev_det) or None."""
+    """Largest SQUARE tile size whose within-tile displacement deviation,
+    converted to detector pixels, meets ``tol_det``.  Returns (T, dev_det)
+    or None.  Kept as the gate probe (a square passing means the path is
+    viable); the evaluator itself picks a rectangle (pick_tile_shape)."""
     for T in tile_sizes:
         n_ty = -(-h // T)
         n_tx = -(-w // T)
@@ -133,6 +140,47 @@ def pick_tile_size(coeffs, h, w, scale_det_per_grid, tol_det=TOL_DET_PX,
         if dev_det <= tol_det:
             return T, dev_det
     return None
+
+
+def pick_tile_shape(coeffs, h, w, scale_det_per_grid, tol_det=TOL_DET_PX,
+                    tile_sizes=_TILE_SIZES, max_tiles=_MAX_TILES):
+    """Cheapest RECTANGULAR tile shape meeting the deviation gate.
+
+    The within-tile displacement deviation is typically anisotropic (on the
+    2048² bench config dev_x ≈ 4 × dev_y), so rectangles pass where the
+    next-larger square fails: (384, 512) gives 24 tiles where the square
+    gate stops at 384² = 36 — ~25% less stage-1 transform work and ~33%
+    less stage-2 readout, measured 0.83 → 0.75 s on the bench leg.
+
+    Cost model: n_tiles × round128(th + span_y) × round128(tw + span_x),
+    with the lag-driven offset span estimated once from the image-center
+    offsets (one (L, 2) temporary; the exact per-tile boxes are computed
+    later and differ only by the small cross-tile variation).  Returns
+    ((th, tw), dev_det) or None when no candidate passes."""
+    uc = np.array([(w - 1) / 2.0])
+    vc = np.array([(h - 1) / 2.0])
+    c = _quad_eval(coeffs, uc, vc)[:, 0, :]                     # (L, 2)
+    span_x, span_y = (np.ceil(c.max(axis=0)) - np.floor(c.min(axis=0)) + 3)
+
+    best = None
+    for th in tile_sizes:
+        n_ty = -(-h // th)
+        for tw in tile_sizes:
+            n_tx = -(-w // tw)
+            if n_ty * n_tx > max_tiles:
+                continue
+            dev_x, dev_y, _ = _pq._tile_bounds(coeffs, h, w, n_ty, n_tx,
+                                               th=th, tw=tw)
+            dev_det = max(dev_x, dev_y) * scale_det_per_grid
+            if dev_det > tol_det:
+                continue
+            cost = (n_ty * n_tx * _round128(th + span_y + 2 * dev_y)
+                    * _round128(tw + span_x + 2 * dev_x))
+            if best is None or cost < best[0]:
+                best = (cost, (th, tw), dev_det)
+    if best is None:
+        return None
+    return best[1], best[2]
 
 
 def _pair_indices(nt: int):
@@ -253,7 +301,7 @@ _INV_PRECISION = jax.lax.Precision.HIGH
 
 
 def _tiles_sum(g_stack, r_pad, coeffs_d, o_tab, o_min_g, tile_ids, order,
-               score, T, n_ty, n_tx, my, mx, by, bx, precise, batch=1):
+               score, th, tw, n_ty, n_tx, my, mx, by, bx, precise, batch=1):
     """Two stages.  Stage 1 scans ``tile_ids``: per tile build the 58
     surface FFTs and evaluate the 66 correlation surfaces on the tile's own
     offset box (anchor ``o_tab[t]``, static size (by, bx)) with two partial
@@ -267,33 +315,57 @@ def _tiles_sum(g_stack, r_pad, coeffs_d, o_tab, o_min_g, tile_ids, order,
     many tiles per scan step with the DFT matmuls batched (bigger MXU ops;
     HBM transient scales with it — see ``evaluate_select_tile_fft``)."""
     S_stack = _tiles_surfaces(g_stack, r_pad, o_tab, o_min_g, tile_ids,
-                              order, score, T, n_ty, n_tx, my, mx, by, bx,
-                              precise, batch)
+                              order, score, th, tw, n_ty, n_tx, my, mx,
+                              by, bx, precise, batch)
     return _combine_lags(S_stack, coeffs_d, o_tab, tile_ids, order,
-                         T, n_tx, n_ty * n_tx, by, bx, g_stack.dtype)
+                         th, tw, n_tx, n_ty * n_tx, by, bx, g_stack.dtype)
+
+
+def _folded_dft_mats(my, mx, by, bx, np_dt):
+    """Real-folded DFT factor matrices for one tile chunk (host numpy, trace
+    -time constants).  Complex arithmetic lowers poorly on TPU (a complex
+    einsum becomes 4 separate half-size matmuls plus relayouts); folding the
+    real/imag planes into block matrices turns every stage into ONE large
+    real matmul (measured 1.5x on the forward, more with tile batching).
+
+    Returns (Fx, Fy2, Iy2, Ix2):
+      Fx  (mx, 2K)   forward x-stage on REAL input: [cos | -sin]
+      Fy2 (2my, 2my) forward y-stage on stacked [Xr; Xi]
+      Iy2 (2by, 2my) partial inverse y-stage on stacked [Pr; Pi]
+      Ix2 (2, K, bx) partial inverse x-stage (real part only), hermitian
+                     half-spectrum weights and 1/(my*mx) folded in
+    """
+    K = mx // 2 + 1
+    w = np.arange(mx)[:, None] * np.arange(K)[None, :] * (2 * np.pi / mx)
+    Fx = np.concatenate([np.cos(w), -np.sin(w)], axis=1)
+    a = np.arange(my)[:, None] * np.arange(my)[None, :] * (2 * np.pi / my)
+    FyR, FyI = np.cos(a), -np.sin(a)
+    Fy2 = np.block([[FyR, -FyI], [FyI, FyR]])
+    b = np.arange(by)[:, None] * np.arange(my)[None, :] * (2 * np.pi / my)
+    EyR, EyI = np.cos(b), np.sin(b)
+    Iy2 = np.block([[EyR, -EyI], [EyI, EyR]])
+    kx = np.arange(K)
+    whalf = np.where((kx == 0) | ((mx % 2 == 0) & (kx == mx // 2)), 1.0, 2.0)
+    scale = (whalf / (my * mx))[:, None]
+    c = kx[:, None] * np.arange(bx)[None, :] * (2 * np.pi / mx)
+    Ix2 = np.stack([np.cos(c) * scale, -np.sin(c) * scale])
+    return (jnp.asarray(Fx, dtype=np_dt), jnp.asarray(Fy2, dtype=np_dt),
+            jnp.asarray(Iy2, dtype=np_dt), jnp.asarray(Ix2, dtype=np_dt))
 
 
 def _tiles_surfaces(g_stack, r_pad, o_tab, o_min_g, tile_ids, order,
-                    score, T, n_ty, n_tx, my, mx, by, bx, precise, batch=1):
+                    score, th, tw, n_ty, n_tx, my, mx, by, bx, precise,
+                    batch=1):
     """Stage 1: scan tile chunks, emit the stacked (Tn, 66, by, bx) boxes."""
     nt = _tap_count(order) ** 2
     npairs = nt * (nt + 1) // 2
     K = mx // 2 + 1
     dt = g_stack.dtype
 
-    # static partial-DFT matrices for the offset box (box start is 0: the
-    # r slice is taken at tile0 + o_tab[t], the tile's own anchor)
-    ky = jnp.arange(my, dtype=jnp.float32)
-    kx = jnp.arange(K, dtype=jnp.float32)
-    yy = jnp.arange(by, dtype=jnp.float32)
-    xx = jnp.arange(bx, dtype=jnp.float32)
-    cdt = jnp.complex64
-    Ey = jnp.exp(2j * jnp.pi / my * yy[:, None] * ky[None, :]).astype(cdt)
-    Ex = jnp.exp(2j * jnp.pi / mx * kx[:, None] * xx[None, :]).astype(cdt)
-    whalf = jnp.where((kx == 0) | ((mx % 2 == 0) & (kx == mx // 2)), 1.0, 2.0)
-    scale = (whalf / (my * mx)).astype(jnp.float32)
-    Exr = jnp.real(Ex) * scale[:, None]
-    Exi = jnp.imag(Ex) * scale[:, None]
+    # static real-folded DFT matrices (see _folded_dft_mats); built in the
+    # compute dtype so float64 CPU runs keep float64 factors
+    np_dt = np.float64 if dt == jnp.float64 else np.float32
+    Fx, Fy2, Iy2, Ix2 = _folded_dft_mats(my, mx, by, bx, np_dt)
 
     span_y = by - 1
     span_x = bx - 1
@@ -306,24 +378,24 @@ def _tiles_surfaces(g_stack, r_pad, o_tab, o_min_g, tile_ids, order,
         t = jnp.minimum(t, n_real - 1)
         ty = t // n_tx
         tx = t % n_tx
-        y0 = (ty * T).astype(jnp.int32)
-        x0 = (tx * T).astype(jnp.int32)
+        y0 = (ty * th).astype(jnp.int32)
+        x0 = (tx * tw).astype(jnp.int32)
         zero = jnp.int32(0)
         o_t = o_tab[t]                       # (2,) int32, (x, y) anchor
         rel_x = o_t[0] - o_min_g[0]          # >= 0: box inside global frame
         rel_y = o_t[1] - o_min_g[1]
 
         g_tile = jax.lax.dynamic_slice(
-            g_stack, (zero, y0, x0), (nG, T, T))
+            g_stack, (zero, y0, x0), (nG, th, tw))
         g_emb = jnp.zeros((nG, my, mx), dtype=dt)
-        g_emb = g_emb.at[:, :T, :T].set(g_tile)
+        g_emb = g_emb.at[:, :th, :tw].set(g_tile)
         # r slice starts at (tile0 + o_tab[t]); r_pad is the global r stack
         # pre-padded by (-o_min_g, +o_max_g) so this start is always >= 0
         r_tile = jax.lax.dynamic_slice(
             r_pad, (zero, y0 + rel_y, x0 + rel_x),
-            (nR, T + span_y, T + span_x))
+            (nR, th + span_y, tw + span_x))
         r_emb = jnp.zeros((nR, my, mx), dtype=dt)
-        r_emb = r_emb.at[:, : T + span_y, : T + span_x].set(r_tile)
+        r_emb = r_emb.at[:, : th + span_y, : tw + span_x].set(r_tile)
         return g_emb, r_emb
 
     def one_chunk(carry, ts):
@@ -335,51 +407,62 @@ def _tiles_surfaces(g_stack, r_pad, o_tab, o_min_g, tile_ids, order,
         r_emb = jnp.stack([e[1] for e in embs])     # (B, nR, my, mx)
 
         if precise:
-            # _INV_PRECISION (bf16_3x) for the forward DFTs too: the tile
+            # direct (single-matrix) real-folded DFT at _INV_PRECISION
+            # (bf16_3x): ~6x the nominal FLOPs of the Cooley-Tukey
+            # factorization but each stage is ONE large real matmul — the
+            # CT path's 32x32 factor contractions underutilize the 128x128
+            # MXU so badly that direct measures 1.5x faster per tile and
+            # batches across tiles for another ~2.6x (TPU microbench at the
+            # bench shapes, 58x896x1024).  Accuracy ~1e-5 x scale: the tile
             # path's error budget is dominated by the shared pre-warp
-            # interpolation (~1e-3 of peak range), three orders above the
-            # ~1e-5 a HIGH-precision transform carries
-            G = precise_fft.rfft2_rect(
-                g_emb.reshape(batch * nG, my, mx), my, mx,
-                precision=_INV_PRECISION).reshape(batch, nG, my, K)
-            r_flat = r_emb.reshape(batch * nR, my, mx)
-            R = jnp.concatenate(
-                [precise_fft.rfft2_rect(r_flat[k: k + 8], my, mx,
-                                        precision=_INV_PRECISION)
-                 for k in range(0, batch * nR, 8)]).reshape(
-                     batch, nR, my, K)
-        else:
-            G = jnp.fft.rfft2(g_emb, s=(my, mx))
-            R = jnp.fft.rfft2(r_emb, s=(my, mx))
+            # interpolation (~1e-3 of peak range).
+            def fwd(x):                             # (B, n, my, mx) real
+                X1 = jnp.einsum("bcyw,wk->bcyk", x, Fx,
+                                precision=_INV_PRECISION)
+                Xstk = jnp.concatenate([X1[..., :K], X1[..., K:]], axis=2)
+                return jnp.einsum("zy,bcyk->bczk", Fy2, Xstk,
+                                  precision=_INV_PRECISION)  # (B,n,2my,K)
 
-        prods = jnp.concatenate([
-            jnp.conj(G[:, 0:1]) * R[:, 0:1],
-            jnp.conj(G[:, 1:2]) * R[:, 0:1],
-            jnp.conj(G[:, 2:3]) * R[:, 0:1],
-            jnp.conj(G[:, 0:1] if score == "pearson" else G[:, 3:4])
-            * R[:, 1: 1 + nt],
-            jnp.conj(G[:, 1:2] if score == "pearson" else G[:, 4:5])
-            * R[:, 1: 1 + nt],
-            jnp.conj(G[:, 0:1] if score == "pearson" else G[:, 5:6])
-            * R[:, 1 + nt: 1 + nt + npairs],
-        ], axis=1)                                  # (B, 66, my, K)
+            G = fwd(g_emb)
+            R = fwd(r_emb)
+            Gr, Gi = G[:, :, :my], G[:, :, my:]
+            Rr, Ri = R[:, :, :my], R[:, :, my:]
+        else:
+            Gc = jnp.fft.rfft2(g_emb, s=(my, mx))
+            Rc = jnp.fft.rfft2(r_emb, s=(my, mx))
+            Gr, Gi = jnp.real(Gc), jnp.imag(Gc)
+            Rr, Ri = jnp.real(Rc), jnp.imag(Rc)
+
+        # products conj(G)*R, kept as separate real/imag planes:
+        # Pr = Gr Rr + Gi Ri, Pi = Gr Ri - Gi Rr
+        gsel = ((0, 1, 2, 0, 1, 0) if score == "pearson"
+                else (0, 1, 2, 3, 4, 5))
+        rsl = ((0, 1), (0, 1), (0, 1), (1, 1 + nt), (1, 1 + nt),
+               (1 + nt, 1 + nt + npairs))
+        parts_r, parts_i = [], []
+        for g, (r0, r1) in zip(gsel, rsl):
+            gr = Gr[:, g: g + 1]
+            gi = Gi[:, g: g + 1]
+            parts_r.append(gr * Rr[:, r0:r1] + gi * Ri[:, r0:r1])
+            parts_i.append(gr * Ri[:, r0:r1] - gi * Rr[:, r0:r1])
+        # stacked [Pr; Pi] along the y axis, (B, 66, 2my, K)
+        Pstk = jnp.concatenate(
+            [jnp.concatenate(parts_r, axis=1),
+             jnp.concatenate(parts_i, axis=1)], axis=2)
 
         # partial inverse on the box: S[c, s, oy, ox] = corr at offset
-        # (o_tab[t_c] + (oy, ox)); hermitian-half weights as in
-        # _box_inverse.  Contract the Y axis FIRST (by < my, so the
-        # intermediate is the smaller (B, 66, by, K) instead of
-        # (B, 66, my, bx)), and compute only the REAL part of the final X
-        # contraction as two real matmuls — the result is real, and a full
-        # complex matmul costs 2x the flops.  whalf and the 1/(my*mx)
-        # normalization are diagonal in kx, so they fold into the small Ex
-        # matrices (Exr/Exi) instead of two full elementwise passes over
-        # the (B, 66, my, K) spectrum per chunk.
-        ZY = jnp.einsum("yk,cskx->csyx", Ey, prods,
-                        precision=_INV_PRECISION)
-        S_box = (jnp.einsum("csyx,xb->csyb", jnp.real(ZY), Exr,
-                            precision=_INV_PRECISION)
-                 - jnp.einsum("csyx,xb->csyb", jnp.imag(ZY), Exi,
-                              precision=_INV_PRECISION))  # (B, 66, by, bx)
+        # (o_tab[t_c] + (oy, ox)).  Contract the Y axis FIRST (by < my, so
+        # the intermediate is the smaller (B, 66, 2by, K)); the folded Iy2
+        # emits [ZYr; ZYi] in one matmul.  The X stage computes only the
+        # REAL part — Ix2 carries [Exr; -Exi] with the hermitian
+        # half-spectrum weights and 1/(my*mx) folded in, so
+        # S = ZYr @ Exr - ZYi @ Exi is again ONE matmul (contraction
+        # (s, k) = (2, K)).
+        Z = jnp.einsum("zy,csyk->cszk", Iy2, Pstk,
+                       precision=_INV_PRECISION)    # (B, 66, 2by, K)
+        Zs = Z.reshape(batch, Z.shape[1], 2, by, K)
+        S_box = jnp.einsum("cspyk,pkx->csyx", Zs, Ix2,
+                           precision=_INV_PRECISION)  # (B, 66, by, bx)
         return carry, S_box
 
     Tn = tile_ids.shape[0]
@@ -395,7 +478,7 @@ def _tiles_surfaces(g_stack, r_pad, o_tab, o_min_g, tile_ids, order,
 
 
 def _combine_lags(S_stack, coeffs_d, o_tab, tile_ids, order,
-                  T, n_tx, n_real, by, bx, dt):
+                  th, tw, n_tx, n_real, by, bx, dt):
     """Batched per-lag readout + fractional-tap weighting over all tiles.
 
     Layouts keep the lag axis L minor so every elementwise op runs with
@@ -412,8 +495,8 @@ def _combine_lags(S_stack, coeffs_d, o_tab, tile_ids, order,
 
     valid_t = (tile_ids < n_real).astype(dt)                    # (Tn,)
     tt = jnp.minimum(tile_ids, n_real - 1)
-    u = ((tt % n_tx) * T).astype(dt) + (T - 1) / 2.0            # (Tn,)
-    v = ((tt // n_tx) * T).astype(dt) + (T - 1) / 2.0
+    u = ((tt % n_tx) * tw).astype(dt) + (tw - 1) / 2.0          # (Tn,)
+    v = ((tt // n_tx) * th).astype(dt) + (th - 1) / 2.0
     c = _quad_eval(coeffs_d, u, v)                              # (L, Tn, 2)
     o = jnp.floor(c + 0.5)
     frac = c - o
@@ -455,21 +538,22 @@ def _combine_lags(S_stack, coeffs_d, o_tab, tile_ids, order,
 
 
 @partial(jax.jit, static_argnames=(
-    "order", "score", "T", "n_ty", "n_tx", "my", "mx", "by", "bx",
+    "order", "score", "th", "tw", "n_ty", "n_tx", "my", "mx", "by", "bx",
     "precise", "batch"))
 def _evaluate_tiles(g_stack, r_pad, coeffs_d, o_tab, o_min_g, order, score,
-                    T, n_ty, n_tx, my, mx, by, bx, precise, batch=1):
+                    th, tw, n_ty, n_tx, my, mx, by, bx, precise, batch=1):
     """Single-device evaluation over all tiles."""
     ids = jnp.arange(n_ty * n_tx, dtype=jnp.int32)
     return _tiles_sum(g_stack, r_pad, coeffs_d, o_tab, o_min_g, ids, order,
-                      score, T, n_ty, n_tx, my, mx, by, bx, precise, batch)
+                      score, th, tw, n_ty, n_tx, my, mx, by, bx, precise,
+                      batch)
 
 
 from functools import lru_cache
 
 
 @lru_cache(maxsize=16)
-def _sharded_tiles_fn(mesh, order, score, T, n_ty, n_tx, my, mx, by, bx,
+def _sharded_tiles_fn(mesh, order, score, th, tw, n_ty, n_tx, my, mx, by, bx,
                       precise, batch=1):
     """Memoized jit(shard_map) evaluator (a fresh closure per call would
     re-trace the 58-FFT scan body and pay a remote compile-cache round-trip
@@ -479,7 +563,7 @@ def _sharded_tiles_fn(mesh, order, score, T, n_ty, n_tx, my, mx, by, bx,
 
     def local(tile_ids, g, r, cf, otab, omg):
         s = _tiles_sum(g, r, cf, otab, omg, tile_ids, order, score,
-                       T, n_ty, n_tx, my, mx, by, bx, precise, batch)
+                       th, tw, n_ty, n_tx, my, mx, by, bx, precise, batch)
         return jax.lax.psum(s, "lags")
 
     return jax.jit(shard_map(
@@ -489,7 +573,7 @@ def _sharded_tiles_fn(mesh, order, score, T, n_ty, n_tx, my, mx, by, bx,
 
 
 def _evaluate_tiles_sharded(mesh, g_stack, r_pad, coeffs_d, o_tab, o_min_g,
-                            order, score, T, n_ty, n_tx, my, mx, by, bx,
+                            order, score, th, tw, n_ty, n_tx, my, mx, by, bx,
                             precise, batch=1):
     """Multi-chip evaluation: the tile axis is sharded over the mesh's
     ``lags`` axis (fields replicated in every chip's HBM — the TPU-native
@@ -504,8 +588,8 @@ def _evaluate_tiles_sharded(mesh, g_stack, r_pad, coeffs_d, o_tab, o_min_g,
     n_pad = -(-n_tiles // ndev) * ndev
     ids = np.arange(n_pad, dtype=np.int32)  # >= n_tiles pad -> zero update
 
-    fn = _sharded_tiles_fn(mesh, order, score, T, n_ty, n_tx, my, mx, by,
-                           bx, precise, batch)
+    fn = _sharded_tiles_fn(mesh, order, score, th, tw, n_ty, n_tx, my, mx,
+                           by, bx, precise, batch)
     with mesh:
         return fn(mesh_put(ids, mesh, P("lags")),
                   mesh_put(g_stack, mesh),
@@ -532,6 +616,10 @@ def evaluate_select_tile_fft(coeffs, warped, ref_img, *, order, h, w,
     ``tile_batch``: tiles per scan step in stage 1 (DFT matmuls batched
     over the chunk — bigger MXU ops, HBM transient scales with it);
     defaults to the ``EUICOREG_TILEFFT_BATCH`` env var (1).
+
+    ``tile_size``: int for square tiles, (th, tw) for rectangular ones, or
+    None to auto-pick the cheapest rectangle meeting the deviation gate
+    (pick_tile_shape — within-tile deviation is typically anisotropic).
     """
     if method not in ("correlation", "residus_masked") or order not in (0, 2):
         return None
@@ -541,30 +629,32 @@ def evaluate_select_tile_fft(coeffs, warped, ref_img, *, order, h, w,
         return np.zeros(0)
 
     if tile_size is None:
-        pick = pick_tile_size(coeffs, h, w, scale_det_per_grid, tol_det)
+        pick = pick_tile_shape(coeffs, h, w, scale_det_per_grid, tol_det)
         if pick is None:
             return None
-        T, _dev = pick
+        (th, tw), _dev = pick
+    elif np.ndim(tile_size) == 0:
+        th = tw = int(tile_size)
     else:
-        T = int(tile_size)
-    n_ty = -(-h // T)
-    n_tx = -(-w // T)
-    hp, wp = n_ty * T, n_tx * T
+        th, tw = (int(tile_size[0]), int(tile_size[1]))
+    n_ty = -(-h // th)
+    n_tx = -(-w // tw)
+    hp, wp = n_ty * th, n_tx * tw
 
     # per-tile offset boxes: exact rounded-offset range of each tile, a
     # common static size (by, bx) = the largest per-tile span, anchored at
     # each tile's own minimum.  The global frame [o_min, o_max] (the union)
     # only sizes the padded r stack; the correlation boxes — and hence the
     # transform sizes and partial-inverse cost — stay per-tile small.
-    o_min_t, o_max_t = _per_tile_offset_bounds(coeffs, T, n_ty, n_tx)
+    o_min_t, o_max_t = _per_tile_offset_bounds(coeffs, th, tw, n_ty, n_tx)
     o_min = o_min_t.min(axis=0)
     o_max = o_max_t.max(axis=0)
     span_t = (o_max_t - o_min_t).max(axis=0)        # (2,) in (x, y)
     bx, by = int(span_t[0]) + 1, int(span_t[1]) + 1
     # pull anchors back so every (by, bx) box stays inside the global frame
     o_min_t = np.minimum(o_min_t, o_max - np.array([bx - 1, by - 1]))
-    my = _round128(T + by - 1)
-    mx = _round128(T + bx - 1)
+    my = _round128(th + by - 1)
+    mx = _round128(tw + bx - 1)
     # the GLOBAL union sizes the padded r frame (Htot, Wtot below): guard it,
     # not just the per-tile spans — strong cross-tile displacement gradients
     # would otherwise allocate an unbounded r_pad on device
@@ -627,11 +717,11 @@ def evaluate_select_tile_fft(coeffs, warped, ref_img, *, order, h, w,
     if mesh is not None and mesh.devices.size > 1:
         sums = _evaluate_tiles_sharded(
             mesh, g_stack, r_pad, coeffs_d, o_tab_d, o_min_d, order, score,
-            T, n_ty, n_tx, my, mx, by, bx, precise, batch)
+            th, tw, n_ty, n_tx, my, mx, by, bx, precise, batch)
     else:
         sums = _evaluate_tiles(g_stack, r_pad, coeffs_d, o_tab_d, o_min_d,
-                               order, score, T, n_ty, n_tx, my, mx, by, bx,
-                               precise, batch)
+                               order, score, th, tw, n_ty, n_tx, my, mx,
+                               by, bx, precise, batch)
     S = np.asarray(sums, dtype=np.float64)  # (L, 6)
 
     n = S[:, 0]

@@ -224,7 +224,7 @@ def test_per_tile_boxes_match_global_box():
     coeffs[:, 1, 1] = -0.015                          # dy shrinks with v
 
     n_ty = n_tx = 2
-    o_min_t, _ = tile_fft._per_tile_offset_bounds(coeffs, T, n_ty, n_tx)
+    o_min_t, _ = tile_fft._per_tile_offset_bounds(coeffs, T, T, n_ty, n_tx)
     spread = o_min_t.max(axis=0) - o_min_t.min(axis=0)
     assert spread.max() >= 2, f"anchors degenerate: spread={spread}"
 
@@ -234,8 +234,8 @@ def test_per_tile_boxes_match_global_box():
 
     orig_bounds = tile_fft._per_tile_offset_bounds
 
-    def global_bounds(cf, T_, n_ty_, n_tx_):
-        omin, omax = orig_bounds(cf, T_, n_ty_, n_tx_)
+    def global_bounds(cf, th_, tw_, n_ty_, n_tx_):
+        omin, omax = orig_bounds(cf, th_, tw_, n_ty_, n_tx_)
         n = n_ty_ * n_tx_
         return (np.tile(omin.min(axis=0), (n, 1)),
                 np.tile(omax.max(axis=0), (n, 1)))
@@ -283,6 +283,118 @@ def test_tile_batch_matches_unbatched():
         got = tile_fft.evaluate_select_tile_fft(coeffs, warped, ref,
                                                 tile_batch=b, **kw)
         np.testing.assert_allclose(got, base, rtol=1e-10, atol=1e-12)
+
+
+def test_rectangular_tiles_match_square():
+    """Rectangular tile shapes (th != tw, the auto-pick default when the
+    within-tile deviation is anisotropic) must reproduce square-tile values;
+    covers both axis orders and a non-dividing shape with edge tiles."""
+    from euispice_coreg_tpu.engine import tile_fft
+
+    h = w = 256
+    rng = np.random.default_rng(21)
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    ref = (100 + np.sin(xx / 9.0) * np.cos(yy / 13.0) * 10
+           + rng.normal(size=(h, w)))
+    warped = (100 + np.sin((xx + 1.2) / 9.0) * np.cos((yy - 0.8) / 13.0) * 10
+              + rng.normal(size=(h, w)))
+    ref[:6, :] = np.nan
+    warped[40:44, 80:90] = np.nan
+
+    L = 7
+    coeffs = np.zeros((L, 6, 2))
+    coeffs[:, 2, 0] = np.linspace(-3.0, 3.0, L)
+    coeffs[:, 2, 1] = np.linspace(2.0, -2.0, L)
+    coeffs[:, 0, 0] = 0.02
+    coeffs[:, 1, 1] = -0.015
+
+    kw = dict(order=2, h=h, w=w, method="correlation",
+              compute_dtype="float64")
+    base = tile_fft.evaluate_select_tile_fft(coeffs, warped, ref,
+                                             tile_size=128, **kw)
+    assert base is not None
+
+    # gradient-free coeffs: the per-tile-center constant-shift approximation
+    # is independent of the tiling, so every shape must agree to rounding
+    cflat = coeffs.copy()
+    cflat[:, 0, 0] = 0.0
+    cflat[:, 1, 1] = 0.0
+    base_flat = tile_fft.evaluate_select_tile_fft(cflat, warped, ref,
+                                                  tile_size=128, **kw)
+    for shape in ((128, 64), (64, 128), (128, 96)):
+        got = tile_fft.evaluate_select_tile_fft(cflat, warped, ref,
+                                                tile_size=shape, **kw)
+        np.testing.assert_allclose(got, base_flat, rtol=1e-8, atol=1e-10)
+        # with a displacement gradient the tile centers move, so values
+        # differ at the approximation level — but the ranking must hold
+        got_g = tile_fft.evaluate_select_tile_fft(coeffs, warped, ref,
+                                                  tile_size=shape, **kw)
+        assert np.argmax(got_g) == np.argmax(base)
+        np.testing.assert_allclose(got_g, base, atol=5e-3)
+
+
+def test_pick_tile_shape_prefers_cheap_rectangle():
+    """Anisotropic deviation (strong x-gradient of dx only) must steer the
+    auto-pick to a rectangle that is tall where the deviation allows and
+    pass the same gate pick_tile_size enforces."""
+    from euispice_coreg_tpu.engine import tile_fft
+
+    L = 5
+    coeffs = np.zeros((L, 6, 2))
+    coeffs[:, 2, 0] = np.linspace(-30.0, 30.0, L)
+    coeffs[:, 2, 1] = np.linspace(20.0, -20.0, L)
+    coeffs[:, 0, 0] = 1.5e-3     # dx grows with u: tall tiles stay cheap
+    h = w = 2048
+    pick = tile_fft.pick_tile_shape(coeffs, h, w, 1.0, tol_det=0.5)
+    assert pick is not None
+    (th, tw), dev = pick
+    assert dev <= 0.5
+    # the deviation budget is consumed along x only -> th should exceed tw
+    assert th > tw, (th, tw)
+
+    # a gate-failing config must return None from both pickers
+    coeffs_bad = coeffs.copy()
+    coeffs_bad[:, 0, 0] = 1.0
+    coeffs_bad[:, 1, 1] = 1.0
+    assert tile_fft.pick_tile_shape(coeffs_bad, h, w, 1.0) is None
+    assert tile_fft.pick_tile_size(coeffs_bad, h, w, 1.0) is None
+
+
+def test_precise_folded_dft_matches_fft():
+    """The precise branch (real-folded direct-DFT matmuls — the TPU default,
+    see _folded_dft_mats) must reproduce the jnp.fft branch; CPU runs default
+    to precise=False so this pins the folded pipeline explicitly, unbatched
+    AND with a batched chunk + pad remainder (4 tiles, batch 3)."""
+    from euispice_coreg_tpu.engine import tile_fft
+
+    h = w = 256
+    rng = np.random.default_rng(13)
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    ref = (100 + np.sin(xx / 9.0) * np.cos(yy / 13.0) * 10
+           + rng.normal(size=(h, w)))
+    warped = (100 + np.sin((xx + 1.2) / 9.0) * np.cos((yy - 0.8) / 13.0) * 10
+              + rng.normal(size=(h, w)))
+    ref[:6, :] = np.nan
+    warped[40:44, 80:90] = np.nan
+
+    L = 7
+    coeffs = np.zeros((L, 6, 2))
+    coeffs[:, 2, 0] = np.linspace(-3.0, 3.0, L)
+    coeffs[:, 2, 1] = np.linspace(2.0, -2.0, L)
+    coeffs[:, 0, 0] = 0.02
+    coeffs[:, 1, 1] = -0.015
+
+    for method in ("correlation", "residus_masked"):
+        kw = dict(order=2, h=h, w=w, method=method,
+                  compute_dtype="float64", tile_size=128)
+        base = tile_fft.evaluate_select_tile_fft(
+            coeffs, warped, ref, precise=False, **kw)
+        assert base is not None
+        for b in (1, 3):
+            got = tile_fft.evaluate_select_tile_fft(
+                coeffs, warped, ref, precise=True, tile_batch=b, **kw)
+            # float64 direct-DFT vs FFT: pure rounding-order differences
+            np.testing.assert_allclose(got, base, rtol=1e-8, atol=1e-10)
 
 
 def test_tile_fft_sharded_matches_single_device():
@@ -334,14 +446,14 @@ def test_tile_fft_sharded_matches_single_device():
 
 
 def test_env_tile_batch_tolerates_malformed(monkeypatch):
-    """A malformed EUICOREG_TILEFFT_BATCH must degrade to the default (1)
+    """A malformed EUICOREG_TILEFFT_BATCH must degrade to the default (4)
     with a warning, not crash engine import / every alignment."""
     from euispice_coreg_tpu.engine import tile_fft
 
     for bad in ("", "2.0", "fast"):
         monkeypatch.setenv("EUICOREG_TILEFFT_BATCH", bad)
         with pytest.warns(UserWarning, match="EUICOREG_TILEFFT_BATCH"):
-            assert tile_fft._env_tile_batch() == 1
+            assert tile_fft._env_tile_batch() == 4
     monkeypatch.setenv("EUICOREG_TILEFFT_BATCH", "3")
     assert tile_fft._env_tile_batch() == 3
     monkeypatch.setenv("EUICOREG_TILEFFT_BATCH", "0")
@@ -380,10 +492,10 @@ def test_tile_batch_clamped_to_per_device_shard(monkeypatch):
     seen = {}
     orig = tile_fft._evaluate_tiles_sharded
 
-    def spy(mesh_, g, r, cf, otab, omg, order, score, T, n_ty, n_tx,
+    def spy(mesh_, g, r, cf, otab, omg, order, score, th, tw, n_ty, n_tx,
             my, mx, by, bx, precise, batch=1):
         seen["batch"] = batch
-        return orig(mesh_, g, r, cf, otab, omg, order, score, T, n_ty,
+        return orig(mesh_, g, r, cf, otab, omg, order, score, th, tw, n_ty,
                     n_tx, my, mx, by, bx, precise, batch)
 
     monkeypatch.setattr(tile_fft, "_evaluate_tiles_sharded", spy)
