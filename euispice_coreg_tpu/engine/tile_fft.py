@@ -65,17 +65,19 @@ _MAX_TILES = 400
 import os as _os
 
 def _env_tile_batch() -> int:
-    # default 4: fewer scan steps amortize per-step overhead — bench leg
-    # 0.785 -> 0.762 s vs batch 1 at 24 tiles (HBM transient ~1 GB at the
-    # 2048^2 bench shapes; clamped to the tile count on small configs)
-    raw = _os.environ.get("EUICOREG_TILEFFT_BATCH", "4")
+    # default 1: at the rectangular 384x512 bench tiles the batched scan
+    # LOSES at evaluator level (340 ms @ batch 1 vs 396 ms @ batch 4,
+    # prof_tilefft_tpu2) and only ties at leg level, while the HBM
+    # transient scales with the batch (~1 GB at batch 4 on 2048^2 shapes).
+    # Batching paid off on the smaller 384^2 tiles; it no longer does.
+    raw = _os.environ.get("EUICOREG_TILEFFT_BATCH", "1")
     try:
         return max(1, int(raw))
     except ValueError:
         import warnings
 
         warnings.warn(f"ignoring malformed EUICOREG_TILEFFT_BATCH={raw!r}")
-        return 4
+        return 1
 
 
 _TILE_BATCH = _env_tile_batch()

@@ -446,14 +446,14 @@ def test_tile_fft_sharded_matches_single_device():
 
 
 def test_env_tile_batch_tolerates_malformed(monkeypatch):
-    """A malformed EUICOREG_TILEFFT_BATCH must degrade to the default (4)
+    """A malformed EUICOREG_TILEFFT_BATCH must degrade to the default (1)
     with a warning, not crash engine import / every alignment."""
     from euispice_coreg_tpu.engine import tile_fft
 
     for bad in ("", "2.0", "fast"):
         monkeypatch.setenv("EUICOREG_TILEFFT_BATCH", bad)
         with pytest.warns(UserWarning, match="EUICOREG_TILEFFT_BATCH"):
-            assert tile_fft._env_tile_batch() == 4
+            assert tile_fft._env_tile_batch() == 1
     monkeypatch.setenv("EUICOREG_TILEFFT_BATCH", "3")
     assert tile_fft._env_tile_batch() == 3
     monkeypatch.setenv("EUICOREG_TILEFFT_BATCH", "0")
