@@ -343,6 +343,82 @@ def _probe_projection(combo, lon_p, lat_p, delta_t, rate_wave):
                              combo["cdelt2_arcsec"], xp=np)
 
 
+@partial(jax.jit, static_argnames=("rate_wave",))
+def _probe_fit_jit(nx0p, ny0p, csx, csy, scal, delta_t, pinv_d, design_d,
+                   pxf_d, pyf_d, rate_wave):
+    """Device-side per-lag probe conjugation + quadratic fit.
+
+    Mirrors the host pipeline unproject -> differential rotation -> grid
+    mapping -> least-squares fit (see the numpy :func:`spherical_unproject`),
+    but runs it for ALL lags in one fused program: at a 121x121 grid the
+    (L, 16) trig chain costs ~0.3 s of float64 libm on the 1-CPU host vs a
+    few ms on device plus one ~1 MB fetch.
+
+    float32 discipline (TPU): the absolute Carrington longitude (~120 deg)
+    is never formed — ``scal["lon_shift"]`` carries the float64-reduced
+    ``obs_lon - lonlims[0]`` so the arctan2 output stays a small angle and
+    the grid coordinate keeps ~1e-4 px precision.  CPU test runs pass
+    float64 inputs and keep the full-precision semantics.
+
+    Returns (coeffs (L,6,2), fit_err (), ok (), shifts (L,2) i32,
+    m_l (L,) i32) — everything the caller's gates and the select path's
+    residual bucketing consume."""
+    dt = csx.dtype
+    px = nx0p[None, :] + csx[:, None]                        # (L, P)
+    py = ny0p[None, :] + csy[:, None]
+    ok = jnp.isfinite(px).all() & jnp.isfinite(py).all()
+
+    ax = (px - scal["x0"]) * scal["ax_scale"]                # radians
+    ay = (py - scal["y0"]) * scal["ay_scale"]
+    a = jnp.tan(ax)
+    b = jnp.tan(ay)
+    dist = scal["dist"]
+    # ray-sphere intersection, cancellation-stable for float32: the naive
+    # B^2 - 4AC differences two ~4*dist^2 (~1.8e5 at dist ~ 214 R_sun)
+    # values, losing ~5 of the 7 float32 digits and moving the surface
+    # point by whole pixels (the fit gate measured 3.2 px of it).
+    # Algebraically disc/4 = 1 - r^2 (dist^2 - 1) with r^2 = a^2 + b^2,
+    # every term well-scaled; zz = dist - z2 cancels the same way, so it
+    # is computed directly as (dist r^2 + sqrt(disc/4)) / A.
+    # dist^2 - 1 arrives float64-reduced from the host (scal["dist2m1"]).
+    r2 = a * a + b * b
+    A = r2 + 1.0
+    disc4 = 1.0 - r2 * scal["dist2m1"]
+    okd = disc4 >= 0
+    s = jnp.sqrt(jnp.where(okd, disc4, 0.0))
+    z2 = jnp.where(okd, (dist - s) / A, jnp.nan)
+    zz = jnp.where(okd, (dist * r2 + s) / A, jnp.nan)
+    x2, y2 = a * z2, b * z2
+    x3 = x2 * scal["cos_r"] - y2 * scal["sin_r"]
+    yy = x2 * scal["sin_r"] + y2 * scal["cos_r"]
+    y3 = yy * scal["cos_obslat"] + zz * scal["sin_obslat"]
+    z3 = zz * scal["cos_obslat"] - yy * scal["sin_obslat"]
+    lat = jnp.degrees(jnp.arcsin(jnp.clip(y3, -1.0, 1.0)))
+    lon_rel = jnp.degrees(jnp.arctan2(x3, z3)) + scal["lon_shift"]
+    lon_rel = lon_rel + diff_rot_shift_deg(lat, delta_t, rate_wave, xp=jnp)
+    gx = lon_rel * scal["inv_dlon"]
+    gy = (lat - scal["lat0"]) * scal["inv_dlat"]
+    c_exact = jnp.stack([gx - pxf_d[None, :], gy - pyf_d[None, :]],
+                        axis=-1)                             # (L, P, 2)
+    ok = ok & jnp.isfinite(c_exact).all()
+
+    # HIGHEST precision: TPU einsums default to bfloat16 accumulation,
+    # whose ~8-bit mantissa on the +-60 px c_exact values alone costs
+    # ~0.25 px per pass — measured 3.3 px of fit "residual" (gate-fatal)
+    # from the two default-precision matmuls below
+    coeffs = jnp.einsum("pq,lqk->lpk", pinv_d, c_exact,
+                        precision=jax.lax.Precision.HIGHEST)  # (L, 6, 2)
+    fit = jnp.einsum("qp,lpk->lqk", design_d, coeffs,
+                     precision=jax.lax.Precision.HIGHEST)
+    fit_err = jnp.max(jnp.abs(fit - c_exact))
+    center = jnp.mean(c_exact, axis=1)                       # (L, 2)
+    shifts = jnp.floor(center + 0.5).astype(jnp.int32)
+    r_l = jnp.max(jnp.abs(c_exact - shifts[:, None, :].astype(dt)),
+                  axis=(1, 2)) + fit_err
+    m_l = (jnp.ceil(r_l) + 1).astype(jnp.int32)
+    return coeffs, fit_err, ok, shifts, m_l
+
+
 def _score_one_lag_carr(d, small_img, ref_img, geom, base, order, method):
     """d: (5,) lag vector in DEGREES (same layout as lag_search)."""
     crval1 = base["crval1_arcsec"] + d[lag_search.D_CRVAL1] * 3600.0
@@ -592,6 +668,8 @@ def _carrington_select(small_img, ref_img, sc, delta_t, rate_wave,
     sampling uses the gather-free select sampler on the pre-warped image
     (double interpolation, like the helioprojective block fast path).
     """
+    from ..utils.obs import logger as _log, timed as _timed
+
     h, w = shape[1], shape[0]
     ppy = np.unique(np.linspace(0, h - 1, 4).astype(np.int64))
     ppx = np.unique(np.linspace(0, w - 1, 4).astype(np.int64))
@@ -606,10 +684,22 @@ def _carrington_select(small_img, ref_img, sc, delta_t, rate_wave,
     dc2 = g2.ravel() * 3600.0
     L = dc1.size
 
-    # quadratic displacement model: [px, py, 1, px^2, py^2, px*py]
-    design = np.stack([pxf, pyf, np.ones_like(pxf),
-                       pxf * pxf, pyf * pyf, pxf * pyf], axis=-1)  # (16, 6)
+    # quadratic displacement model: [X, Y, 1, X^2, Y^2, XY] on NORMALIZED
+    # probe coordinates X = px/(w-1), Y = py/(h-1).  The fit itself runs in
+    # float32 on device (_probe_fit_jit); an unnormalized basis carries
+    # px^2 ~ 4e6 values whose f32 rounding alone is ~0.4 grid px — enough
+    # to trip the 0.05 px fit gate.  Normalized, the basis is O(1) and the
+    # f32 fit error is ~1e-6 px; the coefficients are rescaled back to
+    # pixel units exactly (per-term power of the scale) on the host.
+    sxn = float(max(w - 1, 1))
+    syn = float(max(h - 1, 1))
+    pxs, pys = pxf / sxn, pyf / syn
+    design = np.stack([pxs, pys, np.ones_like(pxs),
+                       pxs * pxs, pys * pys, pxs * pys], axis=-1)  # (16, 6)
     pinv = np.linalg.pinv(design)  # (6, 16)
+    coeff_rescale = np.array([1.0 / sxn, 1.0 / syn, 1.0,
+                              1.0 / (sxn * sxn), 1.0 / (syn * syn),
+                              1.0 / (sxn * syn)])
 
     out = np.zeros((len(l1), len(l2), len(l3), len(l4), len(l5)))
     if mesh is not None:
@@ -639,25 +729,55 @@ def _carrington_select(small_img, ref_img, sc, delta_t, rate_wave,
                 csx = -(cos_r * dc1 + sin_r * dc2) / combo["cdelt1_arcsec"]
                 csy = -(-sin_r * dc1 + cos_r * dc2) / combo["cdelt2_arcsec"]
 
-                # exact conjugated displacement at the probe grid
-                px = nx0p[None, :] + csx[:, None]
-                py = ny0p[None, :] + csy[:, None]
-                if not np.isfinite(px).all():
+                # exact conjugated displacement + per-lag quadratic fit, ON
+                # DEVICE (_probe_fit_jit): the (L, 16) trig chain was ~0.3 s
+                # of host float64 libm per combo at a 121x121 grid.  All
+                # combo scalars are f64-reduced on the host first; the lag
+                # count is padded to a 1024 multiple so the jit signature
+                # (and the remote TPU compile cache) is stable across grids.
+                x0c, y0c = _pixel_origin(
+                    combo["crval1_arcsec"], combo["crval2_arcsec"],
+                    combo["crpix1"], combo["crpix2"], combo["roll"],
+                    combo["cdelt1_arcsec"], combo["cdelt2_arcsec"], xp=np)
+                obs_lat_r = np.radians(combo["obs_lat"])
+                fdt = jnp.asarray(csx, dtype=compute_dtype).dtype
+                scal_p = {k: jnp.asarray(v, dtype=fdt) for k, v in {
+                    "x0": x0c, "y0": y0c,
+                    "ax_scale": np.radians(combo["cdelt1_arcsec"] / 3600.0),
+                    "ay_scale": np.radians(combo["cdelt2_arcsec"] / 3600.0),
+                    "dist": combo["dist"],
+                    "dist2m1": combo["dist"] * combo["dist"] - 1.0,
+                    "cos_r": cos_r, "sin_r": sin_r,
+                    "cos_obslat": np.cos(obs_lat_r),
+                    "sin_obslat": np.sin(obs_lat_r),
+                    "lon_shift": combo["obs_lon"] - lonlims[0],
+                    "lat0": latlims[0],
+                    "inv_dlon": 1.0 / dlon_step,
+                    "inv_dlat": 1.0 / dlat_step,
+                }.items()}
+                Lp = -(-L // 1024) * 1024 if L > 256 else L
+                csx_p = np.pad(csx, (0, Lp - L), mode="edge")
+                csy_p = np.pad(csy, (0, Lp - L), mode="edge")
+                coeffs_j, fit_err_j, ok_j, shifts_j, m_l_j = _probe_fit_jit(
+                    jnp.asarray(nx0p, dtype=fdt), jnp.asarray(ny0p, dtype=fdt),
+                    jnp.asarray(csx_p, dtype=fdt), jnp.asarray(csy_p, dtype=fdt),
+                    scal_p, jnp.asarray(delta_t, dtype=fdt),
+                    jnp.asarray(pinv, dtype=fdt), jnp.asarray(design, dtype=fdt),
+                    jnp.asarray(pxf, dtype=fdt), jnp.asarray(pyf, dtype=fdt),
+                    rate_wave)
+                coeffs_p, fit_err, ok, shifts_p, m_l_p = jax.device_get(
+                    (coeffs_j, fit_err_j, ok_j, shifts_j, m_l_j))
+                if not bool(ok):
+                    _log.info("carrington select gate: non-finite probe "
+                              "conjugation (off-disk lag)")
                     return None
-                lon_r2, lat2 = spherical_unproject(px, py, combo)
-                lon2 = lon_r2 + diff_rot_shift_deg(lat2, delta_t, rate_wave)
-                gx = (lon2 - lonlims[0]) / dlon_step
-                gy = (lat2 - latlims[0]) / dlat_step
-                c_exact = np.stack([gx - pxf[None, :],
-                                    gy - pyf[None, :]], axis=-1)  # (L, 16, 2)
-                if not np.isfinite(c_exact).all():
-                    return None
-
-                # per-lag quadratic fit  (L, 6, 2)
-                coeffs = np.einsum("pq,lqk->lpk", pinv, c_exact)
-                fit = np.einsum("qp,lpk->lqk", design, coeffs)
-                fit_err = float(np.max(np.abs(fit - c_exact)))
+                # scaled-basis coefficients -> pixel units (exact, f64)
+                coeffs = (np.asarray(coeffs_p[:L], dtype=np.float64)
+                          * coeff_rescale[None, :, None])
+                fit_err = float(fit_err)
                 if fit_err > tol_px:
+                    _log.info("carrington select gate: quadratic fit "
+                              "residual %.4f px > %.4f", fit_err, tol_px)
                     return None
 
                 # residual bound relative to per-lag global integer shift:
@@ -665,15 +785,10 @@ def _carrington_select(small_img, ref_img, sc, delta_t, rate_wave,
                 # the residual grows ~linearly with |lag| — bucket lags by
                 # their OWN residual so central lags don't pay the corner
                 # lags' window (2-3x on a 121x121 grid)
-                center = np.mean(c_exact, axis=1)
-                shifts = np.floor(center + 0.5).astype(np.int32)
-                r_l = np.max(np.abs(c_exact - shifts[:, None, :]),
-                             axis=(1, 2)) + fit_err           # (L,)
-                m_l = np.ceil(r_l).astype(np.int64) + 1
+                shifts = np.asarray(shifts_p[:L], dtype=np.int32)
+                m_l = np.asarray(m_l_p[:L], dtype=np.int64)
                 if int(m_l.max()) > 24:
                     return None
-
-                from ..utils.obs import logger as _log, timed as _timed
 
                 # pre-warp fully on device (no coordinate-field transfers)
                 with _timed("carrington pre-warp (small -> grid)"):
