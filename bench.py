@@ -24,6 +24,40 @@ GRID = 121
 CPU_BASELINE_PROCS = 20
 CPU_PROBE_LAGS = 5
 
+# long engine timed() labels -> short bench stage keys
+_STAGE_KEYS = {
+    "carrington pre-warp (small -> grid)": "prewarp_s",
+    "carrington tile-FFT select evaluation": "tilefft_total_s",
+    "carrington hybrid tile-FFT evaluation": "hybrid_tilefft_s",
+    "carrington pallas select evaluation": "pallas_s",
+    "carrington lon/lat grid (host)": "hostgrid_s",
+    "submap (reference image -> comparison grid)": "submap_s",
+}
+
+
+def timed_best(run, n=2):
+    """Warm once (compile), then best-of-n with a per-run stage breakdown.
+
+    Returns (best_seconds, stages_of_best_run, last_result).  The stage
+    dict holds the engine's obs.stage()/timed() wall-clocks for the BEST
+    run only — attribution of the same number the leg reports, so
+    host-vs-device swings separate mechanically (VERDICT r03 weak #3).
+    Stage sums can exceed the leg total only by the bench-only syncs
+    obs.stages_active() enables inside the engine."""
+    from euispice_coreg_tpu.utils import obs
+
+    result = run()  # warm compile, uncollected
+    t_best, st_best = None, {}
+    for _ in range(n):
+        with obs.collect_stages() as st:
+            t0 = time.perf_counter()
+            result = run()
+            dt = time.perf_counter() - t0
+        if t_best is None or dt < t_best:
+            t_best, st_best = dt, dict(st)
+    stages = {_STAGE_KEYS.get(k, k): round(v, 4) for k, v in st_best.items()}
+    return t_best, stages, result
+
 
 def synthesize_pair():
     """Deterministic smooth 'sun' pair with a known 8 arcsec shift."""
@@ -97,16 +131,11 @@ def run_tpu(small_img, ref_img, lon, lat, base):
             mesh=None,
         )
 
-    corr = run()  # compile + warm
-    t_best = None
-    for _ in range(2):  # best-of-2: tunnel/host load noise is +-30%
-        t0 = time.perf_counter()
-        corr = run()
-        dt = time.perf_counter() - t0
-        t_best = dt if t_best is None else min(t_best, dt)
+    # best-of-2: tunnel/host load noise is +-30%
+    t_best, stages, corr = timed_best(run)
     mi = np.unravel_index(np.nanargmax(corr), corr.shape)
     assert abs(lag1[mi[0]] * 3600.0 - 8.0) < 1.0, f"argmax off: {lag1[mi[0]]*3600}"
-    return t_best, corr
+    return t_best, stages, corr
 
 
 def cpu_reference_per_lag(small_img, ref_img, lon, lat, base):
@@ -193,16 +222,10 @@ def run_full_api(tmp_dir, small_img, ref_img, base):
         )
         return A.align_using_helioprojective(return_type="corr")
 
-    corr = run()  # warm compile
-    t_best = None
-    for _ in range(2):
-        t0 = time.perf_counter()
-        corr = run()
-        dt = time.perf_counter() - t0
-        t_best = dt if t_best is None else min(t_best, dt)
+    t_best, stages, corr = timed_best(run)
     mi = np.unravel_index(np.nanargmax(corr), corr.shape)
     assert abs(lag[mi[0]] - 8.0) < 1.0, f"API argmax off: {lag[mi[0]]}"
-    return t_best
+    return t_best, stages
 
 
 def run_mixed_grid(small_img, ref_img, lon, lat, base):
@@ -232,19 +255,13 @@ def run_mixed_grid(small_img, ref_img, lon, lat, base):
             allow_fast="block",
         )
 
-    corr = run()  # warm
-    t_best = None
-    for _ in range(2):
-        t0 = time.perf_counter()
-        corr = run()
-        dt = time.perf_counter() - t0
-        t_best = dt if t_best is None else min(t_best, dt)
+    t_best, stages, corr = timed_best(run)
     # sanity on the crota=0 plane (the smooth synthetic scene is nearly
     # crota-flat, so the 5-D argmax can drift a lag step between planes)
     plane = corr[:, :, 0, 0, 1]
     mi = np.unravel_index(np.nanargmax(plane), plane.shape)
     assert abs(lag1[mi[0]] * 3600.0 - 8.0) < 1.5, f"mixed argmax: {lag1[mi[0]]*3600}"
-    return t_best
+    return t_best, stages
 
 
 def run_synras_spice(tmp_dir):
@@ -300,17 +317,66 @@ def run_synras_spice(tmp_dir):
         )
         return A.align_using_helioprojective(return_type="corr")
 
-    corr = run()  # warm
-    t_best = None
-    for _ in range(2):
-        t0 = time.perf_counter()
-        corr = run()
-        dt = time.perf_counter() - t0
-        t_best = dt if t_best is None else min(t_best, dt)
+    t_best, _stages, corr = timed_best(run)
     mi = np.unravel_index(np.nanargmax(corr), corr.shape)
     # truth: given header is (112, 84), true pointing (120, 80) -> (+8, -4)
     assert abs((np.arange(2.0, 15.0, 1.0))[mi[0]] - 8.0) < 1.5
     return t_best
+
+
+def run_iterative_spice(tmp_dir):
+    """Iterative context-raster leg (VERDICT r03 #6): the reference's most
+    expensive path (alignment_spice.py:357-469 — per lag, re-shift BOTH
+    SPICE headers, rebuild the synthetic raster from the imager series,
+    and re-correlate).  5x5 CRVAL grid, 1024^2 imager frames, batched lag
+    evaluation (one resample per imager frame for ALL lags + one vmapped
+    score); a (+2, -2) arcsec pointing error is injected and recovered."""
+    import sys as _sys
+
+    _sys.path.insert(0, "tests")
+    import fixtures as fx
+    from euispice_coreg_tpu.hdrshift.alignment_spice import (
+        AlignementSpiceIterativeContextRaster,
+    )
+    from euispice_coreg_tpu.io import fits
+    from euispice_coreg_tpu.utils import timeutils
+
+    paths = []
+    t0p = timeutils.parse_fits_time("2022-03-17T09:45:00")
+    for k in range(2):
+        hdr = fx.make_header((1024, 1024), (2.4, 2.4), (0.0, 0.0), 0.0)
+        hdr["DATE-AVG"] = timeutils.format_fits_time(t0p + 150.0 * k)
+        data = fx.render_helioprojective(hdr, seed=0)
+        p = f"{tmp_dir}/bench_it_imager_{k}.fits"
+        fits.write(p, [fits.PrimaryHDU(data=data.astype(np.float32),
+                                       header=hdr)])
+        paths.append(p)
+
+    hdr_true = fx.make_spice_l2_header(crval_arcsec=(122.0, 78.0))
+    cube = fx.render_spice_l2_cube(hdr_true)
+    hdr_given = fx.make_spice_l2_header(crval_arcsec=(120.0, 80.0))
+    p_spice = f"{tmp_dir}/solo_L2_bench_it_spice.fits"
+    fits.write(p_spice, [fits.PrimaryHDU(data=cube.astype(np.float32),
+                                         header=hdr_given)])
+
+    lag = np.arange(-2.0, 3.0, 1.0)
+
+    def run():
+        A = AlignementSpiceIterativeContextRaster(
+            large_fov_list_paths=paths,
+            small_fov_to_correct=p_spice,
+            threshold_time=600.0,
+            lag_crval1=lag, lag_crval2=lag,
+            large_fov_window=0, small_fov_window=0,
+        )
+        return A.align_using_helioprojective(return_type="corr")
+
+    t_best, stages, corr = timed_best(run)
+    plane = corr[:, :, 0, 0, 0, 0]
+    mi = np.unravel_index(np.nanargmax(plane), plane.shape)
+    assert abs(lag[mi[0]] - 2.0) < 1.1, f"iterative argmax: {lag[mi[0]]}"
+    assert abs(lag[mi[1]] + 2.0) < 1.1, f"iterative argmax: {lag[mi[1]]}"
+    return t_best, stages
 
 
 _CARR_EXTRA = {
@@ -397,14 +463,48 @@ def run_carrington(lon, lat):
             order=2, compute_dtype="float32",
         )
 
-    corr = run()  # warm compile
-    t_best = None
-    for _ in range(2):
-        t0 = time.perf_counter()
-        corr = run()
-        dt = time.perf_counter() - t0
-        t_best = dt if t_best is None else min(t_best, dt)
-    return t_best
+    t_best, stages, _corr = timed_best(run)
+    return t_best, stages
+
+
+def run_carrington_coarse():
+    """Coarse/wide Carrington regime (VERDICT r03 #3): a ±121-arcsec
+    121x121 grid whose corner lags exceed the full-set tile-FFT gate, so
+    the per-lag HYBRID carries it — the passing majority through tile-FFT
+    surfaces, the outer ring through the exact Pallas kernel.  Before the
+    hybrid this regime paid ~0.37 ms/lag all-Pallas (~5.4 s).  A +24
+    arcsec CRVAL1 error is injected and its recovery asserted."""
+    from euispice_coreg_tpu.engine import carrington as carr
+
+    hdr_true = _carr_header(N_SMALL, 2.0, 150.0 + 24.0 / 3600.0, 100.0)
+    hdr_given = _carr_header(N_SMALL, 2.0, 150.0, 100.0)
+    small = _carr_render(hdr_true)
+
+    lonlims, latlims, shape = (117.0, 123.0), (-1.0, 7.0), (2048, 2048)
+    lon_g, lat_g = carr.carrington_grid(lonlims, latlims, shape)
+    ref = _carr_scene(lon_g, lat_g)
+
+    step = 2.0 / 3600.0
+    l1 = (np.arange(GRID) - GRID // 2) * step
+
+    import jax.numpy as jnp
+
+    small_d = jnp.asarray(small, dtype=jnp.float32)
+    ref_d = jnp.asarray(ref, dtype=jnp.float32)
+
+    def run():
+        return carr.evaluate_lag_grid_carrington(
+            small_d, ref_d, hdr_given, lonlims, latlims, shape,
+            l1, l1, [0.0], [0.0], [0.0],
+            d_solar_r=1.004, reference_date=hdr_given["DATE-OBS"],
+            rate_wave="171", order=2, compute_dtype="float32",
+        )
+
+    t_best, stages, corr = timed_best(run)
+    mi = np.unravel_index(np.nanargmax(corr), corr.shape)
+    assert abs(l1[mi[0]] * 3600.0 - 24.0) < 3.0, \
+        f"coarse argmax off: {l1[mi[0]] * 3600}"
+    return t_best, stages
 
 
 def run_carrington_api(tmp_dir):
@@ -446,17 +546,11 @@ def run_carrington_api(tmp_dir):
             lonlims=(117.0, 123.0), latlims=(-1.0, 7.0), shape=(2048, 2048),
             reference_date=_CARR_EXTRA["DATE-OBS"], return_type="corr")
 
-    corr = run()  # warm compile
-    t_best = None
-    for _ in range(2):
-        t0 = time.perf_counter()
-        corr = run()
-        dt = time.perf_counter() - t0
-        t_best = dt if t_best is None else min(t_best, dt)
+    t_best, stages, corr = timed_best(run)
     plane = corr[:, :, 0, 0, 0, 0]
     mi = np.unravel_index(np.nanargmax(plane), plane.shape)
     assert abs(lag[mi[0]] - 8.0) < 1.0, f"carrington API argmax: {lag[mi[0]]}"
-    return t_best
+    return t_best, stages
 
 
 def _require_live_backend(timeout_s: float = 300.0):
@@ -500,7 +594,9 @@ def main():
 
     from euispice_coreg_tpu.utils.jaxcfg import with_retries
 
-    t_tpu, _ = with_retries(run_tpu, retries=2)(small32, ref32, lon32, lat32, base)
+    stages = {}
+    t_tpu, stages["core"], _ = with_retries(run_tpu, retries=2)(
+        small32, ref32, lon32, lat32, base)
     n_lags = GRID * GRID
     evals_per_sec = n_lags / t_tpu
 
@@ -508,26 +604,35 @@ def main():
     t_api = None
     try:
         with tempfile.TemporaryDirectory() as td:
-            t_api = run_full_api(td, small_img, ref_img, base)
+            t_api, stages["api"] = run_full_api(td, small_img, ref_img, base)
     except Exception as exc:  # noqa: BLE001
         print(f"# end-to-end API config failed: {exc}", file=sys.stderr)
 
     t_carr = None
     try:
-        t_carr = with_retries(run_carrington, retries=2)(lon, lat)
+        t_carr, stages["carr"] = with_retries(run_carrington, retries=2)(
+            lon, lat)
     except Exception as exc:  # noqa: BLE001
         print(f"# carrington config failed: {exc}", file=sys.stderr)
 
     t_carr_api = None
     try:
         with tempfile.TemporaryDirectory() as td:
-            t_carr_api = with_retries(run_carrington_api, retries=2)(td)
+            t_carr_api, stages["carr_api"] = with_retries(
+                run_carrington_api, retries=2)(td)
     except Exception as exc:  # noqa: BLE001
         print(f"# carrington API config failed: {exc}", file=sys.stderr)
 
+    t_carr_coarse = None
+    try:
+        t_carr_coarse, stages["carr_coarse"] = with_retries(
+            run_carrington_coarse, retries=2)()
+    except Exception as exc:  # noqa: BLE001
+        print(f"# carrington coarse config failed: {exc}", file=sys.stderr)
+
     t_mixed = None
     try:
-        t_mixed = with_retries(run_mixed_grid, retries=2)(
+        t_mixed, stages["mixed"] = with_retries(run_mixed_grid, retries=2)(
             small32, ref32, lon32, lat32, base)
     except Exception as exc:  # noqa: BLE001
         print(f"# mixed-grid config failed: {exc}", file=sys.stderr)
@@ -538,6 +643,13 @@ def main():
             t_synras = run_synras_spice(td)
     except Exception as exc:  # noqa: BLE001
         print(f"# synras/spice config failed: {exc}", file=sys.stderr)
+
+    t_iter = None
+    try:
+        with tempfile.TemporaryDirectory() as td:
+            t_iter, stages["iterative"] = run_iterative_spice(td)
+    except Exception as exc:  # noqa: BLE001
+        print(f"# iterative spice config failed: {exc}", file=sys.stderr)
 
     t_cpu_lag = cpu_reference_per_lag(small_img, ref_img, lon, lat, base)
     t_cpu_total = t_cpu_lag * n_lags / CPU_BASELINE_PROCS
@@ -552,9 +664,15 @@ def main():
         "end_to_end_api_s": round(t_api, 4) if t_api is not None else None,
         "carrington_121x121_2048_s": round(t_carr, 4) if t_carr is not None else None,
         "carrington_api_s": round(t_carr_api, 4) if t_carr_api is not None else None,
+        "carrington_coarse_121x121_s": round(t_carr_coarse, 4) if t_carr_coarse is not None else None,
         "mixed_grid_21x21x3_2048_s": round(t_mixed, 4) if t_mixed is not None else None,
         "synras_spice_e2e_s": round(t_synras, 4) if t_synras is not None else None,
+        "iterative_spice_5x5_s": round(t_iter, 4) if t_iter is not None else None,
         "cpu_baseline_s_20core_est": round(t_cpu_total, 2),
+        # per-leg stage attribution of the BEST run (engine obs.stage/timed
+        # wall-clocks): separates host prep / pre-warp / device eval /
+        # readout so leg-level swings can be attributed, not guessed
+        "stages": {k: v for k, v in stages.items() if v},
     }))
 
 

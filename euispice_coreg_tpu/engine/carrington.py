@@ -240,9 +240,15 @@ def spherical_unproject(px, py, sc: dict):
 def reproject_to_carrington(data, hdr, lonlims, latlims, shape, *,
                             d_solar_r=1.0, reference_date=None,
                             rate_wave=None, order=2,
-                            compute_dtype=jnp.float32):
+                            compute_dtype=jnp.float32, as_numpy=True):
     """One-shot Carrington reprojection of an image (the reference-image leg,
-    ``alignment.py:889-901``: CarringtonTransform + Rectifier, fill -> NaN)."""
+    ``alignment.py:889-901``: CarringtonTransform + Rectifier, fill -> NaN).
+
+    ``as_numpy=False`` returns the device array instead of a host float64
+    copy: the lag search consumes the grid ON DEVICE, and a 2048^2 f64
+    round-trip through the axon tunnel (32 MB down + 16 MB back up at
+    20-100 MB/s) costs up to ~2 s for nothing (the align_using_carrington
+    hot path)."""
     from ..utils import timeutils
 
     sc = header_spherical_scalars(hdr, d_solar_r)
@@ -252,6 +258,8 @@ def reproject_to_carrington(data, hdr, lonlims, latlims, shape, *,
     out = _warp_to_grid(jnp.asarray(data, dtype=compute_dtype), sc,
                         lonlims, latlims, shape, delta_t, rate_wave, order,
                         compute_dtype)
+    if not as_numpy:
+        return out
     return np.asarray(out, dtype=np.float64)
 
 
@@ -668,7 +676,7 @@ def _carrington_select(small_img, ref_img, sc, delta_t, rate_wave,
     sampling uses the gather-free select sampler on the pre-warped image
     (double interpolation, like the helioprojective block fast path).
     """
-    from ..utils.obs import logger as _log, timed as _timed
+    from ..utils.obs import logger as _log, stage as _stage, timed as _timed
 
     h, w = shape[1], shape[0]
     ppy = np.unique(np.linspace(0, h - 1, 4).astype(np.int64))
@@ -758,15 +766,16 @@ def _carrington_select(small_img, ref_img, sc, delta_t, rate_wave,
                 Lp = -(-L // 1024) * 1024 if L > 256 else L
                 csx_p = np.pad(csx, (0, Lp - L), mode="edge")
                 csy_p = np.pad(csy, (0, Lp - L), mode="edge")
-                coeffs_j, fit_err_j, ok_j, shifts_j, m_l_j = _probe_fit_jit(
-                    jnp.asarray(nx0p, dtype=fdt), jnp.asarray(ny0p, dtype=fdt),
-                    jnp.asarray(csx_p, dtype=fdt), jnp.asarray(csy_p, dtype=fdt),
-                    scal_p, jnp.asarray(delta_t, dtype=fdt),
-                    jnp.asarray(pinv, dtype=fdt), jnp.asarray(design, dtype=fdt),
-                    jnp.asarray(pxf, dtype=fdt), jnp.asarray(pyf, dtype=fdt),
-                    rate_wave)
-                coeffs_p, fit_err, ok, shifts_p, m_l_p = jax.device_get(
-                    (coeffs_j, fit_err_j, ok_j, shifts_j, m_l_j))
+                with _stage("carr_probe_fit_s"):
+                    coeffs_j, fit_err_j, ok_j, shifts_j, m_l_j = _probe_fit_jit(
+                        jnp.asarray(nx0p, dtype=fdt), jnp.asarray(ny0p, dtype=fdt),
+                        jnp.asarray(csx_p, dtype=fdt), jnp.asarray(csy_p, dtype=fdt),
+                        scal_p, jnp.asarray(delta_t, dtype=fdt),
+                        jnp.asarray(pinv, dtype=fdt), jnp.asarray(design, dtype=fdt),
+                        jnp.asarray(pxf, dtype=fdt), jnp.asarray(pyf, dtype=fdt),
+                        rate_wave)
+                    coeffs_p, fit_err, ok, shifts_p, m_l_p = jax.device_get(
+                        (coeffs_j, fit_err_j, ok_j, shifts_j, m_l_j))
                 if not bool(ok):
                     _log.info("carrington select gate: non-finite probe "
                               "conjugation (off-disk lag)")
@@ -775,19 +784,37 @@ def _carrington_select(small_img, ref_img, sc, delta_t, rate_wave,
                 coeffs = (np.asarray(coeffs_p[:L], dtype=np.float64)
                           * coeff_rescale[None, :, None])
                 fit_err = float(fit_err)
-                if fit_err > tol_px:
+                # the fit residual displaces SAMPLING POSITIONS on the grid,
+                # so its accuracy cost is in DETECTOR pixels (the canvas is
+                # smooth at detector scale; alignment results quantize in
+                # detector-pixel lag steps).  On a strongly oversampled grid
+                # (scale ~0.1 on the 2048^2 bench geometry) the raw grid-px
+                # gate was ~10x over-strict and pushed wide lag grids
+                # (> ~±100 arcsec) onto the ~100x-slower gather fallback.
+                # Capped at 4 grid px: beyond that the fitted quadratic is
+                # too far from the true conjugation to trust its own
+                # deviation bounds.
+                scale = _probe_scale_det_per_grid(
+                    nx0p, ny0p, pxf, pyf, (len(ppy), len(ppx)))
+                tol_grid = min(tol_px / max(scale, 1e-9), 4.0)
+                if fit_err > tol_grid:
                     _log.info("carrington select gate: quadratic fit "
-                              "residual %.4f px > %.4f", fit_err, tol_px)
+                              "residual %.4f grid px > %.4f (%.3f det px)",
+                              fit_err, tol_grid, fit_err * scale)
                     return None
 
                 # residual bound relative to per-lag global integer shift:
                 # the select sampler's cost is O((2m+taps)^2) slice reads, and
                 # the residual grows ~linearly with |lag| — bucket lags by
                 # their OWN residual so central lags don't pay the corner
-                # lags' window (2-3x on a 121x121 grid)
+                # lags' window (2-3x on a 121x121 grid).  The cap only binds
+                # the select/pallas legs (window count); the tile-FFT path
+                # scores through correlation surfaces and never opens
+                # per-lag select windows, so it may still proceed.
                 shifts = np.asarray(shifts_p[:L], dtype=np.int32)
                 m_l = np.asarray(m_l_p[:L], dtype=np.int64)
-                if int(m_l.max()) > 24:
+                m_cap_ok = int(m_l.max()) <= 24
+                if not (m_cap_ok or use_tile_fft):
                     return None
 
                 # pre-warp fully on device (no coordinate-field transfers)
@@ -799,11 +826,12 @@ def _carrington_select(small_img, ref_img, sc, delta_t, rate_wave,
                 ref_d = _put(ref_img)
                 coeffs_np = np.asarray(coeffs, dtype=compute_dtype)
 
+                vals = np.zeros(L)
+                rem = np.arange(L)  # lag indices still to score
+
                 if use_tile_fft:
                     from . import tile_fft
 
-                    scale = _probe_scale_det_per_grid(
-                        nx0p, ny0p, pxf, pyf, (len(ppy), len(ppx)))
                     with _timed("carrington tile-FFT select evaluation"):
                         vals_t = tile_fft.evaluate_select_tile_fft(
                             coeffs, warped_d, ref_d, order=order, h=h, w=w,
@@ -814,31 +842,65 @@ def _carrington_select(small_img, ref_img, sc, delta_t, rate_wave,
                         out[:, :, i3, i4, i5] = vals_t.reshape(
                             len(l1), len(l2))
                         continue
-                    _log.info("carrington tile-FFT gate failed, "
-                              "trying pallas")
+                    # per-lag hybrid: the within-tile deviation grows
+                    # ~linearly with |lag|, so the inner lags usually pass
+                    # the gate even when the full set fails — only the
+                    # outer ring pays the exact-kernel cost below
+                    hyb = tile_fft.pick_tile_shape_hybrid(
+                        coeffs, h, w, scale)
+                    if hyb is not None:
+                        (th_h, tw_h), mask_h = hyb
+                        with _timed("carrington hybrid tile-FFT "
+                                    "evaluation"):
+                            vals_h = tile_fft.evaluate_select_tile_fft(
+                                coeffs[mask_h], warped_d, ref_d,
+                                order=order, h=h, w=w, method=method,
+                                compute_dtype=compute_dtype, mesh=mesh,
+                                tile_size=(th_h, tw_h))
+                        if vals_h is not None:
+                            vals[mask_h] = np.asarray(vals_h,
+                                                      dtype=np.float64)
+                            rem = np.nonzero(~mask_h)[0]
+                            _log.info(
+                                "carrington select: hybrid tile-FFT "
+                                "(%d lags, shape (%d, %d)) + exact "
+                                "kernels (%d lags)",
+                                L - rem.size, th_h, tw_h, rem.size)
+                    if rem.size == L:
+                        _log.info("carrington tile-FFT gate failed, "
+                                  "trying pallas")
 
-                if use_pallas:
+                if rem.size and int(m_l[rem].max()) > 24:
+                    # too-wide lags for the select-window family, and the
+                    # tile-FFT legs declined them: reference-exact gather
+                    return None
+
+                if rem.size and use_pallas:
                     from . import pallas_quad
 
                     with _timed("carrington pallas select evaluation"):
                         vals_p = pallas_quad.evaluate_select_carr_pallas(
-                            coeffs, warped_d, ref_d, order=order, h=h, w=w,
-                            method=method, interpret=pallas_interpret,
-                            mesh=mesh)
+                            coeffs[rem], warped_d, ref_d, order=order,
+                            h=h, w=w, method=method,
+                            interpret=pallas_interpret, mesh=mesh)
                     if vals_p is not None:
-                        _log.info("carrington select: pallas quad kernel")
-                        out[:, :, i3, i4, i5] = vals_p.reshape(
-                            len(l1), len(l2))
-                        continue
-                    _log.info("carrington pallas preconditions failed, "
-                              "using XLA select evaluator")
+                        _log.info("carrington select: pallas quad kernel "
+                                  "(%d lags)", rem.size)
+                        vals[rem] = np.asarray(vals_p, dtype=np.float64)
+                        rem = rem[:0]
+                    else:
+                        _log.info("carrington pallas preconditions failed, "
+                                  "using XLA select evaluator")
 
-                vals = np.zeros(L)
+                if rem.size == 0:
+                    out[:, :, i3, i4, i5] = vals.reshape(len(l1), len(l2))
+                    continue
+
                 buckets = [2, 3, 4, 6, 8, 12, 16, 24]
                 mb_l = np.asarray(
-                    [next(b for b in buckets if b >= mm) for mm in m_l])
+                    [next(b for b in buckets if b >= mm) for mm in m_l[rem]])
                 for mb in sorted(set(mb_l.tolist())):
-                    idx = np.nonzero(mb_l == mb)[0]
+                    idx = rem[np.nonzero(mb_l == mb)[0]]
                     g_bound = int(np.max(np.abs(shifts[idx])))
                     # quantize pad (shape is a static jit arg -> cache reuse)
                     pad = -(-(g_bound + mb + 2) // 32) * 32

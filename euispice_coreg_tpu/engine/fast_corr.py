@@ -49,6 +49,7 @@ import numpy as np
 
 from ..core import wcs
 from ..ops import precise_fft
+from ..utils import obs
 from . import lag_search
 
 MAX_DISPLACEMENT_SPREAD_PX = 0.05  # fall back if curvature exceeds this
@@ -411,8 +412,9 @@ def evaluate_crval_grid_fast(
     g1, g2 = np.meshgrid(l1, l2, indexing="ij")
     lags = np.stack([g1.ravel(), g2.ravel()], axis=-1)
 
-    c, spread = displacement_per_lag(base_params, lags, lon, lat, kind,
-                                     grid=grid_params)
+    with obs.stage("fast_hostprep_s"):
+        c, spread = displacement_per_lag(base_params, lags, lon, lat, kind,
+                                         grid=grid_params)
     r = evaluate_from_displacements(
         small_img, ref_img, c, spread,
         order=order, compute_dtype=compute_dtype, mesh=mesh, method=method,
@@ -490,12 +492,17 @@ def evaluate_from_displacements(small_img, ref_img, c, spread, *,
     elif precise and by * bx <= (m * m) // 4:
         # evaluate the surfaces only on the offsets' bounding box with two
         # partial matmul-DFTs (removes ~70% of the full-inverse device time)
-        prods = _build_surfaces(small_d, ref_d, order, m, precise=True,
-                                score=score)
-        S_box = _box_inverse(prods, m, y_min, x_min, by, bx)
-        iyr = jnp.asarray(dint[:, 1] - y_min)
-        ixr = jnp.asarray(dint[:, 0] - x_min)
-        S = np.asarray(S_box[:, iyr, ixr], dtype=np.float64)
+        with obs.stage("fast_surfaces_s"):
+            prods = _build_surfaces(small_d, ref_d, order, m, precise=True,
+                                    score=score)
+            S_box = _box_inverse(prods, m, y_min, x_min, by, bx)
+            if obs.stages_active():
+                # sync so the surface/readout boundary is real (bench only)
+                S_box.block_until_ready()
+        with obs.stage("fast_readout_s"):
+            iyr = jnp.asarray(dint[:, 1] - y_min)
+            ixr = jnp.asarray(dint[:, 0] - x_min)
+            S = np.asarray(S_box[:, iyr, ixr], dtype=np.float64)
     else:
         iy = jnp.asarray(np.mod(dint[:, 1], m))
         ix = jnp.asarray(np.mod(dint[:, 0], m))
@@ -503,7 +510,8 @@ def evaluate_from_displacements(small_img, ref_img, c, spread, *,
                                     precise=precise, score=score),
                        dtype=np.float64)
 
-    return _combine_scores(S, dfrac, order, score)
+    with obs.stage("fast_combine_s"):
+        return _combine_scores(S, dfrac, order, score)
 
 
 def _combine_scores(S, dfrac, order: int, score: str):

@@ -194,6 +194,20 @@ def _tile_bounds(coeffs, h, w, n_ty, n_tx, th=TILE, tw=TILE):
     part maxed over the 4 corner tile centers plus the pure-quadratic
     worst case over the whole center rectangle.
     """
+    dev_l = _tile_bounds_per_lag(coeffs, h, w, n_ty, n_tx, th=th, tw=tw)
+    dev_x = float(np.max(dev_l[:, 0])) if dev_l.size else 0.0
+    dev_y = float(np.max(dev_l[:, 1])) if dev_l.size else 0.0
+    g_bound = _shift_bound(coeffs, h, w, n_ty, n_tx, th=th, tw=tw)
+    return dev_x, dev_y, g_bound
+
+
+def _tile_bounds_per_lag(coeffs, h, w, n_ty, n_tx, th=TILE, tw=TILE):
+    """Per-lag within-tile deviation bound (L, 2) in (x, y) order — the
+    max-over-lags of this is :func:`_tile_bounds`'s (dev_x, dev_y).  The
+    per-lag form drives the hybrid Carrington fallback: the deviation
+    scales ~linearly with the lag magnitude, so the inner part of a lag
+    grid usually passes the tile-FFT gate even when the corner lags force
+    the exact kernel (engine/carrington._carrington_select)."""
     L = coeffs.shape[0]
     u0 = 0.5 * (0 + min(tw - 1, w - 1))
     u1 = 0.5 * ((n_tx - 1) * tw + min(n_tx * tw - 1, w - 1))
@@ -214,18 +228,31 @@ def _tile_bounds(coeffs, h, w, n_ty, n_tx, th=TILE, tw=TILE):
             + np.abs(coeffs[:, 4, :, None]) * (hy_m * hy_m)
             + np.abs(coeffs[:, 5, :, None]) * (hx_m * hy_m))
     dev = gu * hx_m + gv * hy_m + quad                        # (L, 2, 4)
-    dev_x = float(np.max(dev[:, 0])) if dev.size else 0.0
-    dev_y = float(np.max(dev[:, 1])) if dev.size else 0.0
+    return dev.max(axis=2)                                    # (L, 2) x/y
 
+
+def _shift_bound(coeffs, h, w, n_ty, n_tx, th=TILE, tw=TILE):
+    """Conservative bound on max |tile-center shift| over all lags/tiles:
+    bilinear part maxed over the 4 corner tile centers plus the pure
+    -quadratic worst case over the whole center rectangle."""
+    L = coeffs.shape[0]
+    u0 = 0.5 * (0 + min(tw - 1, w - 1))
+    u1 = 0.5 * ((n_tx - 1) * tw + min(n_tx * tw - 1, w - 1))
+    v0 = 0.5 * (0 + min(th - 1, h - 1))
+    v1 = 0.5 * ((n_ty - 1) * th + min(n_ty * th - 1, h - 1))
+    uu, vv = np.meshgrid([u0, u1], [v0, v1], indexing="ij")
+    uu, vv = uu.ravel(), vv.ravel()                           # (4,)
+    ck = np.ascontiguousarray(coeffs.transpose(0, 2, 1)).reshape(L * 2, 6)
+    one = np.ones_like(uu)
+    zero = 0 * uu
     basis_bil = np.stack([uu, vv, one, zero, zero, zero])
     bil = np.abs((ck @ basis_bil))                            # (L*2, 4)
     umax, vmax = max(abs(u0), abs(u1)), max(abs(v0), abs(v1))
     quad_res = (np.abs(coeffs[:, 3, :]) * umax * umax
                 + np.abs(coeffs[:, 4, :]) * vmax * vmax
                 + np.abs(coeffs[:, 5, :]) * umax * vmax)
-    g_bound = int(np.ceil(np.max(bil) + np.max(quad_res) + 0.5)) \
+    return int(np.ceil(np.max(bil) + np.max(quad_res) + 0.5)) \
         if bil.size else 0
-    return dev_x, dev_y, g_bound
 
 
 @functools.partial(jax.jit,

@@ -39,6 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import precise_fft
+from ..utils import obs
 from . import pallas_quad as _pq
 
 # Within-tile sampling-position tolerance, DETECTOR pixels.  Same role as
@@ -58,7 +59,12 @@ TOL_DET_PX = 0.15
 # rejects sizes whose within-tile displacement variation is too large.
 # 1024/768 matter for pick_tile_shape: an anisotropic deviation lets ONE
 # axis grow far past the square limit (fewer tiles, same accuracy).
-_TILE_SIZES = (1024, 768, 512, 384, 256, 192, 128)
+# 96/64 widen the path to WEAKLY-oversampled Carrington grids (the r03
+# coarse-grid fallback regime): their deviation is strongly anisotropic
+# (lon-axis dominated), so a narrow-wide rectangle like (384, 64) passes
+# the detector-px gate where every >=128 square fails — without them those
+# grids pay the exact Pallas kernel at ~0.37 ms/lag (~5.5 s per 121x121).
+_TILE_SIZES = (1024, 768, 512, 384, 256, 192, 128, 96, 64)
 _MAX_TILES = 400
 
 # stage-1 tiles per scan step (see evaluate_select_tile_fft's tile_batch)
@@ -101,17 +107,28 @@ def _quad_eval(coeffs, u, v):
     return xp.einsum("lck,cp->lpk", coeffs, basis)
 
 
-def _per_tile_offset_bounds(coeffs, th, tw, n_ty, n_tx):
-    """Exact per-tile [min, max] of the rounded tile-center offsets over all
-    lags, +-1 slack for the device's float32 rounding of the same quantity.
+@partial(jax.jit, static_argnames=("th", "tw", "n_ty", "n_tx"))
+def _tile_offset_bounds_jit(coeffs_d, th, tw, n_ty, n_tx):
+    """Per-tile [min, max] of the rounded tile-center offsets over all lags,
+    computed ON DEVICE: the (L, n_tiles, 2) table never exists on the host
+    (CLAUDE.md host memory discipline — fresh multi-MB host allocations can
+    page-fault for seconds), and at ~200 tiles the per-tile host einsum loop
+    cost ~0.2 s of the leg.  +-1 slack covers rounding differences vs the
+    readout's own floor(c + 0.5) (same dtype, same arithmetic)."""
+    dt = coeffs_d.dtype
+    t = jnp.arange(n_ty * n_tx, dtype=jnp.int32)
+    u = ((t % n_tx) * tw).astype(dt) + (tw - 1) / 2.0
+    v = ((t // n_tx) * th).astype(dt) + (th - 1) / 2.0
+    o = jnp.floor(_quad_eval(coeffs_d, u, v) + 0.5)     # (L, n_tiles, 2)
+    return (jnp.min(o, axis=0) - 1).astype(jnp.int32), \
+           (jnp.max(o, axis=0) + 1).astype(jnp.int32)
 
-    The per-lag gather only ever reads the surface at the ROUNDED offset of
-    each tile's center, so each tile needs a correlation box covering its own
-    L offsets — typically far smaller than the union over tiles (the union
-    adds the cross-tile displacement variation, which at 2048^2 bench scale
-    doubles the box and the partial-inverse cost).  Host float64, one
-    (L, 2) temporary per tile (never an (L, n_tiles) table — CLAUDE.md host
-    memory discipline)."""
+
+def _per_tile_offset_bounds(coeffs, th, tw, n_ty, n_tx):
+    """Host fallback of :func:`_tile_offset_bounds_jit` (mesh runs, where
+    committing to the default device would violate placement discipline).
+    Host float64, one (L, 2) temporary per tile — never an (L, n_tiles)
+    table."""
     n_tiles = n_ty * n_tx
     o_min_t = np.empty((n_tiles, 2), dtype=np.int64)
     o_max_t = np.empty((n_tiles, 2), dtype=np.int64)
@@ -196,6 +213,68 @@ def pick_tile_shape(coeffs, h, w, scale_det_per_grid, tol_det=TOL_DET_PX,
         dev_det = max(dev_x, dev_y) * scale_det_per_grid
         if dev_det <= tol_det:
             return (th, tw), dev_det
+    return None
+
+
+def pick_tile_shape_hybrid(coeffs, h, w, scale_det_per_grid,
+                           tol_det=TOL_DET_PX, tile_sizes=_TILE_SIZES,
+                           max_tiles=_MAX_TILES, min_pass_frac=0.5):
+    """Per-lag gate for the hybrid Carrington fallback.
+
+    Called when :func:`pick_tile_shape` rejected the FULL lag set: the
+    within-tile deviation grows ~linearly with the lag magnitude, so on
+    gradient-dominated coarse grids the inner part of a lag grid usually
+    meets ``tol_det`` even when the corner lags force the exact kernel.
+    Finds the tile shape admitting the most lags individually (cost as the
+    tiebreak among near-best shapes) so the engine can score the passing
+    set via tile-FFT surfaces and only the failing remainder via the
+    ~0.37 ms/lag exact Pallas kernel.
+
+    Returns ``((th, tw), pass_mask)`` with ``pass_mask`` an exact (L,)
+    bool of per-lag gate decisions, or None when fewer than
+    ``min_pass_frac`` of the lags pass for every candidate shape (the
+    hybrid's fixed stage-1 cost then outweighs the saved exact-kernel
+    time).  Host-cost discipline mirrors pick_tile_shape: candidates are
+    ranked on a lag subsample (per-lag bounds are exact per sampled lag),
+    and only the leaders pay the full-L bound."""
+    L = coeffs.shape[0]
+    if L == 0:
+        return None
+    idx_sub = np.arange(L)[:: max(1, L // 256)] if L > 512 else np.arange(L)
+    sub = coeffs[idx_sub]
+
+    cands = []
+    for th in tile_sizes:
+        n_ty = -(-h // th)
+        for tw in tile_sizes:
+            n_tx = -(-w // tw)
+            if n_ty * n_tx > max_tiles:
+                continue
+            dev_l = _pq._tile_bounds_per_lag(sub, h, w, n_ty, n_tx,
+                                             th=th, tw=tw)
+            ok = (dev_l.max(axis=1) * scale_det_per_grid) <= tol_det
+            frac = float(ok.mean())
+            if frac < min_pass_frac:
+                continue
+            # cheap cost proxy: tile count x tile area (the offset span is
+            # lag-driven and shape-independent, so it drops out of ranking)
+            cost = n_ty * n_tx * _round128(th) * _round128(tw)
+            cands.append((-frac, cost, th, tw, n_ty, n_tx))
+
+    if not cands:
+        return None
+    cands.sort()
+    best_frac = -cands[0][0]
+    # among shapes within 2% of the best subsample pass-rate, try cheapest
+    # first; the final mask is exact (full L)
+    leaders = [c for c in cands if -c[0] >= best_frac - 0.02]
+    leaders.sort(key=lambda c: c[1])
+    for _nf, _cost, th, tw, n_ty, n_tx in leaders[:4]:
+        dev_l = _pq._tile_bounds_per_lag(coeffs, h, w, n_ty, n_tx,
+                                         th=th, tw=tw)
+        mask = (dev_l.max(axis=1) * scale_det_per_grid) <= tol_det
+        if float(mask.mean()) >= min_pass_frac:
+            return (th, tw), mask
     return None
 
 
@@ -645,7 +724,8 @@ def evaluate_select_tile_fft(coeffs, warped, ref_img, *, order, h, w,
         return np.zeros(0)
 
     if tile_size is None:
-        pick = pick_tile_shape(coeffs, h, w, scale_det_per_grid, tol_det)
+        with obs.stage("carr_tilefft_gate_s"):
+            pick = pick_tile_shape(coeffs, h, w, scale_det_per_grid, tol_det)
         if pick is None:
             return None
         (th, tw), _dev = pick
@@ -662,7 +742,17 @@ def evaluate_select_tile_fft(coeffs, warped, ref_img, *, order, h, w,
     # each tile's own minimum.  The global frame [o_min, o_max] (the union)
     # only sizes the padded r stack; the correlation boxes — and hence the
     # transform sizes and partial-inverse cost — stay per-tile small.
-    o_min_t, o_max_t = _per_tile_offset_bounds(coeffs, th, tw, n_ty, n_tx)
+    with obs.stage("carr_tilefft_hostprep_s"):
+        if mesh is None:
+            # device path: must use the SAME dtype as the readout's own
+            # floor(c + 0.5) (compute_dtype) so the +-1 anchor slack holds
+            o_min_d, o_max_d = _tile_offset_bounds_jit(
+                jnp.asarray(coeffs, dtype=compute_dtype), th, tw, n_ty, n_tx)
+            o_min_t = np.asarray(o_min_d, dtype=np.int64)
+            o_max_t = np.asarray(o_max_d, dtype=np.int64)
+        else:
+            o_min_t, o_max_t = _per_tile_offset_bounds(coeffs, th, tw,
+                                                       n_ty, n_tx)
     o_min = o_min_t.min(axis=0)
     o_max = o_max_t.max(axis=0)
     span_t = (o_max_t - o_min_t).max(axis=0)        # (2,) in (x, y)
@@ -730,15 +820,16 @@ def evaluate_select_tile_fft(coeffs, warped, ref_img, *, order, h, w,
         max_batch = -(-max_batch // mesh.devices.size)
     batch = max(1, min(int(tile_batch), max_batch))
 
-    if mesh is not None and mesh.devices.size > 1:
-        sums = _evaluate_tiles_sharded(
-            mesh, g_stack, r_pad, coeffs_d, o_tab_d, o_min_d, order, score,
-            th, tw, n_ty, n_tx, my, mx, by, bx, precise, batch)
-    else:
-        sums = _evaluate_tiles(g_stack, r_pad, coeffs_d, o_tab_d, o_min_d,
-                               order, score, th, tw, n_ty, n_tx, my, mx,
-                               by, bx, precise, batch)
-    S = np.asarray(sums, dtype=np.float64)  # (L, 6)
+    with obs.stage("carr_tilefft_eval_s"):
+        if mesh is not None and mesh.devices.size > 1:
+            sums = _evaluate_tiles_sharded(
+                mesh, g_stack, r_pad, coeffs_d, o_tab_d, o_min_d, order,
+                score, th, tw, n_ty, n_tx, my, mx, by, bx, precise, batch)
+        else:
+            sums = _evaluate_tiles(g_stack, r_pad, coeffs_d, o_tab_d,
+                                   o_min_d, order, score, th, tw, n_ty,
+                                   n_tx, my, mx, by, bx, precise, batch)
+        S = np.asarray(sums, dtype=np.float64)  # (L, 6)
 
     n = S[:, 0]
     with np.errstate(invalid="ignore", divide="ignore"):

@@ -172,6 +172,12 @@ class Alignment:
     # data loading / preprocessing (host)
     # ------------------------------------------------------------------
     def _load_pair(self, dtype=np.float64):
+        from ..utils.obs import stage
+
+        with stage("api_fits_load_s"):
+            self._load_pair_body(dtype)
+
+    def _load_pair_body(self, dtype=np.float64):
         from ..io import fits
         from ..utils import devcache
 
@@ -727,21 +733,29 @@ class Alignment:
     def _run_carrington_fa_search(self, rate_wave):
         """Carrington explicit-grid search body (one reprojection + lag
         search per ``lag_solar_r``; alignment.py:144-261)."""
+        from ..utils.obs import stage
+
         l1, l2, l3, l4, l5 = self._lags_deg(wrap=True)
         corr_parts = []
         for d_solar_r in self.lag_solar_r:
-            ref_img = carr_engine.reproject_to_carrington(
-                self._large_dev(),
-                self.hdr_large,
-                self.lonlims,
-                self.latlims,
-                self.shape,
-                d_solar_r=float(d_solar_r),
-                reference_date=self.reference_date,
-                rate_wave=rate_wave,
-                order=self.order,
-                compute_dtype=self.compute_dtype,
-            )
+            with stage("carr_api_reproject_s"):
+                # as_numpy=False: the search consumes the grid on device;
+                # a 2048^2 f64 host round-trip through the tunnel costs up
+                # to ~2 s (the largest single chunk of the r03 API-vs-engine
+                # leg gap)
+                ref_img = carr_engine.reproject_to_carrington(
+                    self._large_dev(),
+                    self.hdr_large,
+                    self.lonlims,
+                    self.latlims,
+                    self.shape,
+                    d_solar_r=float(d_solar_r),
+                    reference_date=self.reference_date,
+                    rate_wave=rate_wave,
+                    order=self.order,
+                    compute_dtype=self.compute_dtype,
+                    as_numpy=False,
+                )
             self._save_carrington_figures(ref_img, d_solar_r, rate_wave)
             with self._progress_scope():
                 corr5 = carr_engine.evaluate_lag_grid_carrington(

@@ -55,3 +55,47 @@ def test_alignment_displays_progress_bar(tmp_path, monkeypatch, capsys):
     assert "|#" in err and "lag search" in err
     mi = np.unravel_index(np.nanargmax(corr), corr.shape)
     assert A.lag_crval1[mi[0]] == 8.0
+
+def test_collect_stages_accumulates_and_restores():
+    """stage()/timed() add wall-clocks to the active collect_stages scope,
+    keyed by label and summed across repeats; outside a scope they are
+    no-ops on the registry (stages_active() False)."""
+    assert not obs.stages_active()
+    with obs.collect_stages() as st:
+        assert obs.stages_active()
+        with obs.stage("a"):
+            pass
+        with obs.stage("a"):
+            pass
+        with obs.timed("b"):
+            pass
+    assert not obs.stages_active()
+    assert set(st) == {"a", "b"}
+    assert st["a"] >= 0.0 and st["b"] >= 0.0
+    # outside any scope: no registry, no error
+    with obs.stage("c"):
+        pass
+    assert "c" not in st
+
+
+def test_collect_stages_nested_scopes_shadow():
+    """Inner scopes capture exclusively; the outer scope resumes after."""
+    with obs.collect_stages() as outer:
+        with obs.stage("x"):
+            pass
+        with obs.collect_stages() as inner:
+            with obs.stage("y"):
+                pass
+        with obs.stage("z"):
+            pass
+    assert set(inner) == {"y"}
+    assert set(outer) == {"x", "z"}
+
+
+def test_collect_stages_restores_on_exception():
+    try:
+        with obs.collect_stages():
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert not obs.stages_active()

@@ -99,21 +99,62 @@ def test_tile_fft_residus_mode(cfg):
     np.testing.assert_allclose(c_t, c_f, atol=1e-3)
 
 
-def test_gate_rejects_undersampled_grid(tmp_path):
-    """Coarse grids (detector-scale or coarser) must NOT take the tile-FFT
-    path: the within-tile deviation in detector pixels exceeds the bound."""
-    import fixtures as fx
+def _coarse_pair_alignment(tmp_path, fx):
     from euispice_coreg_tpu.hdrshift.alignment import Alignment
-    from euispice_coreg_tpu.engine import tile_fft
 
     dl, hl, ds, hs = fx.make_carrington_pair(true_shift_arcsec=(20.0, -10.0))
     p_large, p_small = fx.write_pair_fits(tmp_path, dl, hl, ds, hs)
-    A = Alignment(
+    return Alignment(
         large_fov_known_pointing=p_large, small_fov_to_correct=p_small,
         lag_crval1=np.arange(0.0, 41.0, 10.0),
         lag_crval2=np.arange(-30.0, 11.0, 10.0),
         lag_cdelt1=None, lag_cdelt2=None, lag_crota=None,
         small_fov_window=0, large_fov_window=0, lag_search_mode="tile_fft")
+
+
+def test_coarse_grid_takes_tile_fft(tmp_path):
+    """Weakly-oversampled (near detector-scale) grids pass the gate via the
+    small rectangular tile shapes (96/64 in _TILE_SIZES): their within-tile
+    deviation is anisotropic, so a narrow-wide rectangle meets TOL_DET_PX
+    where every large square fails.  Accuracy on this config matches the
+    exact engine to the shared-prewarp double-interpolation level (~7e-3,
+    same as the pallas fallback it replaces at ~9x the cost)."""
+    import fixtures as fx
+    from euispice_coreg_tpu.engine import tile_fft
+
+    A = _coarse_pair_alignment(tmp_path, fx)
+    calls = []
+    orig = tile_fft.evaluate_select_tile_fft
+
+    def spy(*a, **k):
+        r = orig(*a, **k)
+        calls.append(r is not None)
+        return r
+
+    tile_fft.evaluate_select_tile_fft = spy
+    try:
+        corr = A.align_using_carrington(
+            lonlims=(115.0, 125.0), latlims=(-2.0, 8.0), shape=(128, 128),
+            return_type="corr")
+    finally:
+        tile_fft.evaluate_select_tile_fft = orig
+    assert calls and all(calls), "tile-FFT gate rejected the coarse grid"
+    mi = np.unravel_index(np.nanargmax(corr), corr.shape)
+    assert A.lag_crval1[mi[0]] == pytest.approx(20.0)
+    assert A.lag_crval2[mi[1]] == pytest.approx(-10.0)
+
+
+def test_gate_reject_falls_back(tmp_path, monkeypatch):
+    """When the deviation gate rejects (evaluate returns None) the engine
+    must fall through to the exact kernels and still recover the argmax."""
+    import fixtures as fx
+    from euispice_coreg_tpu.engine import tile_fft
+
+    A = _coarse_pair_alignment(tmp_path, fx)
+    monkeypatch.setattr(tile_fft, "pick_tile_shape",
+                        lambda *a, **k: None)
+    monkeypatch.setattr(tile_fft, "pick_tile_shape_hybrid",
+                        lambda *a, **k: None)
     calls = []
     orig = tile_fft.evaluate_select_tile_fft
 
@@ -504,3 +545,110 @@ def test_tile_batch_clamped_to_per_device_shard(monkeypatch):
         compute_dtype="float64", tile_size=128, tile_batch=16, mesh=mesh)
     assert got is not None
     assert seen["batch"] == 2  # ceil(4 tiles / 3 devices)
+
+def test_per_lag_hybrid_splits_and_matches_exact():
+    """Gradient-dominated lag sets (within-tile deviation ~linear in the
+    per-lag gradient) must REJECT the full-set gate, yet the per-lag hybrid
+    scores the passing majority via tile-FFT and the remainder via the
+    exact Pallas kernel — merged values match the all-Pallas (exact) run to
+    the tile approximation level on the passing lags and exactly on the
+    rest."""
+    from euispice_coreg_tpu.engine import pallas_quad, tile_fft
+
+    h = w = 256
+    rng = np.random.default_rng(17)
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    ref = (100 + np.sin(xx / 9.0) * np.cos(yy / 13.0) * 10
+           + rng.normal(size=(h, w)))
+    warped = (100 + np.sin((xx + 1.2) / 9.0) * np.cos((yy - 0.8) / 13.0) * 10
+              + rng.normal(size=(h, w)))
+    ref[:6, :] = np.nan
+    warped[40:44, 80:90] = np.nan
+
+    # per-lag dx gradient grows with the lag index: at the smallest tile
+    # width (64) dev ~= g * 31.5, so with tol 0.15 lags with g < ~0.0048
+    # pass and the rest fail for EVERY shape
+    L = 9
+    coeffs = np.zeros((L, 6, 2))
+    coeffs[:, 2, 0] = np.linspace(-2.0, 2.0, L)
+    coeffs[:, 2, 1] = np.linspace(1.5, -1.5, L)
+    coeffs[:, 0, 0] = np.linspace(0.0, 0.009, L)
+
+    assert tile_fft.pick_tile_shape(coeffs, h, w, 1.0) is None
+    hyb = tile_fft.pick_tile_shape_hybrid(coeffs, h, w, 1.0)
+    assert hyb is not None
+    (th, tw), mask = hyb
+    assert 0 < mask.sum() < L
+    # the gradient is monotone in the lag index -> the mask is a prefix
+    assert mask[:int(mask.sum())].all() and not mask[int(mask.sum()):].any()
+
+    # the engine-dispatch merge: tile-FFT on the passing subset (explicit
+    # tile_size skips the full gate), exact Pallas kernel on the remainder
+    vals_t = tile_fft.evaluate_select_tile_fft(
+        coeffs[mask], warped, ref, order=2, h=h, w=w, method="correlation",
+        compute_dtype="float64", tile_size=(th, tw))
+    vals_p = pallas_quad.evaluate_select_carr_pallas(
+        coeffs[~mask], warped, ref, order=2, h=h, w=w,
+        method="correlation", interpret=True)
+    assert vals_t is not None and vals_p is not None
+    got = np.empty(L)
+    got[mask] = vals_t
+    got[~mask] = vals_p
+
+    want = pallas_quad.evaluate_select_carr_pallas(
+        coeffs, warped, ref, order=2, h=h, w=w, method="correlation",
+        interpret=True)
+    assert want is not None
+    # failing lags ride the same exact kernel -> tight; passing lags carry
+    # the bounded tile approximation
+    np.testing.assert_allclose(got[~mask], want[~mask], rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(got, want, atol=5e-3)
+    assert np.argmax(got) == np.argmax(want)
+
+@pytest.mark.slow
+def test_hybrid_dispatch_end_to_end():
+    """Wide-lag grids through the real _carrington_select dispatch: the
+    full-set gate rejects, the per-lag hybrid scores the passing majority
+    via tile-FFT, the remainder rides the pallas/select chain, and the
+    merged surface ranks like the all-select twin.  (±160 arcsec corners on
+    the 256² bench-like geometry: 79 of 81 lags pass per-lag.)"""
+    hdr, small, ref, lonlims, latlims, shape, _ = bench_like_config()
+    sc = carr.header_spherical_scalars(hdr, 1.004)
+    step = 40.0 / 3600.0
+    l1 = (np.arange(9) - 4) * step
+
+    from euispice_coreg_tpu.engine import tile_fft
+
+    seen = {}
+    orig = tile_fft.pick_tile_shape_hybrid
+
+    def spy(*a, **k):
+        r = orig(*a, **k)
+        seen["hyb"] = None if r is None else (r[0], int(r[1].sum()),
+                                              len(r[1]))
+        return r
+
+    tile_fft.pick_tile_shape_hybrid = spy
+    try:
+        got = carr._carrington_select(
+            small, ref, sc, 0.0, "171", lonlims, latlims, shape,
+            l1, l1, [0.0], [0.0], [0.0],
+            order=2, method="correlation", compute_dtype="float64",
+            batch_size=8, use_pallas=True, use_tile_fft=True)
+    finally:
+        tile_fft.pick_tile_shape_hybrid = orig
+    assert got is not None
+    assert seen.get("hyb") is not None, "hybrid picker did not fire"
+    _shape, n_pass, n_all = seen["hyb"]
+    assert 0 < n_pass < n_all, seen["hyb"]
+
+    want = carr._carrington_select(
+        small, ref, sc, 0.0, "171", lonlims, latlims, shape,
+        l1, l1, [0.0], [0.0], [0.0],
+        order=2, method="correlation", compute_dtype="float64",
+        batch_size=8, use_pallas=False, use_tile_fft=False)
+    assert want is not None
+    # tile approximation at the 0.15-det-px gate edge moves off-peak
+    # values by up to ~0.03 here; the ranking (and the argmax) must hold
+    assert np.nanargmax(got) == np.nanargmax(want)
+    np.testing.assert_allclose(got, want, atol=0.05)
