@@ -814,7 +814,9 @@ def _carrington_select(small_img, ref_img, sc, delta_t, rate_wave,
                 shifts = np.asarray(shifts_p[:L], dtype=np.int32)
                 m_l = np.asarray(m_l_p[:L], dtype=np.int64)
                 m_cap_ok = int(m_l.max()) <= 24
-                if not (m_cap_ok or use_tile_fft):
+                if not (m_cap_ok or use_tile_fft or use_pallas):
+                    # pallas/tile-FFT re-base per tile: the whole-image
+                    # residual cap only binds the select-window evaluator
                     return None
 
                 # pre-warp fully on device (no coordinate-field transfers)
@@ -870,11 +872,6 @@ def _carrington_select(small_img, ref_img, sc, delta_t, rate_wave,
                         _log.info("carrington tile-FFT gate failed, "
                                   "trying pallas")
 
-                if rem.size and int(m_l[rem].max()) > 24:
-                    # too-wide lags for the select-window family, and the
-                    # tile-FFT legs declined them: reference-exact gather
-                    return None
-
                 if rem.size and use_pallas:
                     from . import pallas_quad
 
@@ -895,6 +892,15 @@ def _carrington_select(small_img, ref_img, sc, delta_t, rate_wave,
                 if rem.size == 0:
                     out[:, :, i3, i4, i5] = vals.reshape(len(l1), len(l2))
                     continue
+
+                if int(m_l[rem].max()) > 24:
+                    # too wide for the select-window family, and the
+                    # tile-FFT/pallas legs (which re-base per tile and do
+                    # not care about the WHOLE-image residual m_l) declined
+                    # them: reference-exact gather.  This check must come
+                    # AFTER pallas — wide weakly-oversampled grids routinely
+                    # carry m_l ~ 25-30 yet per-tile residuals of only 1-2.
+                    return None
 
                 buckets = [2, 3, 4, 6, 8, 12, 16, 24]
                 mb_l = np.asarray(

@@ -502,7 +502,12 @@ def evaluate_from_displacements(small_img, ref_img, c, spread, *,
         with obs.stage("fast_readout_s"):
             iyr = jnp.asarray(dint[:, 1] - y_min)
             ixr = jnp.asarray(dint[:, 0] - x_min)
-            S = np.asarray(S_box[:, iyr, ixr], dtype=np.float64)
+            T = np.asarray(
+                _readout_contract(S_box, iyr, ixr, jnp.asarray(dfrac),
+                                  order=order, score=score),
+                dtype=np.float64)
+        with obs.stage("fast_combine_s"):
+            return _scores_from_sums(T, score)
     else:
         iy = jnp.asarray(np.mod(dint[:, 1], m))
         ix = jnp.asarray(np.mod(dint[:, 0], m))
@@ -512,6 +517,73 @@ def evaluate_from_displacements(small_img, ref_img, c, spread, *,
 
     with obs.stage("fast_combine_s"):
         return _combine_scores(S, dfrac, order, score)
+
+
+def _pair_index_matrix(nt: int) -> np.ndarray:
+    """Static (nt, nt) map from tap-pair (i, j) to its upper-triangle slot."""
+    pidx = np.zeros((nt, nt), dtype=np.int32)
+    k = 0
+    for i in range(nt):
+        for j in range(i, nt):
+            pidx[i, j] = pidx[j, i] = k
+            k += 1
+    return pidx
+
+
+@partial(jax.jit, static_argnames=("order", "score"))
+def _readout_contract(S_box, iyr, ixr, dfrac, order: int, score: str):
+    """Fused surface readout + tap-weight contraction ON DEVICE.
+
+    Gathers the per-lag surface values and contracts them with the
+    fractional B-spline tap weights in one jit, so only the six combined
+    sums (6, L) cross the tunnel instead of the raw (n_surf, L) readout —
+    at the 121x121 bench grid that readout was ~3.4 MB, i.e. ~0.1-0.15 s
+    of the core leg at tunnel bandwidth (the whole ``fast_readout_s``
+    stage).  The weight contractions are cancellation-free (positive
+    weights); the sensitive final arithmetic (num/den, sqrt) stays on the
+    host in float64 (:func:`_scores_from_sums`)."""
+    taps = _tap_offsets(order)
+    nt = len(taps) ** 2
+    prec = jax.lax.Precision.HIGHEST
+    S = S_box[:, iyr, ixr]                                 # (n_surf, L)
+    t = dfrac.astype(S.dtype)
+
+    def weights_1d(fr):
+        if order == 0:
+            return jnp.ones(fr.shape + (1,), dtype=S.dtype)
+        return jnp.stack([0.5 * (0.5 - fr) ** 2,
+                          0.75 - fr * fr,
+                          0.5 * (0.5 + fr) ** 2], axis=-1)
+
+    wx = weights_1d(t[:, 0])
+    wy = weights_1d(t[:, 1])
+    w2 = (wy[:, :, None] * wx[:, None, :]).reshape(-1, nt)  # (L, nt)
+    P = S[3 + 2 * nt:][_pair_index_matrix(nt)]              # (nt, nt, L)
+    C1 = jnp.einsum("lt,tl->l", w2, S[3: 3 + nt], precision=prec)
+    C2 = jnp.einsum("lt,tl->l", w2, S[3 + nt: 3 + 2 * nt], precision=prec)
+    C3 = jnp.einsum("li,lj,ijl->l", w2, w2, P, precision=prec)
+    return jnp.stack([S[0], S[1], S[2], C1, C2, C3])
+
+
+def _scores_from_sums(T, score: str):
+    """Host float64 finisher: the six combined sums (..., 6, L) -> scores
+    (..., L).  The only cancellation-sensitive arithmetic of the combine."""
+    n = T[..., 0, :]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        if score == "pearson":
+            Sa, Saa, Sb, Sab, Sbb = (T[..., 1, :], T[..., 2, :], T[..., 3, :],
+                                     T[..., 4, :], T[..., 5, :])
+            num = Sab - Sa * Sb / n
+            den = np.sqrt((Saa - Sa * Sa / n) * (Sbb - Sb * Sb / n))
+            return num / den
+        Ssqa, Sa_, Sbosq, Sb_, Sb2oa = (T[..., 1, :], T[..., 2, :],
+                                        T[..., 3, :], T[..., 4, :],
+                                        T[..., 5, :])
+        Sd = Ssqa - Sbosq
+        Sdd = Sa_ - 2.0 * Sb_ + Sb2oa
+        mean = Sd / n
+        var = Sdd / n - mean * mean
+        return np.sqrt(np.maximum(var, 0.0))
 
 
 def _combine_scores(S, dfrac, order: int, score: str):
@@ -548,35 +620,16 @@ def _combine_scores(S, dfrac, order: int, score: str):
             pair_w[..., k] = w2[..., i] * w2[..., j] * (1.0 if i == j else 2.0)
             k += 1
 
-    n = S[..., 0, :]
-    if score == "pearson":
-        Sa = S[..., 1, :]
-        Saa = S[..., 2, :]
-        Sb = np.einsum("...lt,...tl->...l", w2, S[..., 3 : 3 + nt, :])
-        Sab = np.einsum("...lt,...tl->...l", w2, S[..., 3 + nt : 3 + 2 * nt, :])
-        Sbb = np.einsum("...lp,...pl->...l", pair_w,
-                        S[..., 3 + 2 * nt : 3 + 2 * nt + npairs, :])
-        with np.errstate(invalid="ignore", divide="ignore"):
-            num = Sab - Sa * Sb / n
-            den = np.sqrt((Saa - Sa * Sa / n) * (Sbb - Sb * Sb / n))
-            return num / den
-
-    # residue (c-centered exact identity, see _build_surfaces):
+    # residue combination (c-centered exact identity, see _build_surfaces):
     # Sd = sum a'/sqrt(a) - sum b'/sqrt(a);
     # Sdd = sum a'^2/a - 2 sum a'b'/a + sum b'^2/a  (over the joint mask)
-    Ssqa = S[..., 1, :]
-    Sa_ = S[..., 2, :]
-    Sbosq = np.einsum("...lt,...tl->...l", w2, S[..., 3 : 3 + nt, :])
-    Sb_ = np.einsum("...lt,...tl->...l", w2, S[..., 3 + nt : 3 + 2 * nt, :])
-    Sb2oa = np.einsum("...lp,...pl->...l", pair_w,
-                      S[..., 3 + 2 * nt : 3 + 2 * nt + npairs, :])
-    with np.errstate(invalid="ignore", divide="ignore"):
-        Sd = Ssqa - Sbosq
-        Sdd = Sa_ - 2.0 * Sb_ + Sb2oa
-        mean = Sd / n
-        var = Sdd / n - mean * mean
-        val = np.sqrt(np.maximum(var, 0.0))
-    return val
+    C1 = np.einsum("...lt,...tl->...l", w2, S[..., 3 : 3 + nt, :])
+    C2 = np.einsum("...lt,...tl->...l", w2, S[..., 3 + nt : 3 + 2 * nt, :])
+    C3 = np.einsum("...lp,...pl->...l", pair_w,
+                   S[..., 3 + 2 * nt : 3 + 2 * nt + npairs, :])
+    T = np.stack([S[..., 0, :], S[..., 1, :], S[..., 2, :], C1, C2, C3],
+                 axis=-2)
+    return _scores_from_sums(T, score)
 
 
 # ---------------------------------------------------------------------------

@@ -392,18 +392,46 @@ def evaluate_select_carr_pallas(coeffs, warped, ref_img, *, order, h, w,
     if mesh is not None:
         ndev = mesh.devices.size
         chunk = -(-chunk // ndev) * ndev  # chunks split evenly over devices
-    fn = _build_eval(mx, my, mm_y, mm_x, pad, (h, w), order, method, n_ty,
-                     n_tx, interpret, mesh=mesh, th=th, tw=tw)
 
     from . import lag_search
 
-    sums = lag_search.run_chunked(
-        lambda c12, sh: fn(c12, sh, canvas, ref_canvas),
-        [coeffs12, shifts_k], L, min(chunk, max(L, 1)),
-        label=f"carrington pallas lag search (mx={mx}, my={my})")
-    # (run_chunked pads the tail chunk, so sharded runs always see full
-    # per-device slices)
-    sums = np.asarray(sums, dtype=np.float64)
+    # Per-lag margin buckets: the within-tile residual scales ~linearly
+    # with the lag magnitude, so on wide grids the central lags need m ~ 1
+    # while only the corner ring needs the global (mx, my).  The select
+    # window count — the kernel's dominant cost — is (2mx+nt)(2my+nt), a
+    # 9x swing between m=1 and m=6; one memoized kernel instance per
+    # distinct level keeps every lag at (near) its own residual.  The
+    # canvas/pad stay GLOBAL (any pad >= a bucket's requirement is valid
+    # and keeps the DMA starts (8, 128)-aligned: mm_y | 8, mm_x | 128).
+    per_lag = _tile_bounds_per_lag(coeffs, h, w, n_ty, n_tx, th=th, tw=tw)
+    mx_l = np.maximum(1, np.ceil(per_lag[:, 0] + 1e-3).astype(np.int64)
+                      + extra)
+    my_l = np.maximum(1, np.ceil(per_lag[:, 1] + 1e-3).astype(np.int64)
+                      + extra)
+    m_eff = np.maximum(mx_l, my_l)
+    levels = [lv for lv in (1, 2, 4, max_m) if lv <= max(mx, my)]
+    if not levels or levels[-1] < max(mx, my):
+        levels.append(max(mx, my))
+    lvl_of = np.empty(L, dtype=np.int64)
+    for lv in reversed(levels):
+        lvl_of[m_eff <= lv] = lv
+
+    sums = np.empty((L, OUT_LANES), dtype=np.float64)
+    for lv in sorted(set(lvl_of.tolist())):
+        idx = np.nonzero(lvl_of == lv)[0]
+        mx_b, my_b = min(mx, int(lv)), min(my, int(lv))
+        mm_y_b, mm_x_b = pc.balanced_margins(mx_b, my_b)
+        fn = _build_eval(mx_b, my_b, mm_y_b, mm_x_b, pad, (h, w), order,
+                         method, n_ty, n_tx, interpret, mesh=mesh,
+                         th=th, tw=tw)
+        part = lag_search.run_chunked(
+            lambda c12, sh: fn(c12, sh, canvas, ref_canvas),
+            [coeffs12[idx], shifts_k[idx]], idx.size,
+            min(chunk, max(int(idx.size), 1)),
+            label=f"carrington pallas lag search (mx={mx_b}, my={my_b})")
+        # (run_chunked pads the tail chunk, so sharded runs always see
+        # full per-device slices)
+        sums[idx] = np.asarray(part, dtype=np.float64)
     if method == "correlation":
         return pc.pearson_from_sums(sums)
     return pc.residus_from_sums(sums)

@@ -65,7 +65,60 @@ TOL_DET_PX = 0.15
 # the detector-px gate where every >=128 square fails — without them those
 # grids pay the exact Pallas kernel at ~0.37 ms/lag (~5.5 s per 121x121).
 _TILE_SIZES = (1024, 768, 512, 384, 256, 192, 128, 96, 64)
-_MAX_TILES = 400
+# Weakly-oversampled grids (scale_det_per_grid ~ 0.15-0.3) need 64-px
+# tiles to meet the detector-px gate (within-tile deviation halves vs 128),
+# which is ~1k tiles at 2048^2 — the stage-1 working set is bounded by the
+# HBM budget guard below, not by the tile count, so the cap only has to
+# stop degenerate thousands-of-tiny-tiles picks.
+_MAX_TILES = 1100
+
+# Hard ceiling on the stage-1 HBM working set (GB; env-overridable).  The
+# dominant resident terms are the stacked per-tile surface boxes
+# (n_tiles x n_surf x by x bx) and the globally padded r field stack.  On
+# wide lag grids over strongly oversampled canvases the per-tile offset
+# span approaches the LAG span in grid px (e.g. +-121 arcsec at ~0.05
+# arcsec/grid-px = +-2470 px), so the dense correlation boxes dwarf the
+# tiles themselves: hundreds of GB of surface for ~14k needed offsets.
+# The factorization is simply the wrong shape there (the surface is
+# ~0.3% utilized) and must decline to the exact per-lag kernels instead
+# of letting XLA fail the allocation (v5e HBM is 16 GB; 6 GB leaves room
+# for the canvases, the padded r stack transient and XLA's own slack).
+_MEM_BUDGET_GB_DEFAULT = 6.0
+
+
+def _mem_budget_bytes() -> float:
+    raw = _os.environ.get("EUICOREG_TILEFFT_MEM_GB", "")
+    try:
+        return (float(raw) if raw else _MEM_BUDGET_GB_DEFAULT) * 1e9
+    except ValueError:
+        import warnings
+
+        warnings.warn(f"ignoring malformed EUICOREG_TILEFFT_MEM_GB={raw!r}")
+        return _MEM_BUDGET_GB_DEFAULT * 1e9
+
+
+def _plane_counts(order: int) -> tuple[int, int]:
+    """(n_surf, n_rfields): per-tile surface planes emitted by stage 1 and
+    padded r field planes (see _tiles_surfaces rsl/_build_fields)."""
+    nt = _tap_count(order) ** 2
+    npairs = nt * (nt + 1) // 2
+    return 3 + 2 * nt + npairs, 1 + nt + npairs
+
+
+# Achieved throughput of the stage-1 direct real-folded DFT matmuls on the
+# bench shapes (v5e, bf16_3x): the fine Carrington leg runs 24 tiles x 58
+# forward transforms at 960x1152 (~6.5e12 FLOP) in ~0.33 s -> ~20 TFLOP/s
+# effective.  Used only for host-side PLANNING (shape ranking, decline of
+# pathologically-shaped factorizations), never for reporting.
+_EST_TFLOPS = 20e12
+_MAX_STAGE1_SECONDS = 15.0
+
+
+def _est_stage1_seconds(n_tiles: int, n_planes: int, my: int, mx: int):
+    """Estimated wall-clock of the per-tile forward DFT matmuls: two direct
+    real-folded stages per plane, 2*my^2*mx + 2*mx^2*my FLOP each."""
+    fl = n_tiles * n_planes * 2.0 * (my * my * mx + mx * mx * my)
+    return fl / _EST_TFLOPS
 
 # stage-1 tiles per scan step (see evaluate_select_tile_fft's tile_batch)
 import os as _os
@@ -218,7 +271,8 @@ def pick_tile_shape(coeffs, h, w, scale_det_per_grid, tol_det=TOL_DET_PX,
 
 def pick_tile_shape_hybrid(coeffs, h, w, scale_det_per_grid,
                            tol_det=TOL_DET_PX, tile_sizes=_TILE_SIZES,
-                           max_tiles=_MAX_TILES, min_pass_frac=0.5):
+                           max_tiles=_MAX_TILES, min_pass_frac=0.5,
+                           order_hint=2):
     """Per-lag gate for the hybrid Carrington fallback.
 
     Called when :func:`pick_tile_shape` rejected the FULL lag set: the
@@ -273,8 +327,34 @@ def pick_tile_shape_hybrid(coeffs, h, w, scale_det_per_grid,
         dev_l = _pq._tile_bounds_per_lag(coeffs, h, w, n_ty, n_tx,
                                          th=th, tw=tw)
         mask = (dev_l.max(axis=1) * scale_det_per_grid) <= tol_det
-        if float(mask.mean()) >= min_pass_frac:
-            return (th, tw), mask
+        if float(mask.mean()) < min_pass_frac:
+            continue
+        # working-set screen (mirrors evaluate_select_tile_fft's HBM
+        # guard): the per-tile box span across the PASSING lags is
+        # lag-driven and near-identical for every tile, so five
+        # representative tile centers bound it well.  Without this the
+        # hybrid would hand back shapes whose evaluation declines anyway
+        # (wide spans on oversampled canvases need dense surfaces that
+        # dwarf HBM).
+        cm = coeffs[mask]
+        uu = np.array([0.5 * (tw - 1), (n_tx - 0.5) * tw - 0.5,
+                       0.5 * (tw - 1), (n_tx - 0.5) * tw - 0.5,
+                       0.5 * n_tx * tw])
+        vv = np.array([0.5 * (th - 1), 0.5 * (th - 1),
+                       (n_ty - 0.5) * th - 0.5, (n_ty - 0.5) * th - 0.5,
+                       0.5 * n_ty * th])
+        o = np.floor(_quad_eval(cm, uu, vv) + 0.5)       # (Lm, 5, 2)
+        span = (o.max(axis=0) - o.min(axis=0)).max(axis=0)  # (2,) x/y
+        bx_e, by_e = int(span[0]) + 3, int(span[1]) + 3
+        n_surf, n_rf = _plane_counts(order_hint)
+        est = (n_ty * n_tx * n_surf * by_e * bx_e
+               + n_rf * (n_ty * th + by_e) * (n_tx * tw + bx_e)) * 4
+        if est > _mem_budget_bytes():
+            obs.logger.info(
+                "hybrid tile-FFT screen: shape (%d, %d) est %.1f GB "
+                "working set > budget, skipping", th, tw, est / 1e9)
+            continue
+        return (th, tw), mask
     return None
 
 
@@ -396,24 +476,56 @@ _INV_PRECISION = jax.lax.Precision.HIGH
 
 
 def _tiles_sum(g_stack, r_pad, coeffs_d, o_tab, o_min_g, tile_ids, order,
-               score, th, tw, n_ty, n_tx, my, mx, by, bx, precise, batch=1):
+               score, th, tw, n_ty, n_tx, my, mx, by, bx, precise, batch=1,
+               group=None):
     """Two stages.  Stage 1 scans ``tile_ids``: per tile build the 58
     surface FFTs and evaluate the 66 correlation surfaces on the tile's own
     offset box (anchor ``o_tab[t]``, static size (by, bx)) with two partial
     matmul-DFTs; the scan emits the (66, by, bx) boxes.  Stage 2 combines
-    per-lag values for ALL tiles in one batched computation with the lag
-    axis minor (lane-resident) — doing this inside the scan cost ~6x the
-    FFT work in small-shape VPU ops (measured on TPU: 0.73 s of a 0.88 s
-    scan at L=14641).  Ids >= n_ty*n_tx are padding (multi-chip round-up)
-    and contribute zero.  Transform sizes (my, mx) are rectangular: each
-    only needs to cover T + its own axis span.  ``batch`` processes that
-    many tiles per scan step with the DFT matmuls batched (bigger MXU ops;
-    HBM transient scales with it — see ``evaluate_select_tile_fft``)."""
-    S_stack = _tiles_surfaces(g_stack, r_pad, o_tab, o_min_g, tile_ids,
-                              order, score, th, tw, n_ty, n_tx, my, mx,
-                              by, bx, precise, batch)
-    return _combine_lags(S_stack, coeffs_d, o_tab, tile_ids, order,
-                         th, tw, n_tx, n_ty * n_tx, by, bx, g_stack.dtype)
+    per-lag values for MANY tiles in one batched computation with the lag
+    axis minor (lane-resident) — doing this per-tile inside the scan cost
+    ~6x the FFT work in small-shape VPU ops (measured on TPU: 0.73 s of a
+    0.88 s scan at L=14641).  Ids >= n_ty*n_tx are padding (multi-chip
+    round-up) and contribute zero.  Transform sizes (my, mx) are
+    rectangular: each only needs to cover T + its own axis span.  ``batch``
+    processes that many tiles per scan step with the DFT matmuls batched
+    (bigger MXU ops; HBM transient scales with it).
+
+    ``group`` (None = all tiles at once) bounds how many tiles' surface
+    boxes are ever RESIDENT: tiles are processed in groups of ``group``
+    through stage 1 + stage 2 with an (L, 6) running sum carried between
+    groups.  On weakly-oversampled wide-lag grids the full (Tn, 66, by,
+    bx) stack reaches tens of GB while one group stays ~100s of MB; a
+    group of >= ~24 tiles keeps stage 2's batched shapes as large as the
+    historical whole-stack path, so the 6x small-shape penalty above never
+    re-appears."""
+    n_real = n_ty * n_tx
+    Tn = tile_ids.shape[0]
+    if group is None or group >= Tn:
+        S_stack = _tiles_surfaces(g_stack, r_pad, o_tab, o_min_g, tile_ids,
+                                  order, score, th, tw, n_ty, n_tx, my, mx,
+                                  by, bx, precise, batch)
+        return _combine_lags(S_stack, coeffs_d, o_tab, tile_ids, order,
+                             th, tw, n_tx, n_real, by, bx, g_stack.dtype)
+
+    group = max(batch, -(-group // batch) * batch)
+    pad = (-Tn) % group
+    ids = tile_ids
+    if pad:
+        ids = jnp.concatenate(
+            [tile_ids, jnp.full((pad,), n_real, dtype=tile_ids.dtype)])
+
+    def body(acc, gids):
+        S = _tiles_surfaces(g_stack, r_pad, o_tab, o_min_g, gids, order,
+                            score, th, tw, n_ty, n_tx, my, mx, by, bx,
+                            precise, batch)
+        comp = _combine_lags(S, coeffs_d, o_tab, gids, order,
+                             th, tw, n_tx, n_real, by, bx, g_stack.dtype)
+        return acc + comp, None
+
+    acc0 = jnp.zeros((coeffs_d.shape[0], 6), dtype=g_stack.dtype)
+    acc, _ = jax.lax.scan(body, acc0, ids.reshape(-1, group))
+    return acc
 
 
 def _folded_dft_mats(my, mx, by, bx, np_dt):
@@ -634,14 +746,15 @@ def _combine_lags(S_stack, coeffs_d, o_tab, tile_ids, order,
 
 @partial(jax.jit, static_argnames=(
     "order", "score", "th", "tw", "n_ty", "n_tx", "my", "mx", "by", "bx",
-    "precise", "batch"))
+    "precise", "batch", "group"))
 def _evaluate_tiles(g_stack, r_pad, coeffs_d, o_tab, o_min_g, order, score,
-                    th, tw, n_ty, n_tx, my, mx, by, bx, precise, batch=1):
+                    th, tw, n_ty, n_tx, my, mx, by, bx, precise, batch=1,
+                    group=None):
     """Single-device evaluation over all tiles."""
     ids = jnp.arange(n_ty * n_tx, dtype=jnp.int32)
     return _tiles_sum(g_stack, r_pad, coeffs_d, o_tab, o_min_g, ids, order,
                       score, th, tw, n_ty, n_tx, my, mx, by, bx, precise,
-                      batch)
+                      batch, group)
 
 
 from functools import lru_cache
@@ -649,7 +762,7 @@ from functools import lru_cache
 
 @lru_cache(maxsize=16)
 def _sharded_tiles_fn(mesh, order, score, th, tw, n_ty, n_tx, my, mx, by, bx,
-                      precise, batch=1):
+                      precise, batch=1, group=None):
     """Memoized jit(shard_map) evaluator (a fresh closure per call would
     re-trace the 58-FFT scan body and pay a remote compile-cache round-trip
     per alignment — CLAUDE.md)."""
@@ -658,7 +771,8 @@ def _sharded_tiles_fn(mesh, order, score, th, tw, n_ty, n_tx, my, mx, by, bx,
 
     def local(tile_ids, g, r, cf, otab, omg):
         s = _tiles_sum(g, r, cf, otab, omg, tile_ids, order, score,
-                       th, tw, n_ty, n_tx, my, mx, by, bx, precise, batch)
+                       th, tw, n_ty, n_tx, my, mx, by, bx, precise, batch,
+                       group)
         return jax.lax.psum(s, "lags")
 
     return jax.jit(shard_map(
@@ -669,7 +783,7 @@ def _sharded_tiles_fn(mesh, order, score, th, tw, n_ty, n_tx, my, mx, by, bx,
 
 def _evaluate_tiles_sharded(mesh, g_stack, r_pad, coeffs_d, o_tab, o_min_g,
                             order, score, th, tw, n_ty, n_tx, my, mx, by, bx,
-                            precise, batch=1):
+                            precise, batch=1, group=None):
     """Multi-chip evaluation: the tile axis is sharded over the mesh's
     ``lags`` axis (fields replicated in every chip's HBM — the TPU-native
     form of the reference's process fan-out); each device scans its tile
@@ -684,7 +798,7 @@ def _evaluate_tiles_sharded(mesh, g_stack, r_pad, coeffs_d, o_tab, o_min_g,
     ids = np.arange(n_pad, dtype=np.int32)  # >= n_tiles pad -> zero update
 
     fn = _sharded_tiles_fn(mesh, order, score, th, tw, n_ty, n_tx, my, mx,
-                           by, bx, precise, batch)
+                           by, bx, precise, batch, group)
     with mesh:
         return fn(mesh_put(ids, mesh, P("lags")),
                   mesh_put(g_stack, mesh),
@@ -767,6 +881,41 @@ def evaluate_select_tile_fft(coeffs, warped, ref_img, *, order, h, w,
     if int((o_max - o_min).max()) > 2 * max(hp, wp):
         return None  # offsets far beyond the image extent: not worth it
 
+    # HBM working-set planning: the stacked surface boxes dominate.  On
+    # wide lag spans (weakly-oversampled grids) the full (Tn, n_surf, by,
+    # bx) stack reaches tens-to-hundreds of GB, so tiles are processed in
+    # GROUPS through stage 1+2 (see _tiles_sum) sized so one group's boxes
+    # fit in half the budget; decline outright only when even a minimal
+    # group (+ the padded r stack) cannot fit, or when the estimated
+    # stage-1 transform time is beyond any sane use of this path.
+    if tile_batch is None:
+        tile_batch = _TILE_BATCH
+    batch = max(1, int(tile_batch))
+    n_surf, n_rf = _plane_counts(order)
+    item = jnp.dtype(compute_dtype).itemsize
+    bt = n_surf * by * bx * item                       # bytes per tile's boxes
+    rpad_bytes = (n_rf * (hp + int(o_max[1] - o_min[1]))
+                  * (wp + int(o_max[0] - o_min[0]))) * item
+    budget = _mem_budget_bytes()
+    group = int((budget * 0.5) // max(bt, 1))
+    if group < batch or rpad_bytes + group * bt > budget:
+        obs.logger.info(
+            "tile-FFT declined: minimal working set %.1f GB (r stack "
+            "%.1f GB + %d x %.0f MB boxes) > %.1f GB budget",
+            (rpad_bytes + batch * bt) / 1e9, rpad_bytes / 1e9, batch,
+            bt / 1e6, budget / 1e9)
+        return None
+    n_tiles = n_ty * n_tx
+    if group >= n_tiles:
+        group = None                                   # single-pass path
+    est_s = _est_stage1_seconds(n_tiles, n_surf + n_rf + 3, my, mx)
+    if est_s > _MAX_STAGE1_SECONDS:
+        obs.logger.info(
+            "tile-FFT declined: est stage-1 transform time %.1f s "
+            "(%d tiles, %dx%d transforms) — wrong-shaped factorization",
+            est_s, n_tiles, my, mx)
+        return None
+
     score = "pearson" if method == "correlation" else "residus"
     if mesh is not None:
         # explicit mesh placement: never round-trip through the default
@@ -810,25 +959,25 @@ def evaluate_select_tile_fft(coeffs, warped, ref_img, *, order, h, w,
         o_tab_d = jnp.asarray(o_min_t, dtype=jnp.int32)
         o_min_d = jnp.asarray(o_min, dtype=jnp.int32)
 
-    if tile_batch is None:
-        tile_batch = _TILE_BATCH
     max_batch = n_ty * n_tx
     if mesh is not None and mesh.devices.size > 1:
         # Clamp to the per-device shard: each chip scans only
         # ceil(n_tiles/ndev) tiles, and a wider batch would pad every
         # chunk with clamped duplicate tiles (wasted stage-1 FFTs).
         max_batch = -(-max_batch // mesh.devices.size)
-    batch = max(1, min(int(tile_batch), max_batch))
+    batch = max(1, min(batch, max_batch))
 
     with obs.stage("carr_tilefft_eval_s"):
         if mesh is not None and mesh.devices.size > 1:
             sums = _evaluate_tiles_sharded(
                 mesh, g_stack, r_pad, coeffs_d, o_tab_d, o_min_d, order,
-                score, th, tw, n_ty, n_tx, my, mx, by, bx, precise, batch)
+                score, th, tw, n_ty, n_tx, my, mx, by, bx, precise, batch,
+                group)
         else:
             sums = _evaluate_tiles(g_stack, r_pad, coeffs_d, o_tab_d,
                                    o_min_d, order, score, th, tw, n_ty,
-                                   n_tx, my, mx, by, bx, precise, batch)
+                                   n_tx, my, mx, by, bx, precise, batch,
+                                   group=group)
         S = np.asarray(sums, dtype=np.float64)  # (L, 6)
 
     n = S[:, 0]

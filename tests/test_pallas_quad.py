@@ -268,3 +268,39 @@ def test_supertile_parity_interpret():
     r1 = pq.evaluate_select_carr_pallas(c, warped, ref, supertile=1, **kw)
     r2 = pq.evaluate_select_carr_pallas(c, warped, ref, supertile=2, **kw)
     np.testing.assert_allclose(r2, r1, rtol=1e-5, atol=1e-6)
+
+
+def test_margin_buckets_split_and_match_gather(monkeypatch):
+    """Mixed-magnitude lag sets: central lags ride small select windows
+    while only the high-gradient lags pay the global margins — one
+    memoized kernel instance per level, values identical to the
+    reference gather sampler (the bucketing is exact, not approximate)."""
+    warped, ref = make_scene()
+    h, w = warped.shape
+    L = 6
+    coeffs = np.zeros((L, 6, 2))
+    coeffs[0, 2] = (3.2, -4.1)          # m = 1
+    coeffs[1, 2] = (-7.4, 2.2)          # m = 1
+    for k, g in zip((2, 3), (0.028, 0.03)):   # dev ~ g*63.5 -> m = 2
+        coeffs[k, 2] = (5.0, -3.0)
+        coeffs[k, 0, 0] = g
+    for k, g in zip((4, 5), (0.055, 0.06)):   # m = 4
+        coeffs[k, 2] = (-4.0, 6.0)
+        coeffs[k, 0, 0] = g
+        coeffs[k, 1, 1] = -g * 0.5
+
+    builds = []
+    orig = pallas_quad._build_eval
+
+    def spy(mx, my, *a, **k):
+        builds.append((mx, my))
+        return orig(mx, my, *a, **k)
+
+    monkeypatch.setattr(pallas_quad, "_build_eval", spy)
+    got = pallas_quad.evaluate_select_carr_pallas(
+        coeffs, warped, ref, order=2, h=h, w=w, interpret=True)
+    assert got is not None
+    assert len(set(builds)) >= 2, builds
+    assert min(b[0] for b in builds) == 1
+    want = expected_scores(coeffs, warped, ref, 2)
+    np.testing.assert_allclose(got, want, atol=3e-4)

@@ -652,3 +652,40 @@ def test_hybrid_dispatch_end_to_end():
     # values by up to ~0.03 here; the ranking (and the argmax) must hold
     assert np.nanargmax(got) == np.nanargmax(want)
     np.testing.assert_allclose(got, want, atol=0.05)
+
+
+def test_mem_guard_declines_wide_span(monkeypatch):
+    """Wide per-lag offset spans need dense surface boxes whose stacked
+    size dwarfs HBM (the r04 coarse bench leg hit a 434 GB stage-1
+    allocation on the real TPU): both the evaluator and the hybrid picker
+    must decline BEFORE any device work, and the same geometry must run
+    under a budget that admits it."""
+    from euispice_coreg_tpu.engine import tile_fft
+
+    h = w = 256
+    rng = np.random.default_rng(3)
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    ref = 100 + np.sin(xx / 9.0) * np.cos(yy / 13.0) * 10
+    warped = np.roll(ref, (2, -3), axis=(0, 1)) + rng.normal(size=(h, w))
+
+    # pure translations spread over +-80 px: zero within-tile deviation
+    # (every gate passes) but a ~160 px per-tile box span
+    L = 25
+    coeffs = np.zeros((L, 6, 2))
+    coeffs[:, 2, 0] = np.linspace(-80.0, 80.0, L)
+    coeffs[:, 2, 1] = np.linspace(60.0, -60.0, L)
+
+    monkeypatch.setenv("EUICOREG_TILEFFT_MEM_GB", "0.002")
+    out = tile_fft.evaluate_select_tile_fft(
+        coeffs, warped, ref, order=2, h=h, w=w, method="correlation",
+        compute_dtype="float64", tile_size=64)
+    assert out is None
+    assert tile_fft.pick_tile_shape_hybrid(coeffs, h, w, 1.0) is None
+
+    monkeypatch.setenv("EUICOREG_TILEFFT_MEM_GB", "8")
+    out = tile_fft.evaluate_select_tile_fft(
+        coeffs, warped, ref, order=2, h=h, w=w, method="correlation",
+        compute_dtype="float64", tile_size=64)
+    assert out is not None and np.isfinite(out).all()
+    hyb = tile_fft.pick_tile_shape_hybrid(coeffs, h, w, 1.0)
+    assert hyb is not None and hyb[1].all()
