@@ -849,7 +849,8 @@ def _carrington_select(small_img, ref_img, sc, delta_t, rate_wave,
                     # the gate even when the full set fails — only the
                     # outer ring pays the exact-kernel cost below
                     hyb = tile_fft.pick_tile_shape_hybrid(
-                        coeffs, h, w, scale)
+                        coeffs, h, w, scale, order_hint=order,
+                        compute_dtype=compute_dtype)
                     if hyb is not None:
                         (th_h, tw_h), mask_h = hyb
                         with _timed("carrington hybrid tile-FFT "

@@ -105,6 +105,29 @@ def _plane_counts(order: int) -> tuple[int, int]:
     return 3 + 2 * nt + npairs, 1 + nt + npairs
 
 
+def _hbm_group_plan(n_tiles, order, by, bx, Htot, Wtot, itemsize, batch):
+    """Shared HBM working-set planner for the evaluator's guard and the
+    hybrid picker's screen (one source of truth so the two cannot drift).
+
+    The dominant allocations are the padded r stack (n_rf, Htot, Wtot) and
+    the resident per-tile surface boxes (group, n_surf, by, bx); stage-1
+    transients scale with ``batch`` only and ride the outer HBM slack the
+    budget already reserves (see _MEM_BUDGET_GB_DEFAULT).  ``group`` is the
+    largest number of tiles whose boxes fit beside the r stack, rounded
+    down to a multiple of ``batch`` (the scan step size).
+
+    Returns ``(group, rpad_bytes, box_bytes_per_tile)``: ``group < batch``
+    means even one scan step cannot fit (caller declines);
+    ``group >= n_tiles`` means single-pass (caller uses group=None)."""
+    n_surf, n_rf = _plane_counts(order)
+    bt = n_surf * by * bx * itemsize
+    rpad_bytes = n_rf * Htot * Wtot * itemsize
+    budget = _mem_budget_bytes()
+    group = int((budget - rpad_bytes) // max(bt, 1))
+    group -= group % max(batch, 1)
+    return group, rpad_bytes, bt
+
+
 # Achieved throughput of the stage-1 direct real-folded DFT matmuls on the
 # bench shapes (v5e, bf16_3x): the fine Carrington leg runs 24 tiles x 58
 # forward transforms at 960x1152 (~6.5e12 FLOP) in ~0.33 s -> ~20 TFLOP/s
@@ -272,7 +295,7 @@ def pick_tile_shape(coeffs, h, w, scale_det_per_grid, tol_det=TOL_DET_PX,
 def pick_tile_shape_hybrid(coeffs, h, w, scale_det_per_grid,
                            tol_det=TOL_DET_PX, tile_sizes=_TILE_SIZES,
                            max_tiles=_MAX_TILES, min_pass_frac=0.5,
-                           order_hint=2):
+                           order_hint=2, compute_dtype="float32"):
     """Per-lag gate for the hybrid Carrington fallback.
 
     Called when :func:`pick_tile_shape` rejected the FULL lag set: the
@@ -346,13 +369,21 @@ def pick_tile_shape_hybrid(coeffs, h, w, scale_det_per_grid,
         o = np.floor(_quad_eval(cm, uu, vv) + 0.5)       # (Lm, 5, 2)
         span = (o.max(axis=0) - o.min(axis=0)).max(axis=0)  # (2,) x/y
         bx_e, by_e = int(span[0]) + 3, int(span[1]) + 3
-        n_surf, n_rf = _plane_counts(order_hint)
-        est = (n_ty * n_tx * n_surf * by_e * bx_e
-               + n_rf * (n_ty * th + by_e) * (n_tx * tw + bx_e)) * 4
-        if est > _mem_budget_bytes():
+        # same planner as the evaluator's guard (tiles run in GROUPS, so
+        # only one scan step's boxes + the r stack need fit): a shape the
+        # evaluator would run must never be screened out here
+        batch = max(1, min(_TILE_BATCH, n_ty * n_tx))
+        item = jnp.dtype(compute_dtype).itemsize
+        group, rpad_bytes, bt = _hbm_group_plan(
+            n_ty * n_tx, order_hint, by_e, bx_e,
+            n_ty * th + by_e - 1, n_tx * tw + bx_e - 1, item, batch)
+        if group < batch:
             obs.logger.info(
-                "hybrid tile-FFT screen: shape (%d, %d) est %.1f GB "
-                "working set > budget, skipping", th, tw, est / 1e9)
+                "hybrid tile-FFT screen: shape (%d, %d) minimal working "
+                "set %.1f GB (r stack %.1f GB + %d x %.0f MB boxes) > "
+                "budget, skipping", th, tw,
+                (rpad_bytes + batch * bt) / 1e9, rpad_bytes / 1e9, batch,
+                bt / 1e6)
             continue
         return (th, tw), mask
     return None
@@ -884,28 +915,33 @@ def evaluate_select_tile_fft(coeffs, warped, ref_img, *, order, h, w,
     # HBM working-set planning: the stacked surface boxes dominate.  On
     # wide lag spans (weakly-oversampled grids) the full (Tn, n_surf, by,
     # bx) stack reaches tens-to-hundreds of GB, so tiles are processed in
-    # GROUPS through stage 1+2 (see _tiles_sum) sized so one group's boxes
-    # fit in half the budget; decline outright only when even a minimal
-    # group (+ the padded r stack) cannot fit, or when the estimated
-    # stage-1 transform time is beyond any sane use of this path.
+    # GROUPS through stage 1+2 (see _tiles_sum) sized to fill the budget
+    # left after the padded r stack; decline outright only when even one
+    # scan step (the CLAMPED batch — per-device shard on a mesh) cannot
+    # fit, or when the estimated stage-1 transform time is beyond any sane
+    # use of this path.
     if tile_batch is None:
         tile_batch = _TILE_BATCH
-    batch = max(1, int(tile_batch))
+    n_tiles = n_ty * n_tx
+    max_batch = n_tiles
+    if mesh is not None and mesh.devices.size > 1:
+        # Clamp to the per-device shard: each chip scans only
+        # ceil(n_tiles/ndev) tiles, and a wider batch would pad every
+        # chunk with clamped duplicate tiles (wasted stage-1 FFTs).
+        max_batch = -(-n_tiles // mesh.devices.size)
+    batch = max(1, min(int(tile_batch), max_batch))
     n_surf, n_rf = _plane_counts(order)
     item = jnp.dtype(compute_dtype).itemsize
-    bt = n_surf * by * bx * item                       # bytes per tile's boxes
-    rpad_bytes = (n_rf * (hp + int(o_max[1] - o_min[1]))
-                  * (wp + int(o_max[0] - o_min[0]))) * item
-    budget = _mem_budget_bytes()
-    group = int((budget * 0.5) // max(bt, 1))
-    if group < batch or rpad_bytes + group * bt > budget:
+    group, rpad_bytes, bt = _hbm_group_plan(
+        n_tiles, order, by, bx, hp + int(o_max[1] - o_min[1]),
+        wp + int(o_max[0] - o_min[0]), item, batch)
+    if group < batch:
         obs.logger.info(
             "tile-FFT declined: minimal working set %.1f GB (r stack "
             "%.1f GB + %d x %.0f MB boxes) > %.1f GB budget",
             (rpad_bytes + batch * bt) / 1e9, rpad_bytes / 1e9, batch,
-            bt / 1e6, budget / 1e9)
+            bt / 1e6, _mem_budget_bytes() / 1e9)
         return None
-    n_tiles = n_ty * n_tx
     if group >= n_tiles:
         group = None                                   # single-pass path
     est_s = _est_stage1_seconds(n_tiles, n_surf + n_rf + 3, my, mx)
@@ -958,14 +994,6 @@ def evaluate_select_tile_fft(coeffs, warped, ref_img, *, order, h, w,
         coeffs_d = jnp.asarray(coeffs, dtype=compute_dtype)
         o_tab_d = jnp.asarray(o_min_t, dtype=jnp.int32)
         o_min_d = jnp.asarray(o_min, dtype=jnp.int32)
-
-    max_batch = n_ty * n_tx
-    if mesh is not None and mesh.devices.size > 1:
-        # Clamp to the per-device shard: each chip scans only
-        # ceil(n_tiles/ndev) tiles, and a wider batch would pad every
-        # chunk with clamped duplicate tiles (wasted stage-1 FFTs).
-        max_batch = -(-max_batch // mesh.devices.size)
-    batch = max(1, min(batch, max_batch))
 
     with obs.stage("carr_tilefft_eval_s"):
         if mesh is not None and mesh.devices.size > 1:

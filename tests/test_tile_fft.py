@@ -534,10 +534,10 @@ def test_tile_batch_clamped_to_per_device_shard(monkeypatch):
     orig = tile_fft._evaluate_tiles_sharded
 
     def spy(mesh_, g, r, cf, otab, omg, order, score, th, tw, n_ty, n_tx,
-            my, mx, by, bx, precise, batch=1):
+            my, mx, by, bx, precise, batch=1, group=None):
         seen["batch"] = batch
         return orig(mesh_, g, r, cf, otab, omg, order, score, th, tw, n_ty,
-                    n_tx, my, mx, by, bx, precise, batch)
+                    n_tx, my, mx, by, bx, precise, batch, group)
 
     monkeypatch.setattr(tile_fft, "_evaluate_tiles_sharded", spy)
     got = tile_fft.evaluate_select_tile_fft(
@@ -689,3 +689,117 @@ def test_mem_guard_declines_wide_span(monkeypatch):
     assert out is not None and np.isfinite(out).all()
     hyb = tile_fft.pick_tile_shape_hybrid(coeffs, h, w, 1.0)
     assert hyb is not None and hyb[1].all()
+
+
+def test_grouped_scan_matches_single_pass(monkeypatch):
+    """HBM-bounded GROUP scan parity: with a budget that only admits part
+    of the tile set at once, _tiles_sum must chunk the tiles through
+    stage 1+2 with a running (L, 6) sum — and produce the same scores as
+    the single-pass path (the only difference is float summation order)."""
+    from euispice_coreg_tpu.engine import tile_fft
+
+    h = w = 256
+    rng = np.random.default_rng(11)
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    ref = (100 + np.sin(xx / 9.0) * np.cos(yy / 13.0) * 10
+           + rng.normal(size=(h, w)))
+    warped = (100 + np.sin((xx + 1.2) / 9.0) * np.cos((yy - 0.8) / 13.0) * 10
+              + rng.normal(size=(h, w)))
+    ref[:6, :] = np.nan
+    warped[40:44, 80:90] = np.nan
+
+    L = 7
+    coeffs = np.zeros((L, 6, 2))
+    coeffs[:, 2, 0] = np.linspace(-2.0, 2.0, L)
+    coeffs[:, 2, 1] = np.linspace(1.5, -1.5, L)
+    coeffs[:, 0, 0] = 0.004
+
+    kw = dict(order=2, h=h, w=w, method="correlation",
+              compute_dtype="float64", tile_size=64)  # 4x4 = 16 tiles
+
+    plan = {}
+    orig_plan = tile_fft._hbm_group_plan
+
+    def cap(*a):
+        g, rpad, bt = orig_plan(*a)
+        plan.update(group=g, rpad=rpad, bt=bt, n=a[0])
+        return g, rpad, bt
+
+    monkeypatch.setattr(tile_fft, "_hbm_group_plan", cap)
+    want = tile_fft.evaluate_select_tile_fft(coeffs, warped, ref, **kw)
+    assert want is not None
+    assert plan["group"] >= plan["n"] == 16  # baseline ran single-pass
+
+    # budget that fits the r stack + exactly 5 tiles' boxes -> group=5,
+    # 16 tiles scan as 4 groups (last one padded)
+    monkeypatch.setattr(tile_fft, "_mem_budget_bytes",
+                        lambda: plan["rpad"] + 5 * plan["bt"] + 1)
+    seen = {}
+    orig_eval = tile_fft._evaluate_tiles
+
+    def spy(*a, **k):
+        seen["group"] = k.get("group", a[17] if len(a) > 17 else None)
+        return orig_eval(*a, **k)
+
+    monkeypatch.setattr(tile_fft, "_evaluate_tiles", spy)
+    got = tile_fft.evaluate_select_tile_fft(coeffs, warped, ref, **kw)
+    assert got is not None
+    assert seen["group"] == 5
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+
+
+def test_hybrid_interior_nan_bands_match_exact():
+    """SPICE-dumbbell hazard class: full-width interior NaN BANDS (not just
+    off-disk fringes) on both canvases, with a gradient-dominated lag set
+    that forces the per-lag hybrid split.  The tile-FFT side carries the
+    NaN masking through its surface planes (M, M a, ...), so the merged
+    hybrid scores must match the all-exact kernel on values and argmax —
+    the failure mode CLAUDE.md documents for weight-plane mixing
+    (0 * NaN = NaN infection beyond the tap footprint) must not appear."""
+    from euispice_coreg_tpu.engine import pallas_quad, tile_fft
+
+    h = w = 256
+    rng = np.random.default_rng(29)
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    ref = (100 + np.sin(xx / 9.0) * np.cos(yy / 13.0) * 10
+           + rng.normal(size=(h, w)))
+    warped = (100 + np.sin((xx + 1.2) / 9.0) * np.cos((yy - 0.8) / 13.0) * 10
+              + rng.normal(size=(h, w)))
+    # dumbbell-like interior bands: full-width on the small image (the
+    # canvas the select taps sample), plus a block on the reference
+    warped[96:112, :] = np.nan
+    warped[200:206, 30:220] = np.nan
+    ref[150:158, :] = np.nan
+
+    L = 9
+    coeffs = np.zeros((L, 6, 2))
+    coeffs[:, 2, 0] = np.linspace(-2.0, 2.0, L)
+    coeffs[:, 2, 1] = np.linspace(1.5, -1.5, L)
+    coeffs[:, 0, 0] = np.linspace(0.0, 0.009, L)
+
+    assert tile_fft.pick_tile_shape(coeffs, h, w, 1.0) is None
+    hyb = tile_fft.pick_tile_shape_hybrid(coeffs, h, w, 1.0,
+                                          compute_dtype="float64")
+    assert hyb is not None
+    (th, tw), mask = hyb
+    assert 0 < mask.sum() < L  # genuine split
+
+    vals_t = tile_fft.evaluate_select_tile_fft(
+        coeffs[mask], warped, ref, order=2, h=h, w=w, method="correlation",
+        compute_dtype="float64", tile_size=(th, tw))
+    vals_p = pallas_quad.evaluate_select_carr_pallas(
+        coeffs[~mask], warped, ref, order=2, h=h, w=w,
+        method="correlation", interpret=True)
+    assert vals_t is not None and vals_p is not None
+    got = np.empty(L)
+    got[mask] = vals_t
+    got[~mask] = vals_p
+
+    want = pallas_quad.evaluate_select_carr_pallas(
+        coeffs, warped, ref, order=2, h=h, w=w, method="correlation",
+        interpret=True)
+    assert want is not None
+    np.testing.assert_allclose(got[~mask], want[~mask], rtol=1e-9,
+                               atol=1e-11)
+    np.testing.assert_allclose(got, want, atol=5e-3)
+    assert np.argmax(got) == np.argmax(want)
