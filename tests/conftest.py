@@ -23,6 +23,17 @@ import pytest  # noqa: E402
 
 
 @pytest.fixture(autouse=True)
+def _clear_memo_caches():
+    """The engine memoizes pure host prep (utils/memo.py) keyed on input
+    digests; tests monkeypatch those helpers, so cached results from an
+    earlier test must never shadow a patched function."""
+    yield
+    from euispice_coreg_tpu.utils import memo
+
+    memo.clear_all()
+
+
+@pytest.fixture(autouse=True)
 def _close_matplotlib_figures():
     """Plot tests open figures they never close; cap memory and silence
     matplotlib's >20-open-figures RuntimeWarning."""
