@@ -446,7 +446,13 @@ def _evaluate_block_fast(small_img, ref_img, lon, lat, base_params,
     For each (cdelt1, cdelt2, crota) combination, the small image is warped
     ONCE onto the comparison grid with the combo's WCS (one general gather),
     after which the crval1/crval2 sub-grid factorizes over FFT correlation
-    surfaces exactly as in :mod:`fast_corr`.
+    surfaces exactly as in :mod:`fast_corr`.  The surface builds of ALL
+    combos run in ONE device program (the movie fleet path with the combo
+    axis as the frame axis, :func:`fast_corr.evaluate_movie_from_displacements`)
+    — the per-combo serial builds were 0.41 s of the 0.86 s mixed bench leg
+    (BENCH_r04 stages.mixed: 3 × the single-combo 0.14 s surface cost plus
+    a dispatch chain per combo).  Reference turf: one full reprojection per
+    (cdelt, crota) lag per crval lag (alignment.py:519,1018-1029).
 
     Numerics note: this applies the spline interpolation twice (pre-warp +
     per-lag tap stencil) where the exact per-lag engine interpolates once —
@@ -454,29 +460,65 @@ def _evaluate_block_fast(small_img, ref_img, lon, lat, base_params,
     argmaxes are insensitive to it (tested); pass ``allow_fast=False`` for
     the single-interpolation reference-exact path.
     """
+    from ..utils import obs
     from . import fast_corr
 
     out = np.zeros((len(l1), len(l2), len(l3), len(l4), len(l5)))
     small_d = jnp.asarray(small_img, dtype=compute_dtype)
     lon_d = jnp.asarray(lon, dtype=compute_dtype)
     lat_d = jnp.asarray(lat, dtype=compute_dtype)
-    for i3, d3 in enumerate(l3):
-        for i4, d4 in enumerate(l4):
-            for i5, d5 in enumerate(l5):
-                combo = _apply_lag_to_params_np(
-                    base_params, np.array([0.0, 0.0, d3, d4, d5]))
-                combo_d = {k: jnp.asarray(v, dtype=compute_dtype)
-                           for k, v in combo.items() if k != "crota"}
-                warped = _warp_by_params(small_d, lon_d, lat_d, combo_d,
-                                         kind, order)
-                block = fast_corr.evaluate_crval_grid_fast(
-                    warped, ref_img, lon, lat, combo, l1, l2,
-                    order=order, kind=kind, compute_dtype=compute_dtype,
-                    grid_params=base_params, method=method,
-                )
-                if block is None:
-                    return None
-                out[:, :, i3, i4, i5] = block
+
+    combos = [(i3, i4, i5,
+               _apply_lag_to_params_np(base_params,
+                                       np.array([0.0, 0.0, d3, d4, d5])))
+              for i3, d3 in enumerate(l3)
+              for i4, d4 in enumerate(l4)
+              for i5, d5 in enumerate(l5)]
+
+    def combo_device_params(combo):
+        return {k: jnp.asarray(v, dtype=compute_dtype)
+                for k, v in combo.items() if k != "crota"}
+
+    # fleet route: per-combo displacements first (cheap host math, and the
+    # spread gate bails before any device work), then all warps, then one
+    # batched surface+readout program over the combo axis
+    g1, g2 = np.meshgrid(l1, l2, indexing="ij")
+    lags2 = np.stack([g1.ravel(), g2.ravel()], axis=-1)     # (L, 2) deg
+    with obs.stage("fast_hostprep_s"):
+        cs, spreads = fast_corr.displacement_per_lag_multi(
+            [combo for _i3, _i4, _i5, combo in combos], lags2, lon, lat,
+            kind, grid=base_params)
+        if float(np.max(spreads)) > fast_corr.MAX_DISPLACEMENT_SPREAD_PX:
+            cs = None
+    if cs is not None:
+        with obs.stage("fast_warps_s"):
+            warps = [_warp_by_params(small_d, lon_d, lat_d,
+                                     combo_device_params(combo), kind, order)
+                     for _i3, _i4, _i5, combo in combos]
+        ref_d = jnp.asarray(ref_img, dtype=compute_dtype)
+        smalls = jnp.stack(warps)
+        refs = jnp.broadcast_to(ref_d[None], smalls.shape)
+        with obs.stage("fast_fleet_s"):
+            vals = fast_corr.evaluate_movie_from_displacements(
+                smalls, refs, cs, order=order,
+                compute_dtype=compute_dtype, method=method)
+        if vals is not None:
+            for k, (i3, i4, i5, _c) in enumerate(combos):
+                out[:, :, i3, i4, i5] = vals[k].reshape(len(l1), len(l2))
+            return out
+
+    # per-combo fallback (fleet preconditions failed)
+    for i3, i4, i5, combo in combos:
+        warped = _warp_by_params(small_d, lon_d, lat_d,
+                                 combo_device_params(combo), kind, order)
+        block = fast_corr.evaluate_crval_grid_fast(
+            warped, ref_img, lon, lat, combo, l1, l2,
+            order=order, kind=kind, compute_dtype=compute_dtype,
+            grid_params=base_params, method=method,
+        )
+        if block is None:
+            return None
+        out[:, :, i3, i4, i5] = block
     return out
 
 

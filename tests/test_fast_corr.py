@@ -124,6 +124,62 @@ def test_block_fast_matches_general_with_crota_lags():
     np.testing.assert_allclose(block, general, atol=0.02)
 
 
+def test_displacement_per_lag_multi_matches_single():
+    """Batched multi-combo displacements == C serial displacement_per_lag
+    calls (same WCS chain, vectorized over the combo axis)."""
+    ds, ref_img, lon, lat, base = build_inputs()
+    l1 = np.arange(-2, 19, 4.0) / 3600.0
+    l2 = np.arange(-14, 7, 4.0) / 3600.0
+    g1, g2 = np.meshgrid(l1, l2, indexing="ij")
+    lags = np.stack([g1.ravel(), g2.ravel()], axis=-1)
+
+    combos = [lag_search._apply_lag_to_params_np(
+        base, np.array([0.0, 0.0, 0.0, 0.0, d5]))
+        for d5 in (-0.5, 0.0, 0.5)]
+    cs_m, spreads_m = fast_corr.displacement_per_lag_multi(
+        combos, lags, lon, lat, "tan", grid=base)
+    for k, combo in enumerate(combos):
+        c1, s1 = fast_corr.displacement_per_lag(combo, lags, lon, lat,
+                                                "tan", grid=base)
+        np.testing.assert_allclose(cs_m[k], c1, rtol=0, atol=1e-12)
+        np.testing.assert_allclose(spreads_m[k], s1, rtol=1e-12, atol=1e-15)
+
+
+def test_block_fast_fleet_matches_per_combo(monkeypatch):
+    """The block path scores all (cdelt, crota) combos in ONE fleet program
+    (movie path, combo axis = frame axis); its values must match the
+    per-combo serial route bit-closely (same surfaces, different combine
+    arithmetic only) and the fleet route must actually fire."""
+    ds, ref_img, lon, lat, base = build_inputs(nan_border=True)
+    l1 = np.arange(-2, 19, 4.0) / 3600.0
+    l2 = np.arange(-14, 7, 4.0) / 3600.0
+    l5 = np.array([-0.5, 0.0, 0.5])
+
+    called = {}
+    orig = fast_corr.evaluate_movie_from_displacements
+
+    def spy(*a, **k):
+        r = orig(*a, **k)
+        called["fleet"] = r is not None
+        return r
+
+    monkeypatch.setattr(fast_corr, "evaluate_movie_from_displacements", spy)
+    fleet = lag_search.evaluate_lag_grid(
+        ds, ref_img, lon, lat, base, l1, l2, [0.0], [0.0], l5,
+        order=2, compute_dtype="float64", allow_fast="block",
+    )
+    assert called.get("fleet") is True
+
+    # force the per-combo fallback by making the fleet preconditions fail
+    monkeypatch.setattr(fast_corr, "evaluate_movie_from_displacements",
+                        lambda *a, **k: None)
+    combo = lag_search.evaluate_lag_grid(
+        ds, ref_img, lon, lat, base, l1, l2, [0.0], [0.0], l5,
+        order=2, compute_dtype="float64", allow_fast="block",
+    )
+    np.testing.assert_allclose(fleet, combo, rtol=1e-8, atol=1e-10)
+
+
 def test_block_fast_with_constant_nonzero_crota():
     """The reference golden configs use a constant crota lag (e.g. [0.75]):
     block path handles the non-identity base map via the pre-warp."""
