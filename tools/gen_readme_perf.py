@@ -82,8 +82,10 @@ def build_blocks(runs):
     api_s, _ = rng(runs, "end_to_end_api_s")
     carr_s, _ = rng(runs, "carrington_121x121_2048_s")
     carr_api_s, _ = rng(runs, "carrington_api_s")
+    carr_coarse_s, _ = rng(runs, "carrington_coarse_121x121_s")
     mixed_s, _ = rng(runs, "mixed_grid_21x21x3_2048_s")
     synras_s, _ = rng(runs, "synras_spice_e2e_s")
+    iter_s, _ = rng(runs, "iterative_spice_5x5_s")
     n = len(runs)
 
     head = [
@@ -96,16 +98,26 @@ def build_blocks(runs):
         "  device cache; ~1.3 s with cold uploads)",
         f"  {carr_s} s for the Carrington-frame search (curved displacement",
         "  field: tile-local FFT surface factorization; the exact fused Pallas",
-        "  kernel at 0.37 ms/lag ~5.4 s; the XLA evaluator needed 114 s)",
+        "  kernel at ~0.4-0.5 ms/lag; the XLA evaluator needed 114 s)",
     ]
     if carr_api_s:
         head.append(f"  {carr_api_s} s for the same Carrington search through the"
                     " public API")
+    if carr_coarse_s:
+        head.append(
+            f"  {carr_coarse_s} s for a coarse/wide +-121 arcsec Carrington"
+            " 121x121 grid (exact")
+        head.append(
+            "  per-lag Pallas kernel — the measured-optimal engine there,"
+            " see PARITY.md)")
     head += [
-        f"  {mixed_s} s for a mixed 21x21x3 cdelt/crota grid (per-combo block path)",
+        f"  {mixed_s} s for a mixed 21x21x3 cdelt/crota grid (fleet block path)",
         f"  {synras_s} s to build a synthetic raster and align a SPICE cube"
         " end-to-end",
     ]
+    if iter_s:
+        head.append(f"  {iter_s} s for the iterative SPICE context-raster"
+                    " alignment (5x5 grid)")
 
     perf = (
         f"Measured on one v5e chip (bench.py protocol: warm compile caches, "
@@ -117,9 +129,16 @@ def build_blocks(runs):
         f"tile-FFT"
         + (f" ({carr_api_s} s through the public align_using_carrington API)"
            if carr_api_s else "")
-        + f" (the exact Pallas kernel: 0.37 ms/lag, ~5.4 s; the XLA select "
-        f"evaluator needed 114 s), mixed 21×21×3 cdelt/crota grid {mixed_s} s, "
-        f"synthetic-raster build + SPICE alignment {synras_s} s end-to-end."
+        + f" (the exact Pallas kernel: ~0.4-0.5 ms/lag; the XLA select "
+        f"evaluator needed 114 s)"
+        + (f", coarse ±121-arcsec Carrington 121×121 grid {carr_coarse_s} s "
+           f"on the exact per-lag kernel (the measured-optimal engine for "
+           f"wide weakly-oversampled grids — PARITY.md roofline)"
+           if carr_coarse_s else "")
+        + f", mixed 21×21×3 cdelt/crota grid {mixed_s} s (fleet block path), "
+        f"synthetic-raster build + SPICE alignment {synras_s} s end-to-end"
+        + (f", iterative SPICE context raster {iter_s} s" if iter_s else "")
+        + "."
     )
     return "\n".join(head), perf
 
