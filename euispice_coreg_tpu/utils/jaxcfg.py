@@ -22,6 +22,25 @@ def enable_persistent_compile_cache(path: str | None = None):
         pass
 
 
+def ensure_backend_available():
+    """Fall back to CPU when the pinned platform's plugin cannot load.
+
+    A sitecustomize hook may pin ``jax_platforms`` to a plugin backend
+    (e.g. a tunneled TPU) whose plugin is only importable with its site
+    directory on PYTHONPATH; outside that environment every first device
+    use raises ``RuntimeError: Unable to initialize backend``.  Examples
+    and standalone scripts call this once at startup to degrade to CPU
+    instead of crashing.  No-op when the configured backend initializes.
+    """
+    import jax
+
+    try:
+        jax.devices()
+    except RuntimeError:
+        jax.config.update("jax_platforms", "cpu")
+        jax.devices()  # raises only if even CPU is unavailable
+
+
 # Error classes that retrying can never fix: the same call will fail the
 # same way until a human (or a redeploy) changes the environment.
 _PERSISTENT_MARKERS = (

@@ -16,6 +16,11 @@ from euispice_coreg_tpu.hdrshift import AlignmentSpice  # noqa: E402
 from euispice_coreg_tpu.io import fits  # noqa: E402
 from euispice_coreg_tpu.synras import SPICEComposedMapBuilder  # noqa: E402
 from euispice_coreg_tpu.utils import timeutils  # noqa: E402
+from euispice_coreg_tpu.utils import jaxcfg
+
+# degrade to CPU when a pinned plugin backend is not importable here
+jaxcfg.ensure_backend_available()
+jaxcfg.enable_persistent_compile_cache()
 
 
 def main():

@@ -18,6 +18,11 @@ from euispice_coreg_tpu.core.header import Header, pc_from_crota
 from euispice_coreg_tpu.hdrshift import Alignment
 from euispice_coreg_tpu.io import fits
 from euispice_coreg_tpu.utils import coords
+from euispice_coreg_tpu.utils import jaxcfg
+
+# degrade to CPU when a pinned plugin backend is not importable here
+jaxcfg.ensure_backend_available()
+jaxcfg.enable_persistent_compile_cache()
 
 TRUE_SHIFT = (8.0, -4.0)  # arcsec: the pointing error injected into hdr
 

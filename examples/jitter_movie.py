@@ -15,6 +15,11 @@ import fixtures as fx  # noqa: E402
 from euispice_coreg_tpu.io import fits  # noqa: E402
 from euispice_coreg_tpu.jitter_correction import jitter_correction_imagers  # noqa: E402
 from euispice_coreg_tpu.utils import timeutils  # noqa: E402
+from euispice_coreg_tpu.utils import jaxcfg
+
+# degrade to CPU when a pinned plugin backend is not importable here
+jaxcfg.ensure_backend_available()
+jaxcfg.enable_persistent_compile_cache()
 
 
 def main():
