@@ -30,6 +30,12 @@ from ..core import resample, score, wcs
 # lag vector layout along the last axis of the (L, 5) lag matrix
 D_CRVAL1, D_CRVAL2, D_CDELT1, D_CDELT2, D_CROTA = range(5)
 
+from ..utils import memo as _memo  # noqa: E402
+
+# warm-call memoization of the full-5-vector displacement probe chain
+# (pure host prep; see utils/memo.py and fast_corr._DISP_CACHE)
+_DISPF_CACHE = _memo.FIFOCache(maxsize=32)
+
 
 def apply_lag_to_params(base: dict, d: jnp.ndarray) -> dict:
     """Shift WCS scalars by one lag vector ``d`` (degrees).
@@ -392,8 +398,17 @@ def _displacements_full(base: dict, lags: np.ndarray, lon, lat, kind: str):
     FULL 5-vector lag (crval1/2, cdelt1/2, crota), float64 host math.
 
     The spread bounds the non-translation residual of the warp — rotation
-    and scale lags make it grow with the field of view."""
+    and scale lags make it grow with the field of view.  Memoized on the
+    (WCS scalars, probe coordinates, lag set) digest like the other pure
+    host prep (utils/memo.py)."""
+    from ..utils import memo
+
     pl, pb, px0, py0 = probe_values(lon, lat)
+    key = memo.digest({k: np.float64(v) for k, v in base.items()},
+                      np.ascontiguousarray(lags), pl, pb, px0, py0, kind)
+    hit = _DISPF_CACHE.get(key)
+    if hit is not None:
+        return hit
 
     crval1 = base["crval1"] + lags[:, 0]
     crval2 = base["crval2"] + lags[:, 1]
@@ -416,7 +431,7 @@ def _displacements_full(base: dict, lags: np.ndarray, lon, lat, kind: str):
     cs = np.stack([bx - px0[None, :], by - py0[None, :]], axis=-1)  # (L, 5, 2)
     center = cs[:, 0, :]
     spread = float(np.max(np.abs(cs - center[:, None, :]))) if cs.size else 0.0
-    return center, spread
+    return _DISPF_CACHE.put(key, (center, spread))
 
 
 def _apply_lag_to_params_np(base: dict, d5: np.ndarray) -> dict:
@@ -572,6 +587,40 @@ def prepare_grid_and_submap(data_large, small_params, large_params, h, w,
     return lon, lat, ref_img
 
 
+# identity-keyed probe cache for DEVICE coordinate fields: the two tiny
+# gathers + host sync cost ~30-40 ms per call through the tunnel and the
+# same device arrays are probed on every warm search.  Entries hold strong
+# references to the arrays, so an id() can never be reused while its entry
+# lives (and jax arrays are immutable, so content staleness is impossible);
+# numpy inputs skip the cache — host indexing is free and the caller may
+# mutate them in place.
+class _IdentityProbeCache:
+    def __init__(self, maxsize: int = 4):
+        self.maxsize = maxsize
+        self._entries: list = []
+        from ..utils import memo
+
+        memo._REGISTRY.append(self)  # cleared between tests like the rest
+
+    def clear(self):
+        self._entries.clear()
+
+    def get(self, lon, lat):
+        for e_lon, e_lat, res in self._entries:
+            if e_lon is lon and e_lat is lat:
+                return res
+        return None
+
+    def put(self, lon, lat, res):
+        if len(self._entries) >= self.maxsize:
+            self._entries.pop(0)
+        self._entries.append((lon, lat, res))
+        return res
+
+
+_PROBE_CACHE = _IdentityProbeCache()
+
+
 def probe_values(lon, lat):
     """World coordinates at the 5 standard probe points (center + corners),
     as float64 numpy — one tiny transfer when lon/lat live on device."""
@@ -583,11 +632,15 @@ def probe_values(lon, lat):
         pl = np.array([lon[i, j] for i, j in pts], dtype=np.float64)
         pb = np.array([lat[i, j] for i, j in pts], dtype=np.float64)
     else:
+        hit = _PROBE_CACHE.get(lon, lat)
+        if hit is not None:
+            return hit
         ii = jnp.array([i for i, _ in pts])
         jj = jnp.array([j for _, j in pts])
         vals = np.asarray(jnp.stack([lon[ii, jj], lat[ii, jj]]),
                           dtype=np.float64)
         pl, pb = vals[0], vals[1]
+        return _PROBE_CACHE.put(lon, lat, (pl, pb, px0, py0))
     return pl, pb, px0, py0
 
 
