@@ -28,6 +28,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils import memo
+
+# memoized sample_image_auto planning stats (see its ``plan_key`` arg)
+_PLAN_CACHE = memo.FIFOCache(maxsize=16)
+
 
 def _taps_and_weights(c, order):
     """Per-axis tap indices (int32, list) and weights (list) for coordinate c."""
@@ -460,7 +465,7 @@ def _select_sample_jit(padded, x, y, cval, order, m, pad, h, w):
 
 def sample_image_auto(image, x, y, order: int = 2, cval=jnp.nan,
                       tile: int = 256, max_patch: int = 64,
-                      max_resid: int = 24):
+                      max_resid: int = 24, plan_key=None):
     """:func:`sample_image` with automatic gather-free dispatch.
 
     TPU hardware gathers run at ~7 cycles/element, so the generic 9-tap
@@ -474,6 +479,14 @@ def sample_image_auto(image, x, y, order: int = 2, cval=jnp.nan,
       patch below ``max_patch`` — Carrington / comparison-grid pre-warps):
       the tile-contraction sampler (:func:`sample_image_upsample`);
     * otherwise, or on multi-device/non-default placements: the gather.
+
+    ``plan_key``: optional digest-able token that UNIQUELY determines the
+    coordinate fields (e.g. the WCS scalars + grid limits they were
+    computed from).  When given, the planning pass's downloaded stats are
+    memoized on it — the plan download is a device sync (~10-40 ms through
+    a tunneled TPU) that warm repeated warps need not pay.  The image never
+    enters the plan, so caching stays sound across different images
+    sampled on the same coordinate map.
     """
     if isinstance(image, jax.core.Tracer) or isinstance(x, jax.core.Tracer):
         return sample_image(image, x, y, order=order, cval=cval)
@@ -502,11 +515,21 @@ def sample_image_auto(image, x, y, order: int = 2, cval=jnp.nan,
     xp_ = jnp.pad(x, padx, constant_values=jnp.nan)
     yp_ = jnp.pad(y, padx, constant_values=jnp.nan)
 
-    bbox_d, rx_d, ry_d = _plan_stats(xp_, yp_, th, tw, n_ty, n_tx, h, w,
-                                     with_resid=(H, W) == (h, w))
-    bbox = np.asarray(bbox_d, dtype=np.float64).reshape(n_ty * n_tx, 4)
-    rx = float(rx_d)
-    ry = float(ry_d)
+    key = hit = None
+    if plan_key is not None:
+        key = memo.digest(plan_key, (h, w), (H, W), order, tile,
+                          max_resid)
+        hit = _PLAN_CACHE.get(key)
+    if hit is not None:
+        bbox, rx, ry = hit
+    else:
+        bbox_d, rx_d, ry_d = _plan_stats(xp_, yp_, th, tw, n_ty, n_tx, h, w,
+                                         with_resid=(H, W) == (h, w))
+        bbox = np.asarray(bbox_d, dtype=np.float64).reshape(n_ty * n_tx, 4)
+        rx = float(rx_d)
+        ry = float(ry_d)
+        if key is not None:
+            _PLAN_CACHE.put(key, (bbox, rx, ry))
 
     r = max(rx, ry)
     if np.isfinite(r) and r <= max_resid:

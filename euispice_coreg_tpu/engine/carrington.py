@@ -338,7 +338,12 @@ def _warp_to_grid(small_d, combo, lonlims, latlims, shape, delta_t,
     if on_default:
         nx, ny = _grid_coords_jit(scal, dt_arr, shape[1], shape[0],
                                   rate_wave)
-        return resample.sample_image_auto(small_d, nx, ny, order=order)
+        # the coordinate fields are a pure function of these scalars, so
+        # the auto-sampler's plan download can be memoized on them
+        plan_key = (sorted((k, float(v)) for k, v in scal.items()),
+                    float(dt_arr), str(rate_wave), tuple(shape))
+        return resample.sample_image_auto(small_d, nx, ny, order=order,
+                                          plan_key=plan_key)
     return _warp_to_grid_jit(small_d, scal, dt_arr,
                              shape[1], shape[0], order, rate_wave)
 
