@@ -30,8 +30,10 @@ import numpy as np
 
 from ..utils import memo
 
-# memoized sample_image_auto planning stats (see its ``plan_key`` arg)
+# memoized sample_image_auto planning stats (see its ``plan_key`` /
+# ``plan_ident`` args)
 _PLAN_CACHE = memo.FIFOCache(maxsize=16)
+_PLAN_IDENT_CACHE = memo.IdentityCache(maxsize=8)
 
 
 def _taps_and_weights(c, order):
@@ -465,7 +467,7 @@ def _select_sample_jit(padded, x, y, cval, order, m, pad, h, w):
 
 def sample_image_auto(image, x, y, order: int = 2, cval=jnp.nan,
                       tile: int = 256, max_patch: int = 64,
-                      max_resid: int = 24, plan_key=None):
+                      max_resid: int = 24, plan_key=None, plan_ident=None):
     """:func:`sample_image` with automatic gather-free dispatch.
 
     TPU hardware gathers run at ~7 cycles/element, so the generic 9-tap
@@ -487,6 +489,12 @@ def sample_image_auto(image, x, y, order: int = 2, cval=jnp.nan,
     a tunneled TPU) that warm repeated warps need not pay.  The image never
     enters the plan, so caching stays sound across different images
     sampled on the same coordinate map.
+
+    ``plan_ident``: tuple of DEVICE arrays the coordinate fields were
+    derived from (e.g. the world grids a warp maps through), compared by
+    identity — for callers whose fields depend on arrays too large to
+    digest.  Combines with ``plan_key`` for the scalar part (e.g. the
+    per-combo WCS).  Only pass immutable (jax) arrays here.
     """
     if isinstance(image, jax.core.Tracer) or isinstance(x, jax.core.Tracer):
         return sample_image(image, x, y, order=order, cval=cval)
@@ -516,10 +524,11 @@ def sample_image_auto(image, x, y, order: int = 2, cval=jnp.nan,
     yp_ = jnp.pad(y, padx, constant_values=jnp.nan)
 
     key = hit = None
-    if plan_key is not None:
+    if plan_key is not None or plan_ident is not None:
         key = memo.digest(plan_key, (h, w), (H, W), order, tile,
                           max_resid)
-        hit = _PLAN_CACHE.get(key)
+        hit = (_PLAN_IDENT_CACHE.get(tuple(plan_ident), key)
+               if plan_ident is not None else _PLAN_CACHE.get(key))
     if hit is not None:
         bbox, rx, ry = hit
     else:
@@ -528,7 +537,9 @@ def sample_image_auto(image, x, y, order: int = 2, cval=jnp.nan,
         bbox = np.asarray(bbox_d, dtype=np.float64).reshape(n_ty * n_tx, 4)
         rx = float(rx_d)
         ry = float(ry_d)
-        if key is not None:
+        if plan_ident is not None:
+            _PLAN_IDENT_CACHE.put(tuple(plan_ident), key, (bbox, rx, ry))
+        elif key is not None:
             _PLAN_CACHE.put(key, (bbox, rx, ry))
 
     r = max(rx, ry)

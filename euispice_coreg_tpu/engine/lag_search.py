@@ -505,10 +505,17 @@ def _evaluate_block_fast(small_img, ref_img, lon, lat, base_params,
             kind, grid=base_params)
         if float(np.max(spreads)) > fast_corr.MAX_DISPLACEMENT_SPREAD_PX:
             cs = None
+    def warp_plan(combo):
+        # identity of the world grids + the combo's host scalars uniquely
+        # determine the warp coordinates (auto-sampler plan memo)
+        return ((lon_d, lat_d),
+                (sorted((k, float(v)) for k, v in combo.items()), kind))
+
     if cs is not None:
         with obs.stage("fast_warps_s"):
             warps = [_warp_by_params(small_d, lon_d, lat_d,
-                                     combo_device_params(combo), kind, order)
+                                     combo_device_params(combo), kind, order,
+                                     plan=warp_plan(combo))
                      for _i3, _i4, _i5, combo in combos]
         ref_d = jnp.asarray(ref_img, dtype=compute_dtype)
         smalls = jnp.stack(warps)
@@ -525,7 +532,8 @@ def _evaluate_block_fast(small_img, ref_img, lon, lat, base_params,
     # per-combo fallback (fleet preconditions failed)
     for i3, i4, i5, combo in combos:
         warped = _warp_by_params(small_d, lon_d, lat_d,
-                                 combo_device_params(combo), kind, order)
+                                 combo_device_params(combo), kind, order,
+                                 plan=warp_plan(combo))
         block = fast_corr.evaluate_crval_grid_fast(
             warped, ref_img, lon, lat, combo, l1, l2,
             order=order, kind=kind, compute_dtype=compute_dtype,
@@ -589,36 +597,28 @@ def prepare_grid_and_submap(data_large, small_params, large_params, h, w,
 
 # identity-keyed probe cache for DEVICE coordinate fields: the two tiny
 # gathers + host sync cost ~30-40 ms per call through the tunnel and the
-# same device arrays are probed on every warm search.  Entries hold strong
-# references to the arrays, so an id() can never be reused while its entry
-# lives (and jax arrays are immutable, so content staleness is impossible);
-# numpy inputs skip the cache — host indexing is free and the caller may
-# mutate them in place.
-class _IdentityProbeCache:
-    def __init__(self, maxsize: int = 4):
-        self.maxsize = maxsize
-        self._entries: list = []
-        from ..utils import memo
-
-        memo._REGISTRY.append(self)  # cleared between tests like the rest
-
-    def clear(self):
-        self._entries.clear()
-
-    def get(self, lon, lat):
-        for e_lon, e_lat, res in self._entries:
-            if e_lon is lon and e_lat is lat:
-                return res
-        return None
-
-    def put(self, lon, lat, res):
-        if len(self._entries) >= self.maxsize:
-            self._entries.pop(0)
-        self._entries.append((lon, lat, res))
-        return res
+# same device arrays are probed on every warm search.  Numpy inputs skip
+# the cache — host indexing is free and the caller may mutate them in
+# place (see utils.memo.IdentityCache for the id-safety argument).
+_PROBE_CACHE = _memo.IdentityCache(maxsize=4)
 
 
-_PROBE_CACHE = _IdentityProbeCache()
+def seed_probe_values(lon, lat, pl, pb):
+    """Pre-populate the probe cache for freshly built DEVICE grids with
+    host-computed world values: extracting the 5 probes from a new device
+    array costs a tunnel sync (~35 ms/search through the axon tunnel), but
+    the grid builder knows the exact WCS the grid was computed from and can
+    evaluate the probes in host float64 directly (same formula; the f64
+    values differ from the device f32 grid by ~1e-9 deg — well under any
+    displacement tolerance).  No-op for host arrays."""
+    if isinstance(lon, np.ndarray):
+        return
+    h, w = lon.shape
+    px0 = np.array([w // 2, 0, w - 1, 0, w - 1], dtype=np.float64)
+    py0 = np.array([h // 2, 0, 0, h - 1, h - 1], dtype=np.float64)
+    _PROBE_CACHE.put((lon, lat), None,
+                     (np.asarray(pl, dtype=np.float64),
+                      np.asarray(pb, dtype=np.float64), px0, py0))
 
 
 def probe_values(lon, lat):
@@ -632,7 +632,7 @@ def probe_values(lon, lat):
         pl = np.array([lon[i, j] for i, j in pts], dtype=np.float64)
         pb = np.array([lat[i, j] for i, j in pts], dtype=np.float64)
     else:
-        hit = _PROBE_CACHE.get(lon, lat)
+        hit = _PROBE_CACHE.get((lon, lat))
         if hit is not None:
             return hit
         ii = jnp.array([i for i, _ in pts])
@@ -640,7 +640,7 @@ def probe_values(lon, lat):
         vals = np.asarray(jnp.stack([lon[ii, jj], lat[ii, jj]]),
                           dtype=np.float64)
         pl, pb = vals[0], vals[1]
-        return _PROBE_CACHE.put(lon, lat, (pl, pb, px0, py0))
+        return _PROBE_CACHE.put((lon, lat), None, (pl, pb, px0, py0))
     return pl, pb, px0, py0
 
 
@@ -710,12 +710,20 @@ def _warp_coords(lon, lat, params, kind):
     return wcs.world_to_pixel(params, lon, lat, kind=kind)
 
 
-def _warp_by_params(img, lon, lat, params, kind, order):
+def _warp_by_params(img, lon, lat, params, kind, order, plan=None):
     """Warp img onto the (lon, lat) grid through the given WCS, on device.
 
     Comparison grids oversample the detector, so the gather-free tile
     contraction (resample.sample_image_upsample) usually applies — the
     9-tap hardware gather at 2048^2 costs ~0.3 s/warp on TPU and dominated
-    the mixed-grid block path (one warp per cdelt/crota combo)."""
+    the mixed-grid block path (one warp per cdelt/crota combo).
+
+    ``plan``: optional ``(plan_ident, plan_key)`` forwarded to the auto
+    sampler — the warp coordinates are a pure function of (lon, lat,
+    params, kind), so callers that can name those let warm repeated warps
+    skip the planning sync."""
     x, y = _warp_coords(lon, lat, params, kind)
-    return resample.sample_image_auto(img, x, y, order=order)
+    if plan is None:
+        return resample.sample_image_auto(img, x, y, order=order)
+    return resample.sample_image_auto(img, x, y, order=order,
+                                      plan_ident=plan[0], plan_key=plan[1])

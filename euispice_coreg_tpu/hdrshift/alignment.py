@@ -446,6 +446,18 @@ class Alignment:
                 lon, lat, ref_img = lag_search.prepare_grid_and_submap(
                     self._large_dev(), sp, lp, h, w, kind, do_wrap, self.order)
 
+        # pre-seed the engine's probe cache from host float64 WCS math —
+        # the 5 probe world values of a fresh device grid otherwise cost a
+        # tunnel sync per search (lag_search.seed_probe_values)
+        pts_x = np.array([w // 2, 0, w - 1, 0, w - 1], dtype=np.float64)
+        pts_y = np.array([h // 2, 0, 0, h - 1, h - 1], dtype=np.float64)
+        plh, pbh = wcs_mod.pixel_to_world(small_params.as_dict(), pts_x,
+                                          pts_y, kind=kind, xp=np)
+        if do_wrap:
+            plh = units.ang2pipi_deg(plh)
+            pbh = units.ang2pipi_deg(pbh)
+        lag_search.seed_probe_values(lon, lat, plh, pbh)
+
         base = {**small_params.as_dict(), "crota": get_crota(self.hdr_small)}
         return lon, lat, ref_img, base, kind
 

@@ -63,6 +63,37 @@ def clear_all() -> None:
         c.clear()
 
 
+class IdentityCache:
+    """Bounded cache keyed by object IDENTITY plus an equality key.
+
+    For values derived from device arrays: jax arrays are immutable but
+    cannot be content-digested without a device download, so entries
+    compare their anchor objects with ``is`` and HOLD REFERENCES to them —
+    an ``id()`` can never be reused while its entry lives.  Numpy inputs
+    should not be anchored here (callers may mutate them in place)."""
+
+    def __init__(self, maxsize: int = 8):
+        self.maxsize = maxsize
+        self._entries: list = []
+        _REGISTRY.append(self)
+
+    def clear(self) -> None:
+        self._entries.clear()
+
+    def get(self, idents, key=None):
+        for e_id, e_key, val in self._entries:
+            if (len(e_id) == len(idents) and e_key == key
+                    and all(a is b for a, b in zip(e_id, idents))):
+                return val
+        return None
+
+    def put(self, idents, key, value):
+        if len(self._entries) >= self.maxsize:
+            self._entries.pop(0)
+        self._entries.append((tuple(idents), key, value))
+        return value
+
+
 class FIFOCache:
     """Bounded insert-order cache for memoized host prep.
 
