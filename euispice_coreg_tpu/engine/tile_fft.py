@@ -128,11 +128,14 @@ def _hbm_group_plan(n_tiles, order, by, bx, Htot, Wtot, itemsize, batch):
     return group, rpad_bytes, bt
 
 
-# Achieved throughput of the stage-1 direct real-folded DFT matmuls on the
-# bench shapes (v5e, bf16_3x): the fine Carrington leg runs 24 tiles x 58
-# forward transforms at 960x1152 (~6.5e12 FLOP) in ~0.33 s -> ~20 TFLOP/s
-# effective.  Used only for host-side PLANNING (shape ranking, decline of
-# pathologically-shaped factorizations), never for reporting.
+# Planning throughput for _est_stage1_seconds' FLOP model (which counts
+# n_tiles x (n_surf + n_rf + 3) planes x two direct real-folded stages).
+# The r05 measured rate on the bench shapes (24 tiles of 384x512, 896x1152
+# transforms, all planes ~1.35e13 nominal FLOP in 0.31 s) is ~43 TFLOP/s
+# nominal — ~66% MXU in bf16-pass terms — so 20e12 is a deliberate ~2x
+# conservative margin: estimates overstate cost, declines stay safe.  Used
+# only for host-side PLANNING (shape ranking, hybrid worth-it screen,
+# decline of pathologically-shaped factorizations), never for reporting.
 _EST_TFLOPS = 20e12
 _MAX_STAGE1_SECONDS = 15.0
 
