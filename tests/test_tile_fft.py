@@ -691,6 +691,27 @@ def test_mem_guard_declines_wide_span(monkeypatch):
     assert hyb is not None and hyb[1].all()
 
 
+def test_hybrid_screen_declines_when_kernel_is_cheaper(monkeypatch):
+    """The hybrid picker's stage-1-cost screen: when the estimated tile
+    transforms cost more than scoring the passing lags on the per-lag
+    kernel (~0.4 ms each), every candidate is skipped and the hybrid
+    declines — the coarse wide-grid regime (PARITY.md roofline)."""
+    from euispice_coreg_tpu.engine import tile_fft
+
+    h = w = 256
+    L = 9
+    coeffs = np.zeros((L, 6, 2))
+    coeffs[:, 2, 0] = np.linspace(-2.0, 2.0, L)
+    coeffs[:, 2, 1] = np.linspace(1.5, -1.5, L)
+    coeffs[:, 0, 0] = np.linspace(0.0, 0.009, L)
+
+    assert tile_fft.pick_tile_shape_hybrid(coeffs, h, w, 1.0) is not None
+    # collapse the planning throughput: every shape's est now dwarfs the
+    # kernel alternative, so the screen must reject them all
+    monkeypatch.setattr(tile_fft, "_EST_TFLOPS", 1.0)
+    assert tile_fft.pick_tile_shape_hybrid(coeffs, h, w, 1.0) is None
+
+
 def test_grouped_scan_matches_single_pass(monkeypatch):
     """HBM-bounded GROUP scan parity: with a budget that only admits part
     of the tile set at once, _tiles_sum must chunk the tiles through
