@@ -25,7 +25,7 @@ import numpy as np
 
 from ..core.header import Header, ensure_pcij, pc_from_crota
 from ..core.ndwcs import NDWCS
-from ..utils import units
+from ..utils import obs, units
 from .alignment import Alignment
 
 
@@ -570,24 +570,27 @@ class AlignementSpiceIterativeContextRaster(AlignmentSpice):
                     hsp = hdr_sp0.copy()
                     _apply_full_lag(hsp, refs_sp, *d)
                     hdrs_sp.append(hsp)
-                data_stack, hdrs_large = builder.compose_many_from_headers(
-                    [self.header_spice_unflattened] * len(chunk),
-                    spatial_headers=hdrs_sp)
+                with obs.stage("iter_compose_s"):
+                    data_stack, hdrs_large = \
+                        builder.compose_many_from_headers(
+                            [self.header_spice_unflattened] * len(chunk),
+                            spatial_headers=hdrs_sp)
                 # ONE fused device program for the whole chunk: stacked
                 # pixel->world over the composed headers, world->pixel
                 # through the shifted SPICE headers, spline sampling, and
                 # the vmapped score — no (L, ny, nx) host temporaries (this
                 # host's allocator degrades on fresh multi-MB buffers) and
                 # no per-lag dispatch
-                pl, kind_l = coords.stack_wcs_params(hdrs_large)
-                ps, kind_s = coords.stack_wcs_params(hdrs_s)
-                vals = np.asarray(_iter_chunk_scores(
-                    {k: jnp.asarray(v) for k, v in pl.items()},
-                    {k: jnp.asarray(v) for k, v in ps.items()},
-                    jnp.asarray(data_stack),
-                    jnp.asarray(self.data_small),
-                    kind_l, kind_s, self.order,
-                    "correlation" if method == "correlation" else method))
+                with obs.stage("iter_score_s"):
+                    pl, kind_l = coords.stack_wcs_params(hdrs_large)
+                    ps, kind_s = coords.stack_wcs_params(hdrs_s)
+                    vals = np.asarray(_iter_chunk_scores(
+                        {k: jnp.asarray(v) for k, v in pl.items()},
+                        {k: jnp.asarray(v) for k, v in ps.items()},
+                        jnp.asarray(data_stack),
+                        jnp.asarray(self.data_small),
+                        kind_l, kind_s, self.order,
+                        "correlation" if method == "correlation" else method))
                 for li, idx in enumerate(chunk):
                     corr[idx] = float(vals[li])
                 progress.step(len(chunk))
