@@ -901,16 +901,18 @@ def _carrington_select(small_img, ref_img, sc, delta_t, rate_wave,
                     # outer ring pays the exact-kernel cost below.
                     # Memoized (pure in coeffs/geometry + the HBM budget,
                     # which the screen reads from the environment).
+                    n_mesh_dev = (1 if mesh is None
+                                  else int(mesh.devices.size))
                     hyb_key = memo.digest(
                         coeffs, h, w, float(scale), order,
-                        str(compute_dtype),
+                        str(compute_dtype), n_mesh_dev,
                         float(tile_fft._mem_budget_bytes()))
                     hyb_hit = _HYBRID_PICK_CACHE.get(hyb_key)
                     if hyb_hit is None:
                         hyb_hit = _HYBRID_PICK_CACHE.put(
                             hyb_key, (tile_fft.pick_tile_shape_hybrid(
                                 coeffs, h, w, scale, order_hint=order,
-                                compute_dtype=compute_dtype),))
+                                compute_dtype=compute_dtype, mesh=mesh),))
                     hyb = hyb_hit[0]
                     if hyb is not None:
                         (th_h, tw_h), mask_h = hyb

@@ -36,6 +36,12 @@ from ..utils import memo as _memo  # noqa: E402
 # (pure host prep; see utils/memo.py and fast_corr._DISP_CACHE)
 _DISPF_CACHE = _memo.FIFOCache(maxsize=32)
 
+# cap on the stacked combo frames (+ ref copies) the mixed-grid fleet
+# route may hold in HBM at once; beyond it the per-combo route (one warp
+# resident) takes over.  2 GB leaves the movie program's ~1.4 GB per-frame
+# product stack plus canvases comfortable room on a 16 GB chip.
+_FLEET_STACK_BUDGET_BYTES = 2e9
+
 
 def apply_lag_to_params(base: dict, d: jnp.ndarray) -> dict:
     """Shift WCS scalars by one lag vector ``d`` (degrees).
@@ -511,6 +517,21 @@ def _evaluate_block_fast(small_img, ref_img, lon, lat, base_params,
         return ((lon_d, lat_d),
                 (sorted((k, float(v)) for k, v in combo.items()), kind))
 
+    # HBM guard for the fleet route: it stacks EVERY combo's full-size warp
+    # plus a ref copy before the movie program's own per-frame product
+    # stack.  Large combo grids (e.g. 5x5x5 = 125 combos at 2048^2 = 4 GB
+    # of frames) must keep the old one-warp-resident route — an OOM inside
+    # the fleet program would abort the search, not fall back.
+    fleet_bytes = (2 * len(combos) * int(np.prod(np.shape(small_img)))
+                   * jnp.dtype(compute_dtype).itemsize)
+    if fleet_bytes > _FLEET_STACK_BUDGET_BYTES:
+        obs.logger.info(
+            "block fleet declined: %d combo frames = %.1f GB of stacked "
+            "canvases > %.1f GB budget; per-combo route",
+            len(combos), fleet_bytes / 1e9,
+            _FLEET_STACK_BUDGET_BYTES / 1e9)
+        cs = None
+
     if cs is not None:
         with obs.stage("fast_warps_s"):
             warps = [_warp_by_params(small_d, lon_d, lat_d,
@@ -603,6 +624,15 @@ def prepare_grid_and_submap(data_large, small_params, large_params, h, w,
 _PROBE_CACHE = _memo.IdentityCache(maxsize=4)
 
 
+def probe_pixel_points(h, w):
+    """The 5 standard probe pixels (center + corners) as float64 (x, y)
+    arrays — the single source of the convention shared by probe_values,
+    seed_probe_values, and the submap flow's host probe math."""
+    px0 = np.array([w // 2, 0, w - 1, 0, w - 1], dtype=np.float64)
+    py0 = np.array([h // 2, 0, 0, h - 1, h - 1], dtype=np.float64)
+    return px0, py0
+
+
 def seed_probe_values(lon, lat, pl, pb):
     """Pre-populate the probe cache for freshly built DEVICE grids with
     host-computed world values: extracting the 5 probes from a new device
@@ -614,8 +644,7 @@ def seed_probe_values(lon, lat, pl, pb):
     if isinstance(lon, np.ndarray):
         return
     h, w = lon.shape
-    px0 = np.array([w // 2, 0, w - 1, 0, w - 1], dtype=np.float64)
-    py0 = np.array([h // 2, 0, 0, h - 1, h - 1], dtype=np.float64)
+    px0, py0 = probe_pixel_points(h, w)
     _PROBE_CACHE.put((lon, lat), None,
                      (np.asarray(pl, dtype=np.float64),
                       np.asarray(pb, dtype=np.float64), px0, py0))
@@ -625,9 +654,8 @@ def probe_values(lon, lat):
     """World coordinates at the 5 standard probe points (center + corners),
     as float64 numpy — one tiny transfer when lon/lat live on device."""
     h, w = lon.shape
-    pts = [(h // 2, w // 2), (0, 0), (0, w - 1), (h - 1, 0), (h - 1, w - 1)]
-    px0 = np.array([j for _, j in pts], dtype=np.float64)
-    py0 = np.array([i for i, _ in pts], dtype=np.float64)
+    px0, py0 = probe_pixel_points(h, w)
+    pts = [(int(i), int(j)) for i, j in zip(py0, px0)]
     if isinstance(lon, np.ndarray):
         pl = np.array([lon[i, j] for i, j in pts], dtype=np.float64)
         pb = np.array([lat[i, j] for i, j in pts], dtype=np.float64)

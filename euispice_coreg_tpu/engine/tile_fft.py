@@ -105,7 +105,7 @@ def _plane_counts(order: int) -> tuple[int, int]:
     return 3 + 2 * nt + npairs, 1 + nt + npairs
 
 
-def _hbm_group_plan(n_tiles, order, by, bx, Htot, Wtot, itemsize, batch):
+def _hbm_group_plan(order, by, bx, Htot, Wtot, itemsize, batch):
     """Shared HBM working-set planner for the evaluator's guard and the
     hybrid picker's screen (one source of truth so the two cannot drift).
 
@@ -117,8 +117,9 @@ def _hbm_group_plan(n_tiles, order, by, bx, Htot, Wtot, itemsize, batch):
     down to a multiple of ``batch`` (the scan step size).
 
     Returns ``(group, rpad_bytes, box_bytes_per_tile)``: ``group < batch``
-    means even one scan step cannot fit (caller declines);
-    ``group >= n_tiles`` means single-pass (caller uses group=None)."""
+    means even one scan step cannot fit (caller declines); a group at or
+    above the caller's tile count means single-pass (caller uses
+    group=None)."""
     n_surf, n_rf = _plane_counts(order)
     bt = n_surf * by * bx * itemsize
     rpad_bytes = n_rf * Htot * Wtot * itemsize
@@ -312,7 +313,8 @@ def pick_tile_shape(coeffs, h, w, scale_det_per_grid, tol_det=TOL_DET_PX,
 def pick_tile_shape_hybrid(coeffs, h, w, scale_det_per_grid,
                            tol_det=TOL_DET_PX, tile_sizes=_TILE_SIZES,
                            max_tiles=_MAX_TILES, min_pass_frac=0.5,
-                           order_hint=2, compute_dtype="float32"):
+                           order_hint=2, compute_dtype="float32",
+                           mesh=None):
     """Per-lag gate for the hybrid Carrington fallback.
 
     Called when :func:`pick_tile_shape` rejected the FULL lag set: the
@@ -388,11 +390,15 @@ def pick_tile_shape_hybrid(coeffs, h, w, scale_det_per_grid,
         bx_e, by_e = int(span[0]) + 3, int(span[1]) + 3
         # same planner as the evaluator's guard (tiles run in GROUPS, so
         # only one scan step's boxes + the r stack need fit): a shape the
-        # evaluator would run must never be screened out here
-        batch = max(1, min(_TILE_BATCH, n_ty * n_tx))
+        # evaluator would run must never be screened out here — including
+        # the per-device batch clamp the evaluator applies on a mesh
+        max_batch = n_ty * n_tx
+        if mesh is not None and mesh.devices.size > 1:
+            max_batch = -(-max_batch // mesh.devices.size)
+        batch = max(1, min(_TILE_BATCH, max_batch))
         item = jnp.dtype(compute_dtype).itemsize
         group, rpad_bytes, bt = _hbm_group_plan(
-            n_ty * n_tx, order_hint, by_e, bx_e,
+            order_hint, by_e, bx_e,
             n_ty * th + by_e - 1, n_tx * tw + bx_e - 1, item, batch)
         if group < batch:
             obs.logger.info(
@@ -995,7 +1001,7 @@ def evaluate_select_tile_fft(coeffs, warped, ref_img, *, order, h, w,
     n_surf, n_rf = _plane_counts(order)
     item = jnp.dtype(compute_dtype).itemsize
     group, rpad_bytes, bt = _hbm_group_plan(
-        n_tiles, order, by, bx, hp + int(o_max[1] - o_min[1]),
+        order, by, bx, hp + int(o_max[1] - o_min[1]),
         wp + int(o_max[0] - o_min[0]), item, batch)
     if group < batch:
         obs.logger.info(

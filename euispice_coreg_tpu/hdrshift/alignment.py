@@ -417,8 +417,7 @@ class Alignment:
             if self.data_large.shape == (h, w) and self.order in (0, 1, 2):
                 # same-instrument pair (e.g. jitter movies): the submap warp
                 # is a bounded-residual translation -> gather-free sampler
-                px0 = np.array([w // 2, 0, w - 1, 0, w - 1], dtype=np.float64)
-                py0 = np.array([h // 2, 0, 0, h - 1, h - 1], dtype=np.float64)
+                px0, py0 = lag_search.probe_pixel_points(h, w)
                 pl, pb = wcs_mod.pixel_to_world(
                     small_params.as_dict(), px0, py0, kind=kind, xp=np)
                 if do_wrap:
@@ -448,15 +447,18 @@ class Alignment:
 
         # pre-seed the engine's probe cache from host float64 WCS math —
         # the 5 probe world values of a fresh device grid otherwise cost a
-        # tunnel sync per search (lag_search.seed_probe_values)
-        pts_x = np.array([w // 2, 0, w - 1, 0, w - 1], dtype=np.float64)
-        pts_y = np.array([h // 2, 0, 0, h - 1, h - 1], dtype=np.float64)
-        plh, pbh = wcs_mod.pixel_to_world(small_params.as_dict(), pts_x,
-                                          pts_y, kind=kind, xp=np)
-        if do_wrap:
-            plh = units.ang2pipi_deg(plh)
-            pbh = units.ang2pipi_deg(pbh)
-        lag_search.seed_probe_values(lon, lat, plh, pbh)
+        # tunnel sync per search (lag_search.seed_probe_values).  Only when
+        # the ±180° wrap is inactive: there world magnitudes are arcsec-
+        # scale and the f64 seeds match the f32 device grid to ~1e-9 deg,
+        # while NEAR the branch cut the grid's own f32 rounding is ~1e-5
+        # deg (≈0.04 px of world precision, CLAUDE.md) and seeding would
+        # make the displacement model disagree with the ref_img actually
+        # sampled through that grid — pay the extraction sync instead.
+        if not do_wrap:
+            pts_x, pts_y = lag_search.probe_pixel_points(h, w)
+            plh, pbh = wcs_mod.pixel_to_world(small_params.as_dict(), pts_x,
+                                              pts_y, kind=kind, xp=np)
+            lag_search.seed_probe_values(lon, lat, plh, pbh)
 
         base = {**small_params.as_dict(), "crota": get_crota(self.hdr_small)}
         return lon, lat, ref_img, base, kind

@@ -47,8 +47,15 @@ def digest(*items) -> tuple:
         elif isinstance(it, (tuple, list)):
             parts.append(len(it))
             parts.extend(digest(*it))
-        else:  # numpy scalar etc.
-            parts.append((type(it).__name__, repr(it)))
+        elif isinstance(it, np.generic):  # numpy scalar
+            parts.append((type(it).__name__, it.item()))
+        else:
+            # never key by repr(): default reprs embed memory addresses (a
+            # recycled id would alias two different values) and array
+            # reprs elide content — both are silent-stale-hit hazards
+            raise TypeError(
+                f"memo.digest cannot key a {type(it).__name__}; pass "
+                "plain scalars, numpy arrays, or containers of them")
     return tuple(parts)
 
 

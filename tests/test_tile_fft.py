@@ -743,13 +743,13 @@ def test_grouped_scan_matches_single_pass(monkeypatch):
 
     def cap(*a):
         g, rpad, bt = orig_plan(*a)
-        plan.update(group=g, rpad=rpad, bt=bt, n=a[0])
+        plan.update(group=g, rpad=rpad, bt=bt)
         return g, rpad, bt
 
     monkeypatch.setattr(tile_fft, "_hbm_group_plan", cap)
     want = tile_fft.evaluate_select_tile_fft(coeffs, warped, ref, **kw)
     assert want is not None
-    assert plan["group"] >= plan["n"] == 16  # baseline ran single-pass
+    assert plan["group"] >= 16  # baseline ran single-pass over all 16 tiles
 
     # budget that fits the r stack + exactly 5 tiles' boxes -> group=5,
     # 16 tiles scan as 4 groups (last one padded)

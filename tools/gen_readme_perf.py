@@ -25,6 +25,38 @@ import sys
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+# leg_errors key (bench.py) -> the metric keys that leg produced.  A leg
+# whose recovery check failed keeps its timing in the ARTIFACT (the
+# never-discard protocol) but must not advertise itself as a measured
+# README number: the run produced a wrong alignment answer there.
+_LEG_METRICS = {
+    "core": ("wall_clock_s", "value", "vs_baseline"),
+    "api": ("end_to_end_api_s",),
+    "carr": ("carrington_121x121_2048_s",),
+    "carr_api": ("carrington_api_s",),
+    "carr_coarse": ("carrington_coarse_121x121_s",),
+    "mixed": ("mixed_grid_21x21x3_2048_s",),
+    "synras": ("synras_spice_e2e_s",),
+    "iterative": ("iterative_spice_5x5_s",),
+}
+
+
+def _mask_failed_legs(run: dict) -> dict | None:
+    """Null out the metrics of legs whose recovery failed; drop the run
+    entirely when its CORE leg failed (the headline metric is meaningless
+    then)."""
+    errs = run.get("leg_errors") or {}
+    if not errs:
+        return run
+    run = dict(run)
+    for leg in errs:
+        for key in _LEG_METRICS.get(leg, ()):
+            run[key] = None
+    if run.get("wall_clock_s") is None:
+        return None
+    return run
+
+
 def load_runs():
     runs = []
     for path in sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json"))):
@@ -47,6 +79,7 @@ def load_runs():
                 continue
             if isinstance(doc, dict) and doc.get("wall_clock_s"):
                 runs.append(doc)
+    runs = [r for r in (_mask_failed_legs(r) for r in runs) if r]
     if not runs:
         raise SystemExit("no bench runs found (BENCH_r*.json / bench_runs.jsonl)")
     return runs
